@@ -1,0 +1,271 @@
+"""Single-node oracle: tokenizer + parser + BM25 scorer over a small corpus.
+
+This is the rank-identity reference for the Spark engine (FIXTURES.md SS5):
+both share the tokenizer (textkit), parser (elastic), BM25 formulas and
+tie-breaks; the oracle simply runs them in plain Python over in-memory docs.
+
+Scoring model (SURVEY.md SS2.7, /root/reference/src/ranking.rs):
+  * IDF = ln(1 + (N - df + 0.5)/(df + 0.5)), terms with df == 0 contribute 0
+    (ranking.rs:117-146)
+  * per-term BM25 tf_part = f*(k1+1) / (f + k1*(1 - b + b*dl/avgdl))
+    (ranking.rs:186-210)
+  * boolean expression score: excluded drops doc if its score > 0; required
+    drops doc if score == 0; AND sums both or drops; OR sums matching sides
+    (ranking.rs:228-276)
+  * sort score desc, tie-break doc_id asc (ranking.rs:408-420)
+
+Design decisions vs the scan-on-demand reference (SURVEY.md SS7.0):
+  * corpus statistics (N, df, avgdl, doc_len) are GLOBAL index-time values,
+    not per-query candidate-set values;
+  * doc tokens = tokenize(text) ++ tokenize(url) (web analog of
+    preprocess_text_with_filename, ranking.rs:56-61); doc_len = len(tokens)
+    at index time;
+  * exact (quoted) terms match by case-insensitive substring containment in
+    text or url -- mirroring the exact-term rescue at
+    file_processing.rs:1350-1358 -- with tf = 1 when rescued; the reference
+    applies that rescue to every query term, which requires a full scan per
+    query; we restrict it to exact terms (regular terms resolve via the
+    index), documented divergence.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from probe_spark import elastic, textkit
+from probe_spark.config import DEFAULT_BM25, BM25Params
+from probe_spark.elastic import And, Or, QueryPlan, Term
+
+
+@dataclass
+class Doc:
+    doc_id: int
+    url: str
+    text: str
+    lang: str
+
+
+@dataclass
+class CorpusIndex:
+    docs: list[Doc]
+    tokens: list[list[str]]  # per doc, positional (with duplicates)
+    doc_lens: list[int]
+    n_docs: int
+    avgdl: float
+    df: dict[str, int]  # term -> number of docs containing it
+
+    @classmethod
+    def build(cls, docs: list[Doc]) -> "CorpusIndex":
+        docs = sorted(docs, key=lambda d: d.doc_id)
+        tokens = [textkit.preprocess_text_with_url(d.text, d.url) for d in docs]
+        doc_lens = [len(t) for t in tokens]
+        df: dict[str, int] = {}
+        for toks in tokens:
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        n = len(docs)
+        avgdl = (sum(doc_lens) / n) if n else 0.0
+        return cls(docs, tokens, doc_lens, n, avgdl, df)
+
+
+def idf(n_docs: int, df: int) -> float:
+    """ranking.rs:136-138."""
+    if df <= 0:
+        return 0.0
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_part(freq: float, doc_len: int, avgdl: float, p: BM25Params) -> float:
+    """ranking.rs:203-208.  avgdl == 0 (all-empty corpus) follows Rust f64
+    IEEE semantics: dl/0.0 = inf => tf_part = 0.0, no crash."""
+    if avgdl <= 0.0:
+        return 0.0
+    return (freq * (p.k1 + 1.0)) / (
+        freq + p.k1 * (1.0 - p.b + p.b * (doc_len / avgdl))
+    )
+
+
+def score_expr(
+    expr: elastic.Expr,
+    tf: dict[str, int],
+    doc_len: int,
+    avgdl: float,
+    idfs: dict[str, float],
+    p: BM25Params,
+) -> float | None:
+    """ranking.rs:228-276 (score_expr_bm25_optimized)."""
+    if isinstance(expr, Term):
+        total = 0.0
+        for kw in expr.lowercase_keywords:
+            f = tf.get(kw, 0)
+            if f > 0:
+                total += idfs.get(kw, 0.0) * bm25_tf_part(
+                    float(f), doc_len, avgdl, p
+                )
+        if expr.excluded:
+            return None if total > 0.0 else 0.0
+        if expr.required:
+            return total if total > 0.0 else None
+        return total
+    if isinstance(expr, And):
+        l = score_expr(expr.left, tf, doc_len, avgdl, idfs, p)
+        if l is None:
+            return None
+        r = score_expr(expr.right, tf, doc_len, avgdl, idfs, p)
+        if r is None:
+            return None
+        return l + r
+    l = score_expr(expr.left, tf, doc_len, avgdl, idfs, p)
+    r = score_expr(expr.right, tf, doc_len, avgdl, idfs, p)
+    if l is None and r is None:
+        return None
+    return (l or 0.0) + (r or 0.0)
+
+
+def rescue_terms(plan: QueryPlan) -> frozenset[str]:
+    """Terms matched by case-insensitive substring containment rather than
+    via index tokens: exactly the keywords probe registers as dynamic special
+    terms (exact or excluded terms, elastic_query.rs:791-814), restricted to
+    the query's own term set."""
+    return frozenset(t for t in plan.special_terms if t in plan.term_indices)
+
+
+def doc_term_freqs(
+    index: CorpusIndex, i: int, plan: QueryPlan
+) -> dict[str, int]:
+    """Per-doc term frequencies for the query's terms, incl. the exact-term
+    substring rescue (file_processing.rs:1350-1358, tf=1 when rescued)."""
+    toks = index.tokens[i]
+    tf: dict[str, int] = {}
+    for term in plan.term_indices:
+        c = toks.count(term)
+        if c > 0:
+            tf[term] = c
+    rescues = rescue_terms(plan)
+    if rescues:
+        d = index.docs[i]
+        hay = d.text.lower() + "\n" + d.url.lower()
+        for term in rescues:
+            if term not in tf and term in hay:
+                tf[term] = 1
+    return tf
+
+
+def global_df(index: CorpusIndex, plan: QueryPlan) -> dict[str, int]:
+    """Global document frequencies for query terms; rescue terms (exact /
+    excluded) use a corpus containment-or-token count."""
+    rescues = rescue_terms(plan)
+    out: dict[str, int] = {}
+    for term in plan.term_indices:
+        base = index.df.get(term, 0)
+        if term in rescues:
+            cnt = 0
+            for i, d in enumerate(index.docs):
+                if term in index.tokens[i]:
+                    cnt += 1
+                elif term in (d.text.lower() + "\n" + d.url.lower()):
+                    cnt += 1
+            out[term] = cnt
+        else:
+            out[term] = base
+    return out
+
+
+def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
+    """F1/F3 for the web schema: lang filter on the lang column; url filters
+    (file/path/filename/dir) as case-insensitive substring on url."""
+    keep = []
+    lang_vals = {
+        v.lower()
+        for f in ("lang", "language")
+        for v in plan.filters.get(f, [])
+    }
+    url_subs = [
+        v.lower()
+        for f in ("file", "path", "filename", "dir", "directory")
+        for v in plan.filters.get(f, [])
+    ]
+    for i, d in enumerate(index.docs):
+        if lang_vals and d.lang.lower() not in lang_vals:
+            continue
+        if url_subs and not all(s in d.url.lower() for s in url_subs):
+            continue
+        keep.append(i)
+    return keep
+
+
+def search(
+    index: CorpusIndex,
+    query: str,
+    k: int = 10,
+    params: BM25Params = DEFAULT_BM25,
+    exact: bool = False,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score), rank order (score desc, doc_id asc)."""
+    plan = elastic.create_query_plan(query, exact)
+    candidates = apply_filters(index, plan)
+
+    if plan.is_universal_query:
+        # filters-only query matches everything that passed filters, score 0
+        return [(index.docs[i].doc_id, 0.0) for i in candidates[:k]]
+
+    dfs = global_df(index, plan)
+    idfs = {t: idf(index.n_docs, dfs.get(t, 0)) for t in plan.term_indices}
+
+    scored: list[tuple[int, float]] = []
+    for i in candidates:
+        tf = doc_term_freqs(index, i, plan)
+        matched = frozenset(
+            plan.term_indices[t] for t in tf if t in plan.term_indices
+        )
+        if not elastic.evaluate(plan.ast, matched, plan.term_indices):
+            continue
+        s = score_expr(
+            plan.ast, tf, index.doc_lens[i], index.avgdl, idfs, params
+        )
+        if s is None:
+            continue
+        scored.append((index.docs[i].doc_id, s))
+
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def rank_documents(
+    docs: list[str], query: str, params: BM25Params | None = None
+) -> list[tuple[int, float]]:
+    """Strict parity port of ranking.rs:281-430 (rank_documents): candidate-
+    set statistics (N = len(docs), df over docs), per-query special terms
+    active during doc tokenization (probe's process-global leak, mirrored
+    deliberately here and ONLY here), score all docs, drop None, sort by
+    (score desc, doc index asc).  Used by the ported reference unit tests;
+    the index pipeline lives in :func:`search`.
+
+    NOTE: probe's live code scores with k1=1.5, b=0.5 here
+    (ranking.rs:363-364); pass params explicitly when comparing scores.
+    """
+    p = params or DEFAULT_BM25
+    ast, special = elastic.parse_query(query, False)
+    terms = sorted({kw for t in elastic.walk_terms(ast) for kw in t.lowercase_keywords})
+    if len(terms) > 256:
+        return []
+    tokenized = [textkit.tokenize(d, special) for d in docs]
+    doc_lens = [len(t) for t in tokenized]
+    dfs: dict[str, int] = {}
+    for toks in tokenized:
+        uniq = set(toks)
+        for term in terms:
+            if term in uniq:
+                dfs[term] = dfs.get(term, 0) + 1
+    n = len(docs)
+    avgdl = (sum(doc_lens) / n) if n else 0.0
+    idfs = {t: idf(n, dfs.get(t, 0)) for t in terms}
+    out: list[tuple[int, float]] = []
+    for i, toks in enumerate(tokenized):
+        tf = {t: toks.count(t) for t in terms if toks.count(t) > 0}
+        s = score_expr(ast, tf, doc_lens[i], avgdl, idfs, p)
+        if s is not None:
+            out.append((i, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
