@@ -1,0 +1,345 @@
+"""Distributed BM25 query engine over the inverted index (SURVEY.md SS7.3).
+
+Query lifecycle (replacing the reference's scan steps 3-9, SURVEY.md SS3.1):
+
+  1. parse query -> AST + QueryPlan (driver, pure Python, shared w/ oracle)
+  2. posting retrieval: filter the term-sorted postings parquet with
+     ``term IN (...)`` -- parquet row-group stats prune non-matching row
+     groups (the files are sorted by term at build time)
+  3. exact/excluded ("rescue") terms: case-insensitive containment scan of
+     the doc store (text+url), unioned with token postings -- mirrors the
+     exact-term rescue at file_processing.rs:1350-1358; only quoted/negated
+     terms pay this scan (the reference pays a full scan on EVERY query)
+  4. boolean evaluation + expression scoring per doc: one shuffle
+     (groupBy doc_id), then either
+       - pure-Column fast path for disjunctive bags (no required/excluded/
+         exact/multi-keyword terms): whole-stage-codegen BM25 sum, or
+       - an Arrow-vectorized pandas UDF hosting the SAME oracle scorer
+         (score_expr + evaluate) for full boolean semantics
+  5. top-k: orderBy(score desc, doc_id asc).limit(k) -- Spark's
+     TakeOrderedAndProject turns this into a per-partition top-k + driver
+     merge, no global sort
+  6. hydrate top-k rows with urls from the doc store (k rows, broadcast)
+
+Corpus statistics (N, avgdl, per-term df) are global index-time values per
+the design decision in SURVEY.md SS7.0; df for rescue terms is the exact
+containment-or-token count computed by the same job that finds candidates.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from probe_spark import elastic, oracle
+from probe_spark.config import DEFAULT_BM25, BM25Params
+from probe_spark.elastic import QueryPlan, Term, walk_terms
+
+
+def _is_disjunctive_bag(plan: QueryPlan) -> bool:
+    """True when the query is a pure OR-bag of optional non-exact terms:
+    score == sum of per-term BM25 and match == any term present.  This is
+    the whole-stage-codegen fast path (no Python in the hot loop)."""
+    if plan.ast is None or plan.has_required_anywhere or plan.excluded_terms:
+        return False
+    all_kws: list[str] = []
+    for t in walk_terms(plan.ast):
+        if t.exact or t.excluded or t.required:
+            return False
+        all_kws.extend(t.lowercase_keywords)
+    # a keyword repeated across Term nodes contributes once per node to the
+    # expression score (e.g. "repository OR repositori" where the exception
+    # dual-emit puts "repositori" in both terms) -- the flat per-term sum
+    # would undercount, so bail to the general scorer
+    if len(all_kws) != len(set(all_kws)):
+        return False
+
+    def only_or(e) -> bool:
+        if isinstance(e, Term):
+            return True
+        if isinstance(e, elastic.Or):
+            return only_or(e.left) and only_or(e.right)
+        return False
+
+    return only_or(plan.ast)
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        params: BM25Params = DEFAULT_BM25,
+    ):
+        self.spark = spark
+        self.index_dir = str(index_dir)
+        self.params = params
+        p = Path(self.index_dir)
+        row = spark.read.parquet(str(p / "stats")).collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        self._postings_path = str(p / "postings")
+        self._docs_path = str(p / "docs")
+        self._terms_path = str(p / "terms")
+        self._cached_cand = None
+
+    # -- helpers ------------------------------------------------------------
+
+    def _docs(self) -> DataFrame:
+        return self.spark.read.parquet(self._docs_path)
+
+    def _filtered_docs(self, plan: QueryPlan) -> DataFrame | None:
+        """Apply field filters (F1/F3 web mapping): lang equality, url
+        substring.  Returns None when no filters are active."""
+        lang_vals = [
+            v.lower()
+            for f in ("lang", "language")
+            for v in plan.filters.get(f, [])
+        ]
+        url_subs = [
+            v.lower()
+            for f in ("file", "path", "filename", "dir", "directory")
+            for v in plan.filters.get(f, [])
+        ]
+        if not lang_vals and not url_subs:
+            return None
+        docs = self._docs()
+        if lang_vals:
+            docs = docs.filter(F.lower(F.col("lang")).isin(lang_vals))
+        for s in url_subs:
+            docs = docs.filter(F.lower(F.col("url")).contains(s))
+        return docs
+
+    def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
+        """(term, doc_id, tf, doc_len) rows for every query term, incl.
+        containment rescue for exact/excluded terms."""
+        terms = list(plan.term_indices)
+        post = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("term").isin(terms))
+            .select("term", "doc_id", "tf", "doc_len")
+        )
+        rescues = sorted(oracle.rescue_terms(plan))
+        if not rescues:
+            return post
+        docs = self._docs().select(
+            "doc_id",
+            "doc_len",
+            F.lower(F.col("text")).alias("_t"),
+            F.lower(F.col("url")).alias("_u"),
+        )
+        scans = []
+        for t in rescues:
+            scans.append(
+                docs.filter(F.col("_t").contains(t) | F.col("_u").contains(t))
+                .select(
+                    F.lit(t).alias("term"),
+                    "doc_id",
+                    F.lit(1).cast("int").alias("tf"),
+                    "doc_len",
+                )
+            )
+        scan_df = scans[0]
+        for s in scans[1:]:
+            scan_df = scan_df.unionByName(s)
+        # token tf wins over the rescue tf=1 (file_processing.rs:1350-1358
+        # only appends when the token is absent)
+        return (
+            post.unionByName(scan_df)
+            .groupBy("term", "doc_id")
+            .agg(F.max("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
+        )
+
+    def _query_dfs(self, plan: QueryPlan, cand: DataFrame) -> dict[str, int]:
+        """Global df per query term: regular terms from the terms dictionary
+        (metadata-sized parquet lookup, term-pruned); rescue terms from the
+        candidate rows (their containment scan defines their df)."""
+        rescues = oracle.rescue_terms(plan)
+        regular = [t for t in plan.term_indices if t not in rescues]
+        out: dict[str, int] = {}
+        if regular:
+            rows = (
+                self.spark.read.parquet(self._terms_path)
+                .filter(F.col("term").isin(regular))
+                .select("term", "df")
+                .collect()
+            )
+            out.update({r["term"]: int(r["df"]) for r in rows})
+        if rescues:
+            rows = (
+                cand.filter(F.col("term").isin(sorted(rescues)))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            )
+            out.update({r["term"]: int(r["df"]) for r in rows})
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def search(self, query: str, k: int = 10, exact: bool = False) -> DataFrame:
+        """Top-k results as a DataFrame (rank, doc_id, url, score)."""
+        plan = elastic.create_query_plan(query, exact)
+        fdocs = self._filtered_docs(plan)
+
+        if plan.is_universal_query:
+            docs = fdocs if fdocs is not None else self._docs()
+            hits = (
+                docs.select("doc_id", "url")
+                .withColumn("score", F.lit(0.0))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+            return self._ranked(hits)
+
+        if not plan.term_indices:
+            # all keywords were stop words: no-match path (FIXTURES q18)
+            hits = (
+                self._docs()
+                .select("doc_id", "url")
+                .withColumn("score", F.lit(0.0))
+                .limit(0)
+            )
+            return self._ranked(hits)
+
+        cand = self._candidate_rows(plan)
+        if oracle.rescue_terms(plan):
+            # rescue queries touch the doc-store text column; cache the
+            # candidate rows so the df-count action and the scoring action
+            # scan it once (evicted lazily on the next rescue query)
+            if self._cached_cand is not None:
+                self._cached_cand.unpersist()
+            cand = cand.persist()
+            self._cached_cand = cand
+
+        if plan.has_only_excluded_terms:
+            # everything NOT containing the excluded terms, score 0,
+            # doc_id order (ranking.rs:239-245 + only-excluded fast path)
+            docs = fdocs if fdocs is not None else self._docs()
+            hits = (
+                docs.join(cand.select("doc_id").distinct(), "doc_id", "leftanti")
+                .select("doc_id", "url")
+                .withColumn("score", F.lit(0.0))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+            return self._ranked(hits)
+
+        # global df BEFORE field filters narrow the candidate set -- stats
+        # are corpus-wide (SURVEY.md SS7.0), filters only restrict results
+        dfs = self._query_dfs(plan, cand)
+
+        if fdocs is not None:
+            cand = cand.join(fdocs.select("doc_id"), "doc_id", "leftsemi")
+        idfs = {t: oracle.idf(self.n_docs, dfs.get(t, 0)) for t in plan.term_indices}
+
+        if _is_disjunctive_bag(plan):
+            scored = self._score_disjunctive(cand, idfs)
+        else:
+            scored = self._score_general(cand, plan, idfs)
+
+        hits = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return self._ranked(hits)
+
+    def _ranked(self, hits: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return hits.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "url", "score"
+        )
+
+    def _score_disjunctive(
+        self, cand: DataFrame, idfs: dict[str, float]
+    ) -> DataFrame:
+        """Pure-Column BM25 sum: stays inside whole-stage codegen."""
+        p = self.params
+        idf_map = F.create_map(
+            *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
+        )
+        tf = F.col("tf").cast("double")
+        tf_part = (tf * F.lit(p.k1 + 1.0)) / (
+            tf
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b) * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
+            )
+        )
+        return (
+            cand.withColumn("term_score", idf_map[F.col("term")] * tf_part)
+            .groupBy("doc_id")
+            .agg(F.sum("term_score").alias("score"))
+            .filter(F.col("score") > 0.0)
+        )
+
+    def _score_general(
+        self, cand: DataFrame, plan: QueryPlan, idfs: dict[str, float]
+    ) -> DataFrame:
+        """Arrow-vectorized scorer hosting the oracle's score_expr +
+        evaluate -- one implementation, two hosts (SURVEY.md SS7.1)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        ast = plan.ast
+        term_indices = dict(plan.term_indices)
+        avgdl = self.avgdl
+        params = self.params
+
+        out_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("score", DoubleType()),
+            ]
+        )
+
+        grouped = cand.groupBy("doc_id").agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("tf").alias("tfs"),
+            F.first("doc_len").alias("doc_len"),
+        )
+
+        def score_batch(iterator):
+            import pandas as pd
+
+            from probe_spark.elastic import evaluate
+            from probe_spark.oracle import score_expr
+
+            for pdf in iterator:
+                out_ids, out_scores = [], []
+                for doc_id, terms, tfs, doc_len in zip(
+                    pdf["doc_id"], pdf["terms"], pdf["tfs"], pdf["doc_len"]
+                ):
+                    tf = dict(zip(terms, (int(x) for x in tfs)))
+                    matched = frozenset(
+                        term_indices[t] for t in tf if t in term_indices
+                    )
+                    if not evaluate(ast, matched, term_indices):
+                        continue
+                    s = score_expr(ast, tf, int(doc_len), avgdl, idfs, params)
+                    if s is None:
+                        continue
+                    out_ids.append(int(doc_id))
+                    out_scores.append(float(s))
+                yield pd.DataFrame({"doc_id": out_ids, "score": out_scores})
+
+        return grouped.mapInPandas(score_batch, out_schema)
+
+    def search_local(
+        self, query: str, k: int = 10, exact: bool = False
+    ) -> list[tuple[int, float]]:
+        """Collect top-k as [(doc_id, score)] -- the oracle-comparable shape."""
+        rows = self.search(query, k, exact).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]

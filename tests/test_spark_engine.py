@@ -1,0 +1,186 @@
+"""End-to-end Spark engine tests: index build, rank-identity vs the oracle
+over the reference query set (FIXTURES.md SS3), determinism, resumability.
+"""
+
+import math
+
+import pytest
+
+from probe_spark.oracle import search as oracle_search
+
+# Reference query set q01-q25 (FIXTURES.md SS3)
+QUERIES = {
+    "q01": "firewall",
+    "q02": "deadlock",
+    "q03": "error handling",
+    "q04": "error AND handling",
+    "q05": "timeout OR deadline",
+    "q06": "+firewall whitelist",
+    "q07": "+error +handler",
+    "q08": "process -deprecated",
+    "q09": "-deprecated",
+    "q10": '"parseJSONToHTML5"',
+    "q11": '"error handling" retry',
+    "q12": "(timeout OR deadline) AND retry",
+    "q13": "parseJSONToHTML5",
+    "q14": "codeblock",
+    "q15": "hashmap lookup",
+    "q16": "whitelist",
+    "q17": "OAuth2Provider",
+    "q18": "the and for",
+    "q19": "processing",
+    "q20": "lang:de firewall",
+    "q21": '+retry -"error handling"',
+    "q22": "repository OR repositori",
+    "q23": "migrate endpoint meta",
+    "q24": "data AND (base OR store) -leak",
+    "q25": "snake_case_token",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    from probe_spark.engine import SearchEngine
+
+    path, _metrics = tiny_index
+    return SearchEngine(spark, path)
+
+
+def test_index_build_metrics(tiny_index):
+    _, metrics = tiny_index
+    assert metrics["n_docs"] == 1000
+    assert metrics["n_postings"] > 10000
+    assert metrics["docs_per_sec"] > 0
+    assert metrics["bytes_in"] > 0 and metrics["bytes_out"] > 0
+
+
+def test_index_global_stats(spark, tiny_index, tiny_oracle):
+    path, _ = tiny_index
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats["n_docs"] == tiny_oracle.n_docs
+    assert math.isclose(stats["avgdl"], tiny_oracle.avgdl, rel_tol=1e-12)
+
+
+def test_doc_ids_match_url_rank(spark, tiny_index, tiny_oracle):
+    path, _ = tiny_index
+    rows = (
+        spark.read.parquet(f"{path}/docs")
+        .select("doc_id", "url", "doc_len")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(rows) == tiny_oracle.n_docs
+    for r in rows:
+        d = tiny_oracle.docs[r["doc_id"]]
+        assert d.url == r["url"], f"doc_id {r['doc_id']} url mismatch"
+        assert tiny_oracle.doc_lens[r["doc_id"]] == r["doc_len"]
+
+
+def test_df_matches_oracle(spark, tiny_index, tiny_oracle):
+    path, _ = tiny_index
+    rows = spark.read.parquet(f"{path}/terms").collect()
+    spark_df = {r["term"]: r["df"] for r in rows}
+    assert spark_df == tiny_oracle.df
+
+
+@pytest.mark.parametrize("qid", sorted(QUERIES))
+def test_rank_identity(engine, tiny_oracle, qid):
+    """Engine top-10 must equal the oracle top-10: same doc_ids, same order,
+    f64-identical scores (FIXTURES.md SS5 invariant 3)."""
+    query = QUERIES[qid]
+    expected = oracle_search(tiny_oracle, query, k=10)
+    got = engine.search_local(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], (
+        f"{qid}: docIDs/order mismatch\n got={got}\n exp={expected}"
+    )
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (
+            f"{qid}: score mismatch doc {gd}: {gs} vs {es}"
+        )
+
+
+def test_determinism(engine):
+    a = engine.search_local("error handling retry", k=10)
+    b = engine.search_local("error handling retry", k=10)
+    assert a == b
+
+
+def test_exact_flag(engine, tiny_oracle):
+    expected = oracle_search(tiny_oracle, "error handling", k=10, exact=True)
+    got = engine.search_local("error handling", k=10, exact=True)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_resumability(spark, tmp_path):
+    """Kill after 1 bucket, resume, index equals a clean build
+    (FIXTURES.md SS5 invariant 6)."""
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+
+    pages = pages_df(spark, 200)
+    clean_dir = tmp_path / "clean"
+    build_index(spark, pages, str(clean_dir), n_buckets=3)
+
+    crash_dir = tmp_path / "crash"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, pages, str(crash_dir), n_buckets=3, fail_buckets=frozenset([0])
+        )
+    # resume completes only the missing buckets
+    build_index(spark, pages, str(crash_dir), n_buckets=3, resume=True)
+
+    for table in ("docs", "postings", "terms", "stats"):
+        a = (
+            spark.read.parquet(f"{clean_dir}/{table}")
+            .toPandas()
+            .sort_values(by=lambda_cols(spark, f"{clean_dir}/{table}"))
+            .reset_index(drop=True)
+        )
+        b = (
+            spark.read.parquet(f"{crash_dir}/{table}")
+            .toPandas()
+            .sort_values(by=lambda_cols(spark, f"{crash_dir}/{table}"))
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), f"{table} differs between clean and resumed build"
+
+    # lineage shows one completed row per bucket
+    lin = spark.read.parquet(f"{crash_dir}/lineage")
+    assert lin.select("bucket").distinct().count() == 3
+
+
+def lambda_cols(spark, path):
+    return [
+        c for c in spark.read.parquet(path).columns if c not in ("text",)
+    ]
+
+
+def test_extraction_invariant(spark):
+    """FIXTURES.md SS5 invariant 1: text == extract_text(html) per row,
+    enforced by the build when validate_extraction=True."""
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    import tempfile
+
+    pages = pages_df(spark, 50)
+    with tempfile.TemporaryDirectory() as d:
+        build_index(spark, pages, d, n_buckets=2, validate_extraction=True)
+
+
+def test_tokenize_udf_matches_oracle(spark, tiny_index, tiny_oracle):
+    """FIXTURES.md SS5 invariant 2: Spark-side tokenization == oracle
+    tokenizer, checked via per-doc (doc_len, tf multiset) equality."""
+    path, _ = tiny_index
+    rows = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("doc_id")
+        .agg(
+            {"tf": "sum", "term": "count"},
+        )
+        .collect()
+    )
+    got = {r["doc_id"]: (r["sum(tf)"], r["count(term)"]) for r in rows}
+    for i in range(tiny_oracle.n_docs):
+        toks = tiny_oracle.tokens[i]
+        exp = (len(toks), len(set(toks)))
+        assert got.get(i, (0, 0)) == exp, f"doc {i} token stats mismatch"
