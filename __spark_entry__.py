@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship: full probe-tokenizer BM25 top-10 over the
+                  sf0.001 documents corpus through the real inverted index.
+queries()      -- one entry per implemented operator family (SURVEY.md SS2
+                  labels in the names); each takes (spark, sf_dir).
+oracle_sql()   -- DuckDB-runnable ANSI SQL equivalent for each entry where
+                  the semantics are SQL-expressible.  Entries involving the
+                  full probe tokenizer (stemming/compound splits) have no
+                  SQL oracle; their correctness gate is the pytest
+                  rank-identity suite vs the pure-Python oracle
+                  (tests/test_spark_engine.py).
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+from probe_spark.entry_queries import ALL_QUERIES
+
+_CACHE_ROOT = Path(__file__).resolve().parent / ".cache" / "docidx"
+
+
+def _documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on disk) the inverted index over the documents
+    table of ``sf_dir``; returns the index path."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.indexer import build_index
+
+    key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    ix = _CACHE_ROOT / key
+    if not (ix / "stats").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        build_index(spark, pages, str(ix), n_buckets=4)
+    return str(ix)
+
+
+def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: elastic-query BM25 top-10 through the distributed inverted
+    index with the FULL probe tokenizer (rank-identity vs the pure-Python
+    oracle is pytest-verified; the driver records a rows-only check here
+    because stemming is not SQL-expressible)."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return eng.search("spark AND (merge OR sort)", k=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return probe_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in ALL_QUERIES.items()
+    }
+    out["probe_bm25_topk"] = probe_bm25_topk
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None
+    }

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  1. scaling evidence (north rule): the SAME index-build job over a 20k-doc
+     synthetic fixture corpus at local[8] vs local[N] -- throughput at both
+     plus efficiency = (t8/tN)/(N/8).  Disable with PROBE_BENCH_SCALING=0.
+  2. inverted-index build over the sf documents table (docs/sec).
+  3. query latency: headline elastic queries through the engine (median of
+     3 runs each) + representative pipeline operators.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total query sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "build": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SCALING_DOCS = int(os.environ.get("PROBE_BENCH_SCALING_DOCS", "20000"))
+
+HEADLINE = {
+    "single_term": "spark",
+    "and": "merge AND sort",
+    "implicit_or": "window batch stream",
+    "required": "+spark +join",
+    "excluded": "scan -vector",
+    "exact_phrase": '"join scan"',
+    "nested_bool": "(merge OR sort) AND spark",
+    "field_filter": "lang:de spark",
+}
+
+
+def _fresh_spark(cores: int | str):
+    from probe_spark.session import get_spark
+
+    s = get_spark("probe_bench", cores=cores)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _scaling_build(cores: int, out_dir: str) -> float:
+    """The scaling job: generate + tokenize + index SCALING_DOCS fixture
+    pages.  Returns wall seconds (cold session each time for fairness)."""
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+
+    spark = _fresh_spark(cores)
+    try:
+        t0 = time.time()
+        build_index(
+            spark, pages_df(spark, SCALING_DOCS), out_dir, n_buckets=4
+        )
+        return time.time() - t0
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    tmp = tempfile.mkdtemp(prefix="probe_bench_")
+    result: dict = {
+        "metric": "index-build docs/sec + query latency (BM25 inverted index)",
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+    }
+
+    # 1. scaling evidence: same job, two parallelism levels
+    if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
+        t_lo = _scaling_build(8, f"{tmp}/scale8")
+        t_hi = _scaling_build(cpus, f"{tmp}/scaleN")
+        speedup = t_lo / t_hi
+        result["scaling"] = {
+            "job": f"index-build {SCALING_DOCS} synthetic pages",
+            "cores_lo": 8,
+            "cores_hi": cpus,
+            "sec_lo": round(t_lo, 2),
+            "sec_hi": round(t_hi, 2),
+            "docs_per_sec_lo": round(SCALING_DOCS / t_lo, 1),
+            "docs_per_sec_hi": round(SCALING_DOCS / t_hi, 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (cpus / 8), 3),
+        }
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.indexer import build_index
+    from pyspark.sql import functions as F
+
+    spark = _fresh_spark(cpus)
+
+    # 2. index build over the sf documents table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    t0 = time.time()
+    metrics = build_index(spark, pages, f"{tmp}/ix", n_buckets=4)
+    build_sec = time.time() - t0
+    result["build"] = {
+        "n_docs": metrics["n_docs"],
+        "n_postings": metrics["n_postings"],
+        "sec": round(build_sec, 2),
+        "docs_per_sec": round(metrics["n_docs"] / build_sec, 1),
+        "postings_per_sec": round(metrics["n_postings"] / build_sec, 1),
+        "bytes_out": metrics["bytes_out"],
+    }
+
+    # 3. query latency (median of 3 per query, warm engine)
+    eng = SearchEngine(spark, f"{tmp}/ix")
+    # warm-up: codegen/JIT for both the postings path and the doc-store
+    # text-scan path (first string-contains scan pays a one-time JIT cost)
+    eng.search_local("spark", 10)
+    eng.search_local('"warmup phrase"', 10)
+    queries: dict[str, float] = {}
+    for name, q in HEADLINE.items():
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            eng.search_local(q, 10)
+            ts.append(time.time() - t0)
+        queries[name] = round(statistics.median(ts), 3)
+
+    # pipeline operators (single run each)
+    from probe_spark.entry_queries import (
+        dedup_minhash,
+        r1_bm25_topk,
+        sim_cosine_topk,
+        text_quality,
+    )
+
+    for name, fn in [
+        ("op_bm25_simple", r1_bm25_topk),
+        ("op_dedup_minhash", dedup_minhash),
+        ("op_sim_cosine", sim_cosine_topk),
+        ("op_text_quality", text_quality),
+    ]:
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

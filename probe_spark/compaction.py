@@ -1,0 +1,147 @@
+"""Index compaction: flat postings -> compressed block-max posting blocks.
+
+Stage 3 of the build plan (SURVEY.md SS7.4).  Each (term, segment) group --
+segment = doc_id >> SEG_BITS, i.e. an aligned range of 8192 docs -- is
+encoded into blocks of <= POSTING_BLOCK_SIZE docs:
+
+  blocks(term, seg, block_id, n, first_doc, max_doc, max_tf, ub,
+         docs binary, tfs binary, dls binary)
+
+``ub`` is the block-max BM25 upper bound: idf(term) * max over the block of
+tf_part(tf, dl) with the index's global stats -- the WAND pruning metadata
+(plays the role of the reference's SIMD prefilter + early termination,
+SURVEY.md R4/R6).
+
+Scale/skew notes:
+  * the group key (term, seg) IS the salt: a hot term's postings form many
+    independent bounded groups (<= 8192 docs each), so no single task owns
+    a head term (north-rule skew handling);
+  * doc-aligned segments mean all terms' postings for one doc share a seg,
+    which lets the query side score a segment densely and prune whole
+    segments by their summed upper bound (wand.py).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from probe_spark.config import DEFAULT_BM25, POSTING_BLOCK_SIZE, BM25Params
+
+SEG_BITS = 13
+SEG_SIZE = 1 << SEG_BITS
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("seg", LongType()),
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("max_doc", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("ub", DoubleType()),
+        StructField("docs", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),
+    ]
+)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    params: BM25Params = DEFAULT_BM25,
+) -> dict:
+    """Build the ``blocks`` table from the flat postings.  Idempotent
+    overwrite; returns size metrics."""
+    out = Path(index_dir)
+    stats = spark.read.parquet(str(out / "stats")).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    k1, b = params.k1, params.b
+
+    postings = spark.read.parquet(str(out / "postings")).select(
+        "term", "doc_id", "tf", "doc_len"
+    )
+    terms = spark.read.parquet(str(out / "terms")).select("term", "df")
+    joined = postings.join(terms, "term").withColumn(
+        "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
+    )
+
+    def encode_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from probe_spark.codec import encode_doc_block, varbyte_encode
+
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        seg = int(pdf["seg"].iloc[0])
+        df_t = int(pdf["df"].iloc[0])
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) if df_t else 0.0
+        doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        tf = pdf["tf"].to_numpy(dtype=np.uint64)
+        dl = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        rows = []
+        for i in range(0, len(doc), POSTING_BLOCK_SIZE):
+            d, t, l = (
+                doc[i : i + POSTING_BLOCK_SIZE],
+                tf[i : i + POSTING_BLOCK_SIZE],
+                dl[i : i + POSTING_BLOCK_SIZE],
+            )
+            tff = t.astype(np.float64)
+            if avgdl > 0:
+                tp = (tff * (k1 + 1.0)) / (
+                    tff + k1 * (1.0 - b + b * (l.astype(np.float64) / avgdl))
+                )
+                ub = float(idf * tp.max())
+            else:
+                ub = 0.0
+            rows.append(
+                {
+                    "term": term,
+                    "seg": seg,
+                    "block_id": i // POSTING_BLOCK_SIZE,
+                    "n": len(d),
+                    "first_doc": int(d[0]),
+                    "max_doc": int(d[-1]),
+                    "max_tf": int(t.max()),
+                    "ub": ub,
+                    "docs": encode_doc_block(d),
+                    "tfs": varbyte_encode(t),
+                    "dls": varbyte_encode(l),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    blocks = joined.groupBy("term", "seg").applyInPandas(
+        encode_group, BLOCKS_SCHEMA
+    )
+    (
+        blocks.repartitionByRange(
+            max(2, spark.sparkContext.defaultParallelism // 2), "term", "seg"
+        )
+        .sortWithinPartitions("term", "seg", "block_id")
+        .write.mode("overwrite")
+        .parquet(str(out / "blocks"))
+    )
+
+    def _bytes(p: Path) -> int:
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    return {
+        "flat_bytes": _bytes(out / "postings"),
+        "blocks_bytes": _bytes(out / "blocks"),
+    }

@@ -1,0 +1,736 @@
+"""Driver-contract query suite: one entry per operator family.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+string that DuckDB runs on the same parquet tables (see __spark_entry__.py).
+Where the full probe tokenizer is involved (stemming, compound splits) SQL
+cannot express the semantics; those entries omit the oracle and are covered
+instead by the pytest rank-identity suite against the pure-Python oracle
+(tests/test_spark_engine.py).
+
+SQL-checked entries use a *shared simple tokenizer* -- split on single
+spaces -- which is exact for the synthetic ``documents`` table (lowercase,
+single-spaced, no punctuation).  That isolates the verification of the
+TF/DF/IDF/BM25/boolean MATH from the verification of tokenization, which has
+its own parity suite (tests/test_textkit.py).
+
+Floating-point outputs are rounded to 6 decimals on BOTH sides so the
+driver's value-hash compare is robust to summation-order ulp differences.
+
+Operator labels reference SURVEY.md SS2 (e.g. A1 = per-doc TF, R1 = BM25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# fixed demo query terms present in the documents vocabulary
+TERMS2 = ("spark", "join")
+TERMS3 = ("spark", "join", "window")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """Simple tokenizer: one row per token occurrence (term order lost --
+    only multiset semantics are used downstream)."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+_SQL_TOKENS = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Search-core aggregations (SURVEY.md SS2.6) -- SQL-checked
+# ---------------------------------------------------------------------------
+
+
+def a1_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-doc term frequency for fixed query terms (ranking.rs:692-731)."""
+    toks = _tokens(_docs(spark, sf_dir))
+    return (
+        toks.filter(F.col("term").isin(list(TERMS3)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+A1_SQL = f"""
+WITH tok AS ({_SQL_TOKENS})
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM tok WHERE term IN {TERMS3!r} GROUP BY doc_id, term
+"""
+
+
+def a2_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: document frequency per term (ranking.rs:746-768)."""
+    toks = _tokens(_docs(spark, sf_dir))
+    return toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+A2_SQL = f"""
+WITH tok AS ({_SQL_TOKENS})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+"""
+
+
+def a3_doc_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: token count per doc (ranking.rs:729,735)."""
+    toks = _tokens(_docs(spark, sf_dir))
+    return toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+
+
+A3_SQL = f"""
+WITH tok AS ({_SQL_TOKENS})
+SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY doc_id
+"""
+
+
+def a4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: corpus stats N + avgdl (compute_avgdl, ranking.rs:64-72)."""
+    dl = a3_doc_len(spark, sf_dir)
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+    )
+
+
+A4_SQL = f"""
+WITH tok AS ({_SQL_TOKENS}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY doc_id)
+SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl FROM dl
+"""
+
+
+def a5_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: IDF = ln(1 + (N - df + 0.5)/(df + 0.5)) (ranking.rs:117-146)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = _tokens(docs)
+    df = (
+        toks.filter(F.col("term").isin(list(TERMS3)))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df.select(
+        "term",
+        "df",
+        F.round(
+            F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            6,
+        ).alias("idf"),
+    )
+
+
+A5_SQL = f"""
+WITH tok AS ({_SQL_TOKENS}),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+       WHERE term IN {TERMS3!r} GROUP BY term)
+SELECT term, df, round(ln(1 + (n.n - df + 0.5)/(df + 0.5)), 6) AS idf
+FROM df, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking (SURVEY.md SS2.7) -- SQL-checked with the simple tokenizer
+# ---------------------------------------------------------------------------
+
+_BM25_CTE = f"""
+WITH tok AS ({_SQL_TOKENS}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN {{terms}} GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * ({BM25_K1} + 1))
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+         ) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id)
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfp = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn("term_score", idf * tfp)
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def r1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R3: BM25 top-10 for the OR-bag query {terms}, global stats,
+    tie-break (score desc, doc_id asc) (ranking.rs:186-276,408-420)."""
+    sc = _bm25_scores(spark, sf_dir, TERMS2)
+    return (
+        sc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+R1_SQL = (
+    _BM25_CTE.format(terms=repr(TERMS2))
+    + "SELECT doc_id, round(score, 6) AS score FROM sc "
+    "ORDER BY score DESC, doc_id ASC LIMIT 10"
+)
+
+
+def r2_boolean_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: boolean expression scoring '+spark +join -window': required terms
+    must match, excluded term drops the doc, score = sum of required-term
+    BM25 (ranking.rs:228-276)."""
+    sc = _bm25_scores(spark, sf_dir, TERMS2)
+    toks = _tokens(_docs(spark, sf_dir))
+    has_both = (
+        toks.filter(F.col("term").isin(list(TERMS2)))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 2)
+        .select("doc_id")
+    )
+    has_window = toks.filter(F.col("term") == "window").select("doc_id").distinct()
+    return (
+        sc.join(has_both, "doc_id", "leftsemi")
+        .join(has_window, "doc_id", "leftanti")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+R2_SQL = (
+    _BM25_CTE.format(terms=repr(TERMS2))
+    + f"""
+, req AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+exc AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+SELECT sc.doc_id, round(sc.score, 6) AS score
+FROM sc JOIN req USING (doc_id)
+WHERE sc.doc_id NOT IN (SELECT doc_id FROM exc)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Boolean set operations (SURVEY.md SS2.8-2.9) -- SQL-checked
+# ---------------------------------------------------------------------------
+
+
+def u3_posting_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/J3: AND = posting-list intersection via semi-joins
+    (simd_ranking.rs:129-171)."""
+    toks = _tokens(_docs(spark, sf_dir)).distinct()
+    a = toks.filter(F.col("term") == TERMS2[0]).select("doc_id")
+    b = toks.filter(F.col("term") == TERMS2[1]).select("doc_id")
+    return a.join(b, "doc_id", "leftsemi")
+
+
+U3_SQL = f"""
+WITH tok AS ({_SQL_TOKENS})
+SELECT DISTINCT doc_id FROM tok WHERE term = '{TERMS2[0]}'
+INTERSECT
+SELECT DISTINCT doc_id FROM tok WHERE term = '{TERMS2[1]}'
+"""
+
+
+def j4_exclusion_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: NOT = anti-join on the excluded term's postings
+    (ranking.rs:239-245)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    toks = _tokens(_docs(spark, sf_dir))
+    has = toks.filter(F.col("term") == "vector").select("doc_id").distinct()
+    return docs.join(has, "doc_id", "leftanti")
+
+
+J4_SQL = f"""
+WITH tok AS ({_SQL_TOKENS})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'vector')
+"""
+
+
+def f1_field_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3: lang: field filter + term match (filters.rs:98-368)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs.filter(F.col("lang") == "de"))
+    hits = toks.filter(F.col("term") == TERMS2[0]).select("doc_id").distinct()
+    return docs.join(hits, "doc_id", "leftsemi").select("doc_id", "lang")
+
+
+F1_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE lang = 'de')
+SELECT DISTINCT d.doc_id, d.lang FROM documents d
+JOIN tok t ON d.doc_id = t.doc_id AND t.term = '{TERMS2[0]}'
+"""
+
+
+def s5_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: grep mode -- regex match count per lang (grep.rs:13-29)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("text").rlike("(join|merge) (scan|sort)"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+
+S5_SQL = """
+SELECT lang, count(*)::BIGINT AS matches FROM documents
+WHERE regexp_matches(text, '(join|merge) (scan|sort)')
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication operators (training-data pipeline) -- SQL-checked
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) group; keeps the min doc_id as canonical,
+    reports group size per hash."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS canonical_doc_id,
+       count(*)::BIGINT AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES_SPARK_N = 3
+
+
+def _shingles(docs: DataFrame, n: int = _SHINGLES_SPARK_N) -> DataFrame:
+    """Word n-gram shingles via posexplode + self-join-free window-less
+    construction: slice the token array."""
+    arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    idx = arr.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+        "w",
+    )
+    return idx.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("shingle"),
+    ).distinct()
+
+
+_SQL_SHINGLES = f"""
+SELECT DISTINCT doc_id, array_to_string(w[i:i+{_SHINGLES_SPARK_N - 1}], ' ') AS shingle
+FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SHINGLES_SPARK_N} + 2)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes) + one LSH band bucket per doc:
+    minhash_s = lexicographic min of md5(seed || shingle)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(4)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        *[F.substring(f"mh{s}", 1, 8).alias(f"mh{s}") for s in range(4)],
+        F.substring(F.md5(F.concat(F.col("mh0"), F.col("mh1"))), 1, 8).alias(
+            "band0"
+        ),
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+        FROM sh GROUP BY doc_id)
+SELECT doc_id, substr(mh0,1,8) AS mh0, substr(mh1,1,8) AS mh1,
+       substr(mh2,1,8) AS mh2, substr(mh3,1,8) AS mh3,
+       substr(md5(mh0 || mh1),1,8) AS band0
+FROM sig
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit, distinct-term weighted): per-bit majority vote over
+    term hashes; hash = first 15 hex chars of md5(term) as int."""
+    toks = _tokens(_docs(spark, sf_dir)).distinct()
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    bits = toks.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+    )
+    vote = bits.withColumn(
+        "v",
+        F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1),
+    )
+    bysum = vote.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return bysum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_SQL_TOKENS})),
+hv AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h
+       FROM tok),
+bits AS (SELECT doc_id, h, unnest(range(60)) AS b FROM hv),
+vote AS (SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM vote GROUP BY doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs: candidate pairs share a shingle,
+    jaccard = |A inter B| / |A union B|, threshold 0.5."""
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings -- SQL-checked
+# ---------------------------------------------------------------------------
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id = 0 (the baseline ANN
+    path; F.aggregate/zip_with keeps the dot product JVM-side)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qn2 = F.aggregate(
+        F.transform("q", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        joined.select(
+            "vec_id",
+            F.round(dot / (F.sqrt(n2) * F.sqrt(qn2)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SIM_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+       round(list_dot_product(ev, qe)
+             / (sqrt(list_dot_product(ev, ev))
+                * sqrt(list_dot_product(qe, qe))), 6) AS cos
+FROM e, q
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (8 deterministic integer hyperplanes):
+    bucket = 8 sign bits; the scale path for ANN (bucket-join instead of
+    brute force)."""
+    emb = _emb(spark, sf_dir)
+    planes = spark.range(8).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    pw = planes.crossJoin(dims).withColumn(
+        "w", ((F.col("i") * 31 + F.col("p") * 17) % 7 - 3).cast("double")
+    )
+    ed = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "v"),
+    )
+    proj = (
+        ed.join(pw, "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("s"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+SIM_LSH_SQL = """
+WITH pw AS (SELECT p, i, ((i * 31 + p * 17) % 7 - 3)::DOUBLE AS w
+            FROM (SELECT unnest(range(8))::INT AS p),
+                 (SELECT unnest(range(64))::INT AS i)),
+ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+              unnest(embedding) AS v
+       FROM embeddings),
+proj AS (SELECT vec_id, p, sum(v::DOUBLE * w) AS s
+         FROM ed JOIN pw USING (i) GROUP BY vec_id, p)
+SELECT vec_id, sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline) -- SQL-checked
+# ---------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word-ish tokens."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS re_tokens
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, type-token ratio, mean word length,
+    stopword ratio (en stoplist sample)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    stop = F.array(*[F.lit(x) for x in ("the", "a", "of", "and")])
+    n = F.size(w).cast("double")
+    uniq = F.size(F.array_distinct(w)).cast("double")
+    stop_n = F.size(
+        F.filter(w, lambda x: F.array_contains(stop, x))
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(uniq / n, 6).alias("ttr"),
+        F.round((F.length("text") - (n - 1)) / n, 6).alias("mean_word_len"),
+        F.round(stop_n / n, 6).alias("stopword_ratio"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' '))::DOUBLE, 6) AS ttr,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' '))::DOUBLE, 6) AS mean_word_len,
+       round(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and')))
+             / len(string_split(text, ' '))::DOUBLE, 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-list voting) + confusion vs the
+    labeled lang column."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    en = F.size(F.filter(w, lambda x: x.isin("the", "a"))).cast("long")
+    pred = F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    return (
+        docs.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+LANGID_SQL = """
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the', 'a'))) > 0
+            THEN 'en' ELSE 'unknown' END AS pred,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash shingle fingerprint + shingle
+    cardinality (winnowing-lite)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    return sh.groupBy("doc_id").agg(
+        F.substring(F.min(F.md5("shingle")), 1, 16).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT doc_id, substr(min(md5(shingle)), 1, 16) AS fingerprint,
+       count(*)::BIGINT AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
+# ---------------------------------------------------------------------------
+
+
+def probe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats using the FULL probe tokenizer pipeline
+    (tokenization.rs:2728-2850) as an Arrow UDF.  SQL cannot express the
+    stemming/compound semantics; parity is pytest-verified
+    (tests/test_textkit.py, tests/test_spark_engine.py)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_unique", LongType()),
+        ]
+    )
+
+    def run(iterator):
+        import pandas as pd
+
+        from probe_spark.textkit import tokenize
+
+        for pdf in iterator:
+            toks = [tokenize(t or "") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [len(t) for t in toks],
+                    "n_unique": [len(set(t)) for t in toks],
+                }
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+ALL_QUERIES: dict[str, tuple] = {
+    "a1_term_tf": (a1_term_tf, A1_SQL),
+    "a2_df": (a2_df, A2_SQL),
+    "a3_doc_len": (a3_doc_len, A3_SQL),
+    "a4_stats": (a4_stats, A4_SQL),
+    "a5_idf": (a5_idf, A5_SQL),
+    "r1_bm25_topk": (r1_bm25_topk, R1_SQL),
+    "r2_boolean_bm25": (r2_boolean_bm25, R2_SQL),
+    "u3_posting_intersection": (u3_posting_intersection, U3_SQL),
+    "j4_exclusion_antijoin": (j4_exclusion_antijoin, J4_SQL),
+    "f1_field_filter": (f1_field_filter, F1_SQL),
+    "s5_grep": (s5_grep, S5_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
+    "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
+    "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "text_langid": (text_langid, LANGID_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "probe_tokenize_stats": (probe_tokenize_stats, None),
+}

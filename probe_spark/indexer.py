@@ -244,10 +244,10 @@ def build_index(
         rows.persist()
         docs_dir = out / "docs" / f"bucket={b}"
         postings_dir = out / "postings" / f"bucket={b}"
-        docs_b = rows.filter(F.col("term").isNull()).select(
-            "doc_id", "url", "doc_len", "lang", "text"
-        )
-        docs_b.write.mode("overwrite").parquet(str(docs_dir))
+        # postings first: the range-partition sampling materializes the
+        # persisted tokenization at full parallelism, so the coalesced
+        # doc-store write below reads from cache instead of throttling
+        # tokenization down to its few write tasks
         postings_b = (
             rows.filter(F.col("term").isNotNull())
             .select("term", "doc_id", "tf", "doc_len")
@@ -259,6 +259,10 @@ def build_index(
             .sortWithinPartitions("term", "doc_id")
         )
         postings_b.write.mode("overwrite").parquet(str(postings_dir))
+        docs_b = rows.filter(F.col("term").isNull()).select(
+            "doc_id", "url", "doc_len", "lang", "text"
+        )
+        docs_b.coalesce(4).write.mode("overwrite").parquet(str(docs_dir))
         n_docs = docs_b.count()
         n_postings = rows.filter(F.col("term").isNotNull()).count()
         rows.unpersist()
