@@ -236,7 +236,7 @@ class SearchEngine:
         idfs = {t: oracle.idf(self.n_docs, dfs.get(t, 0)) for t in plan.term_indices}
 
         if _is_disjunctive_bag(plan):
-            scored = self._score_disjunctive(cand, idfs)
+            scored = self._score_disjunctive(cand, plan, idfs)
         else:
             scored = self._score_general(cand, plan, idfs)
 
@@ -258,12 +258,28 @@ class SearchEngine:
         )
 
     def _score_disjunctive(
-        self, cand: DataFrame, idfs: dict[str, float]
+        self, cand: DataFrame, plan: QueryPlan, idfs: dict[str, float]
     ) -> DataFrame:
-        """Pure-Column BM25 sum: stays inside whole-stage codegen."""
+        """Pure-Column BM25 sum, whole-stage codegen.
+
+        Doubles are summed in the SAME order as the oracle (AST keyword
+        order) via sort-by-position + sequential F.aggregate -- a plain
+        F.sum adds in shuffle-arrival order, which is nondeterministic in
+        the last ulp and can flip near-tied ranks between runs."""
         p = self.params
+        kw_pos = {
+            kw: i
+            for i, kw in enumerate(
+                kw
+                for t in walk_terms(plan.ast)
+                for kw in t.lowercase_keywords
+            )
+        }
         idf_map = F.create_map(
             *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
+        )
+        pos_map = F.create_map(
+            *[x for t, v in sorted(kw_pos.items()) for x in (F.lit(t), F.lit(v))]
         )
         tf = F.col("tf").cast("double")
         tf_part = (tf * F.lit(p.k1 + 1.0)) / (
@@ -274,12 +290,22 @@ class SearchEngine:
                 + F.lit(p.b) * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
             )
         )
-        return (
+        arr = (
             cand.withColumn("term_score", idf_map[F.col("term")] * tf_part)
+            .withColumn("pos", pos_map[F.col("term")])
             .groupBy("doc_id")
-            .agg(F.sum("term_score").alias("score"))
-            .filter(F.col("score") > 0.0)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "term_score"))
+                ).alias("arr")
+            )
         )
+        return arr.select(
+            "doc_id",
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, s: acc + s["term_score"]
+            ).alias("score"),
+        ).filter(F.col("score") > 0.0)
 
     def _score_general(
         self, cand: DataFrame, plan: QueryPlan, idfs: dict[str, float]

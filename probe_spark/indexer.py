@@ -112,61 +112,72 @@ def _tokenize_partition(iterator):
 def _assign_doc_ids(
     spark: SparkSession, pages: DataFrame, n_buckets: int
 ) -> tuple[DataFrame, list[dict]]:
-    """Phase A: doc_id = global url rank via range partition + offsets."""
-    ranged = pages.repartitionByRange(n_buckets, "url").withColumn(
-        "bucket", F.spark_partition_id()
+    """Phase A: doc_id = global url rank via range partition + offsets.
+
+    Parallelism is decoupled from the bucket count: url-range partition
+    into P >= n_buckets slices (P = cluster parallelism), rank within each
+    slice, add per-slice offsets.  Contiguous slices map onto buckets
+    (range partitions are ascending in url), so bucket = pid*B//P is a
+    deterministic url-range bucketing."""
+    par = max(n_buckets, spark.sparkContext.defaultParallelism)
+    ranged = pages.repartitionByRange(par, "url").withColumn(
+        "pid", F.spark_partition_id()
     )
     # persist so the count job and the write job see the SAME range
     # boundaries (range partitioning samples; recomputation could re-sample)
     ranged.persist()
-    counts = (
-        ranged.groupBy("bucket").count().orderBy("bucket").collect()
-    )
+    counts = ranged.groupBy("pid").count().orderBy("pid").collect()
     offsets: dict[int, int] = {}
     acc = 0
     bucket_meta = []
     for row in counts:
-        offsets[row["bucket"]] = acc
-        bucket_meta.append({"bucket": row["bucket"], "count": row["count"], "offset": acc})
+        pid = row["pid"]
+        offsets[pid] = acc
+        bucket_meta.append(
+            {
+                "pid": pid,
+                "bucket": pid * n_buckets // par,
+                "count": row["count"],
+                "offset": acc,
+            }
+        )
         acc += row["count"]
     offset_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], ["bucket", "offset"]
+        [(p, o) for p, o in offsets.items()], ["pid", "offset"]
     )
-    w = Window.partitionBy("bucket").orderBy("url")
+    w = Window.partitionBy("pid").orderBy("url")
     indexed = (
-        ranged.withColumn("rank_in_bucket", F.row_number().over(w) - 1)
-        .join(F.broadcast(offset_df), "bucket")
-        .withColumn("doc_id", F.col("offset") + F.col("rank_in_bucket"))
-        .drop("rank_in_bucket", "offset")
+        ranged.withColumn("rank_in_pid", F.row_number().over(w) - 1)
+        .join(F.broadcast(offset_df), "pid")
+        .withColumn("doc_id", F.col("offset") + F.col("rank_in_pid"))
+        .withColumn(
+            "bucket",
+            (F.col("pid") * F.lit(n_buckets) / F.lit(par)).cast("int"),
+        )
+        .drop("rank_in_pid", "offset", "pid")
     )
     return indexed, bucket_meta, ranged
 
 
-def _read_lineage(spark: SparkSession, index_dir: str) -> set[int]:
+def _read_lineage(index_dir: str) -> dict[int, dict]:
+    """Lineage is per-bucket JSON checkpoint files (driver-side metadata,
+    one tiny file per bucket -- no Spark jobs; on a real deployment this is
+    the Iceberg snapshot/commit log)."""
     p = Path(index_dir) / "lineage"
-    if not p.exists() or not any(p.glob("*.parquet")):
-        return set()
-    rows = spark.read.parquet(str(p)).select("bucket").distinct().collect()
-    return {r["bucket"] for r in rows}
+    out: dict[int, dict] = {}
+    if p.exists():
+        for f in sorted(p.glob("bucket_*.json")):
+            row = json.loads(f.read_text())
+            out[int(row["bucket"])] = row
+    return out
 
 
-def _append_lineage(spark: SparkSession, index_dir: str, row: dict) -> None:
-    df = spark.createDataFrame(
-        [
-            (
-                row["bucket"],
-                row["n_docs"],
-                row["n_postings"],
-                row["bytes_in"],
-                row["bytes_out"],
-                row["wall_ms"],
-                row["finished_ts"],
-            )
-        ],
-        "bucket int, n_docs long, n_postings long, bytes_in long, "
-        "bytes_out long, wall_ms long, finished_ts string",
-    )
-    df.coalesce(1).write.mode("append").parquet(str(Path(index_dir) / "lineage"))
+def _append_lineage(index_dir: str, row: dict) -> None:
+    p = Path(index_dir) / "lineage"
+    p.mkdir(parents=True, exist_ok=True)
+    tmp = p / f".bucket_{row['bucket']}.json.tmp"
+    tmp.write_text(json.dumps(row))
+    tmp.rename(p / f"bucket_{row['bucket']}.json")  # atomic commit
 
 
 def _dir_bytes(path: Path) -> int:
@@ -210,7 +221,10 @@ def build_index(
                 raise ValueError(
                     f"{bad} rows violate the text == extract_text(html) invariant"
                 )
-        # Phase A: ingest snapshot with doc ids
+        # Phase A: ingest snapshot with doc ids.  Only the columns the
+        # index needs travel through the shuffle (html, once validated,
+        # stays behind -- at web scale it dominates the bytes).
+        pages = pages.select("url", "text", "lang")
         indexed, bucket_meta, ranged = _assign_doc_ids(spark, pages, n_buckets)
         (
             indexed.select("doc_id", "url", "lang", "text", "bucket")
@@ -226,19 +240,36 @@ def build_index(
         }
         manifest_path.write_text(json.dumps(manifest, indent=1))
 
-    done = _read_lineage(spark, index_dir) if resume else set()
+    done = set(_read_lineage(index_dir)) if resume else set()
 
-    # Phase B: per-bucket tokenize + write (resumable unit)
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    from pyspark.sql import Observation
+
+    # Phase B: per-bucket tokenize + write (resumable unit).  Buckets are
+    # independent jobs; submit them from driver threads so Spark's
+    # scheduler interleaves their tasks and keeps all cores busy across
+    # the per-bucket barriers (standard concurrent-jobs pattern).
+    def _build_bucket(b: int) -> None:
         t0 = time.time()
+        if not (pages_indexed_dir / f"bucket={b}").exists():
+            # empty url range (tiny inputs): commit an empty checkpoint
+            _append_lineage(
+                index_dir,
+                {
+                    "bucket": b, "n_docs": 0, "n_postings": 0,
+                    "bytes_in": 0, "bytes_out": 0, "wall_ms": 0,
+                    "finished_ts": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+            )
+            return
         bucket_pages = (
             spark.read.parquet(str(pages_indexed_dir / f"bucket={b}"))
             .select("doc_id", "url", "lang", "text")
-            # each bucket lands as ~1 file from the phase-A shuffle; spread
-            # tokenization across all cores (round-robin, no key needed)
-            .repartition(spark.sparkContext.defaultParallelism)
+            # each bucket lands as few files from the phase-A shuffle;
+            # spread tokenization across all cores with 2x task granularity
+            # so stragglers even out (round-robin, no key needed)
+            .repartition(spark.sparkContext.defaultParallelism * 2)
         )
         rows = bucket_pages.mapInPandas(_tokenize_partition, TOKENS_SCHEMA)
         rows.persist()
@@ -247,7 +278,9 @@ def build_index(
         # postings first: the range-partition sampling materializes the
         # persisted tokenization at full parallelism, so the coalesced
         # doc-store write below reads from cache instead of throttling
-        # tokenization down to its few write tasks
+        # tokenization down to its few write tasks.  Row counts ride the
+        # write actions as Observations -- no separate count jobs.
+        obs_p = Observation()
         postings_b = (
             rows.filter(F.col("term").isNotNull())
             .select("term", "doc_id", "tf", "doc_len")
@@ -257,18 +290,23 @@ def build_index(
                 "doc_id",
             )
             .sortWithinPartitions("term", "doc_id")
+            # observe ABOVE the range exchange: the partitioner's sampling
+            # pass re-executes nodes below it and would double the count
+            .observe(obs_p, F.count(F.lit(1)).alias("n"))
         )
         postings_b.write.mode("overwrite").parquet(str(postings_dir))
-        docs_b = rows.filter(F.col("term").isNull()).select(
-            "doc_id", "url", "doc_len", "lang", "text"
+        obs_d = Observation()
+        docs_b = (
+            rows.filter(F.col("term").isNull())
+            .select("doc_id", "url", "doc_len", "lang", "text")
+            .observe(obs_d, F.count(F.lit(1)).alias("n"))
         )
         docs_b.coalesce(4).write.mode("overwrite").parquet(str(docs_dir))
-        n_docs = docs_b.count()
-        n_postings = rows.filter(F.col("term").isNotNull()).count()
+        n_postings = int(obs_p.get["n"])
+        n_docs = int(obs_d.get["n"])
         rows.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         _append_lineage(
-            spark,
             index_dir,
             {
                 "bucket": b,
@@ -285,6 +323,18 @@ def build_index(
         if b in fail_buckets:
             raise RuntimeError(f"injected failure after bucket {b}")
 
+    todo = [b for b in range(n_buckets) if b not in done]
+    if fail_buckets:
+        # deterministic failure injection needs sequential order
+        for b in todo:
+            _build_bucket(b)
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(todo), 4)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_build_bucket, todo))
+
     # Phase C: finalize global aggregates (idempotent overwrite)
     postings = spark.read.parquet(str(out / "postings"))
     terms = postings.groupBy("term").agg(
@@ -297,21 +347,14 @@ def build_index(
     )
     stats.write.mode("overwrite").parquet(str(out / "stats"))
 
-    lineage = spark.read.parquet(str(out / "lineage"))
-    agg = lineage.agg(
-        F.sum("n_docs").alias("docs"),
-        F.sum("n_postings").alias("postings"),
-        F.sum("bytes_in").alias("bytes_in"),
-        F.sum("bytes_out").alias("bytes_out"),
-        F.sum("wall_ms").alias("wall_ms"),
-    ).collect()[0]
-    wall_s = max(agg["wall_ms"], 1) / 1000.0
+    lineage = _read_lineage(index_dir)
+    tot = {
+        k: sum(r[k] for r in lineage.values())
+        for k in ("n_docs", "n_postings", "bytes_in", "bytes_out", "wall_ms")
+    }
+    wall_s = max(tot["wall_ms"], 1) / 1000.0
     return {
-        "n_docs": agg["docs"],
-        "n_postings": agg["postings"],
-        "bytes_in": agg["bytes_in"],
-        "bytes_out": agg["bytes_out"],
-        "wall_ms": agg["wall_ms"],
-        "docs_per_sec": agg["docs"] / wall_s,
-        "postings_per_sec": agg["postings"] / wall_s,
+        **tot,
+        "docs_per_sec": tot["n_docs"] / wall_s,
+        "postings_per_sec": tot["n_postings"] / wall_s,
     }

@@ -21,6 +21,12 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("PROBE_SPARK_SHUFFLE_PARTITIONS", "32")
     )
+    # shuffle spill on tmpfs when available: this sandbox has one slow
+    # shared virtio disk whose writeback saturates under parallel shuffle
+    # writes (a real cluster has per-executor local disks)
+    local_dir = os.environ.get("PROBE_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -29,8 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("PROBE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("PROBE_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.local.dir", local_dir or "/tmp")
         .getOrCreate()
     )

@@ -81,10 +81,16 @@ class WandEngine:
         }
 
     def _score_segs(
-        self, blocks: DataFrame, idfs: dict[str, float], k: int
+        self,
+        blocks: DataFrame,
+        idfs: dict[str, float],
+        k: int,
+        term_pos: dict[str, int],
     ) -> DataFrame:
         """Per-seg dense scoring: decode blocks, accumulate BM25 into a
-        seg-local array, emit the seg's top-k (score desc, doc_id asc)."""
+        seg-local array, emit the seg's top-k (score desc, doc_id asc).
+        Terms accumulate in AST keyword order (term_pos) so double sums
+        match the oracle bit-for-bit."""
         params = self.params
         avgdl = self.avgdl
 
@@ -94,6 +100,9 @@ class WandEngine:
 
             from probe_spark.codec import decode_doc_block, varbyte_decode
 
+            pdf = pdf.assign(_pos=pdf["term"].map(term_pos)).sort_values(
+                ["_pos", "block_id"]
+            )
             seg = int(pdf["seg"].iloc[0])
             base = seg << SEG_BITS
             acc = np.zeros(SEG_SIZE, dtype=np.float64)
@@ -137,6 +146,14 @@ class WandEngine:
         if not terms:
             return []
         idfs = self._idfs(terms)
+        term_pos = {
+            kw: i
+            for i, kw in enumerate(
+                kw
+                for t in elastic.walk_terms(plan.ast)
+                for kw in t.lowercase_keywords
+            )
+        }
 
         blocks = self.spark.read.parquet(self._blocks_path).filter(
             F.col("term").isin(terms)
@@ -160,7 +177,7 @@ class WandEngine:
                 return []
             p1 = (
                 self._score_segs(
-                    blocks.filter(F.col("seg").isin(top_segs)), idfs, k
+                    blocks.filter(F.col("seg").isin(top_segs)), idfs, k, term_pos
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
@@ -175,7 +192,7 @@ class WandEngine:
             ).select("seg")
             p2 = (
                 self._score_segs(
-                    blocks.join(rest, "seg", "leftsemi"), idfs, k
+                    blocks.join(rest, "seg", "leftsemi"), idfs, k, term_pos
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
