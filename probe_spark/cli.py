@@ -1,0 +1,135 @@
+"""spark-submit entry point.
+
+Usage (also works with plain ``python -m probe_spark.cli``):
+
+  # package the library for executors, then:
+  spark-submit --py-files probe_spark.zip -m probe_spark.cli build \\
+      --pages /data/pages_parquet --index /data/ix --buckets 64 [--resume]
+  spark-submit ... search --index /data/ix --query '+error handler' -k 10 \\
+      [--format json|markdown|text] [--max-tokens N] [--max-bytes N]
+  spark-submit ... compact --index /data/ix
+  spark-submit ... grep --index /data/ix --pattern 'regex'
+
+Build the zip with:  python -m zipfile -c probe_spark.zip probe_spark/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="probe_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--pages", required=True, help="parquet dir of pages(url,text,lang)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--buckets", type=int, default=8)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--validate-extraction", action="store_true")
+
+    s = sub.add_parser("search", help="query the index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, nargs="+",
+                   help="query string(s); multiple are joined with ' AND ' "
+                   "(search_runner.rs:371-375)")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--exact", action="store_true")
+    s.add_argument("--boost-coverage", action="store_true")
+    s.add_argument("--format", default="text", choices=["text", "json", "markdown"])
+    s.add_argument("--max-results", type=int)
+    s.add_argument("--max-bytes", type=int)
+    s.add_argument("--max-tokens", type=int)
+    s.add_argument("--wand", action="store_true", help="use the compacted block index")
+
+    c = sub.add_parser("compact", help="compact postings into block-max blocks")
+    c.add_argument("--index", required=True)
+
+    g = sub.add_parser("grep", help="regex grep over the doc store (S5)")
+    g.add_argument("--index", required=True)
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--count", action="store_true")
+    g.add_argument("--invert", action="store_true")
+    g.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from probe_spark.session import get_spark
+
+    spark = get_spark("probe_spark_cli")
+
+    if args.cmd == "build":
+        from probe_spark.indexer import build_index
+
+        metrics = build_index(
+            spark,
+            spark.read.parquet(args.pages),
+            args.index,
+            n_buckets=args.buckets,
+            resume=args.resume,
+            validate_extraction=args.validate_extraction,
+        )
+        print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "search":
+        from probe_spark.limits import apply_limits, format_results
+
+        query = " AND ".join(args.query)
+        if args.wand:
+            from probe_spark.wand import WandEngine
+
+            pairs = WandEngine(spark, args.index).search_local(query, args.k)
+            rows = [
+                {"rank": i + 1, "doc_id": d, "url": None, "score": s}
+                for i, (d, s) in enumerate(pairs)
+            ]
+        else:
+            from probe_spark.engine import SearchEngine
+
+            eng = SearchEngine(spark, args.index)
+            rows = [
+                r.asDict()
+                for r in eng.search(
+                    query, args.k, args.exact, args.boost_coverage
+                ).collect()
+            ]
+        limited = apply_limits(
+            rows,
+            max_results=args.max_results,
+            max_bytes=args.max_bytes,
+            max_tokens=args.max_tokens,
+        )
+        print(format_results(limited.results, args.format))
+        if limited.limits_applied:
+            print(f"# skipped {limited.skipped} results (limits)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "compact":
+        from probe_spark.compaction import compact_index
+
+        print(json.dumps(compact_index(spark, args.index)))
+        return 0
+
+    if args.cmd == "grep":
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{args.index}/docs")
+        m = docs.filter(F.col("text").rlike(args.pattern))
+        if args.invert:
+            m = docs.join(m.select("doc_id"), "doc_id", "leftanti")
+        if args.count:
+            print(m.count())
+        else:
+            for r in m.select("doc_id", "url").orderBy("doc_id").limit(args.limit).collect():
+                print(r["doc_id"], r["url"])
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

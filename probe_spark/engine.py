@@ -179,9 +179,17 @@ class SearchEngine:
 
     # -- public API ----------------------------------------------------------
 
-    def search(self, query: str, k: int = 10, exact: bool = False) -> DataFrame:
-        """Top-k results as a DataFrame (rank, doc_id, url, score)."""
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        boost_coverage: bool = False,
+    ) -> DataFrame:
+        """Top-k results as a DataFrame (rank, doc_id, url, score).
+        boost_coverage applies the R7 coverage boost (see oracle.py)."""
         plan = elastic.create_query_plan(query, exact)
+        self._boost_coverage = boost_coverage
         fdocs = self._filtered_docs(plan)
 
         if plan.is_universal_query:
@@ -300,12 +308,23 @@ class SearchEngine:
                 ).alias("arr")
             )
         )
-        return arr.select(
+        scored = arr.select(
             "doc_id",
             F.aggregate(
                 "arr", F.lit(0.0), lambda acc, s: acc + s["term_score"]
             ).alias("score"),
+            F.size("arr").alias("_matched"),
         ).filter(F.col("score") > 0.0)
+        if getattr(self, "_boost_coverage", False):
+            n_terms = len(plan.term_indices)
+            cov = F.least(
+                F.col("_matched").cast("double") / F.lit(float(n_terms)),
+                F.lit(1.0),
+            )
+            scored = scored.withColumn(
+                "score", F.col("score") * (F.lit(1.0) + F.pow(cov, 1.5) * 2.0)
+            )
+        return scored.drop("_matched")
 
     def _score_general(
         self, cand: DataFrame, plan: QueryPlan, idfs: dict[str, float]
@@ -323,6 +342,8 @@ class SearchEngine:
         term_indices = dict(plan.term_indices)
         avgdl = self.avgdl
         params = self.params
+        boost = getattr(self, "_boost_coverage", False)
+        n_terms = len(term_indices)
 
         out_schema = StructType(
             [
@@ -357,6 +378,10 @@ class SearchEngine:
                     s = score_expr(ast, tf, int(doc_len), avgdl, idfs, params)
                     if s is None:
                         continue
+                    if boost:
+                        from probe_spark.oracle import coverage_boost
+
+                        s = s * coverage_boost(len(matched), n_terms)
                     out_ids.append(int(doc_id))
                     out_scores.append(float(s))
                 yield pd.DataFrame({"doc_id": out_ids, "score": out_scores})

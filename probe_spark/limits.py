@@ -1,0 +1,87 @@
+"""Result limiting with byte/token budgets (SURVEY.md R9) and output
+formatting (SURVEY.md S7).
+
+The reference applies max_results / max_bytes / max_tokens budgets as
+running totals over the ranked results (apply_limits,
+/root/reference/src/search/search_limiter.rs:22-226), estimating tokens as
+bytes/4 before a precise tiktoken pass (:101-160).  tiktoken is not
+available in this environment, so the estimate IS the count (documented;
+the reference itself ships the same estimate as the fast path).
+
+These run driver-side over the collected top-k (k is small by
+construction), exactly like the reference runs them over its final ranked
+list.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+
+@dataclass
+class LimitedResults:
+    results: list[dict]
+    skipped: int
+    limits_applied: bool
+
+
+def estimate_tokens(text: str) -> int:
+    """search_limiter.rs bytes/4 heuristic (tiktoken fast-path estimate)."""
+    return max(1, len(text.encode("utf-8")) // 4)
+
+
+def apply_limits(
+    rows: list[dict],
+    max_results: int | None = None,
+    max_bytes: int | None = None,
+    max_tokens: int | None = None,
+    text_key: str = "url",
+) -> LimitedResults:
+    """Running-total budgets over ranked rows (search_limiter.rs:22-226)."""
+    out: list[dict] = []
+    total_bytes = 0
+    total_tokens = 0
+    skipped = 0
+    applied = False
+    for row in rows:
+        text = str(row.get(text_key, ""))
+        nb = len(text.encode("utf-8"))
+        nt = estimate_tokens(text)
+        if max_results is not None and len(out) >= max_results:
+            skipped += 1
+            applied = True
+            continue
+        if max_bytes is not None and total_bytes + nb > max_bytes and out:
+            skipped += 1
+            applied = True
+            continue
+        if max_tokens is not None and total_tokens + nt > max_tokens and out:
+            skipped += 1
+            applied = True
+            continue
+        out.append(row)
+        total_bytes += nb
+        total_tokens += nt
+    return LimitedResults(out, skipped, applied)
+
+
+def format_results(rows: list[dict], fmt: str = "text") -> str:
+    """S7 output formatters: text / json / markdown (the web-engine subset
+    of the reference's terminal/markdown/plain/json/xml set)."""
+    if fmt == "json":
+        return json.dumps({"results": rows}, default=str)
+    if fmt == "markdown":
+        lines = ["| rank | doc_id | url | score |", "|---|---|---|---|"]
+        lines += [
+            f"| {r.get('rank')} | {r.get('doc_id')} | {r.get('url')} "
+            f"| {r.get('score'):.6f} |"
+            for r in rows
+        ]
+        return "\n".join(lines)
+    if fmt == "text":
+        return "\n".join(
+            f"{r.get('rank'):>4}  {r.get('score'):>12.6f}  {r.get('url')}"
+            for r in rows
+        )
+    raise ValueError(f"unknown format: {fmt}")

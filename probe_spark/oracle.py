@@ -195,14 +195,30 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
     return keep
 
 
+def coverage_boost(unique_matched: int, denominator: int) -> float:
+    """result_ranking.rs:8-18 (calculate_coverage_boost).  NOTE: the
+    reference divides by queries.len() -- the number of query STRINGS --
+    which is 1 for a single query and makes the boost a rank-neutral
+    constant 3x; passing the query term count gives the useful variant."""
+    if denominator <= 0:
+        cov = 0.0
+    else:
+        cov = min(unique_matched / denominator, 1.0)
+    return 1.0 + cov**1.5 * 2.0
+
+
 def search(
     index: CorpusIndex,
     query: str,
     k: int = 10,
     params: BM25Params = DEFAULT_BM25,
     exact: bool = False,
+    boost_coverage: bool = False,
 ) -> list[tuple[int, float]]:
-    """Top-k (doc_id, score), rank order (score desc, doc_id asc)."""
+    """Top-k (doc_id, score), rank order (score desc, doc_id asc).
+    boost_coverage multiplies BM25 by the R7 coverage boost with the query
+    term count as denominator (node-type boost is identically 1.0 for web
+    pages, SURVEY.md R7)."""
     plan = elastic.create_query_plan(query, exact)
     candidates = apply_filters(index, plan)
 
@@ -226,6 +242,8 @@ def search(
         )
         if s is None:
             continue
+        if boost_coverage:
+            s = s * coverage_boost(len(matched), len(plan.term_indices))
         scored.append((index.docs[i].doc_id, s))
 
     scored.sort(key=lambda x: (-x[1], x[0]))

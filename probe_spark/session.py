@@ -27,7 +27,7 @@ def get_spark(
     local_dir = os.environ.get("PROBE_SPARK_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -41,3 +41,29 @@ def get_spark(
         .config("spark.local.dir", local_dir or "/tmp")
         .getOrCreate()
     )
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make probe_spark importable on executor Python workers regardless of
+    the driver's cwd (the spark-submit --py-files mechanism, applied
+    automatically): zip the package once and addPyFile it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_probe_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="probe_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._probe_spark_shipped = True

@@ -1,0 +1,126 @@
+"""R9 result limiting, S7 formatters, R7 coverage boost, CLI smoke."""
+
+import json
+
+import pytest
+
+from probe_spark.limits import apply_limits, estimate_tokens, format_results
+from probe_spark.oracle import coverage_boost
+from probe_spark.oracle import search as oracle_search
+
+
+def rows(n):
+    return [
+        {"rank": i + 1, "doc_id": i, "url": "u" * 40, "score": 1.0 / (i + 1)}
+        for i in range(n)
+    ]
+
+
+def test_max_results():
+    r = apply_limits(rows(10), max_results=3)
+    assert len(r.results) == 3 and r.skipped == 7 and r.limits_applied
+
+
+def test_max_bytes_running_total():
+    r = apply_limits(rows(10), max_bytes=100)  # 40 bytes per url
+    assert len(r.results) == 2 and r.skipped == 8
+
+
+def test_max_tokens_estimate():
+    # search_limiter.rs bytes/4 estimate
+    assert estimate_tokens("x" * 40) == 10
+    r = apply_limits(rows(10), max_tokens=25)
+    assert len(r.results) == 2
+
+
+def test_no_limits_passthrough():
+    r = apply_limits(rows(5))
+    assert len(r.results) == 5 and not r.limits_applied
+
+
+def test_first_result_always_kept():
+    # a budget smaller than the first row still returns one result
+    r = apply_limits(rows(3), max_bytes=10)
+    assert len(r.results) == 1
+
+
+def test_formats():
+    rs = rows(2)
+    j = json.loads(format_results(rs, "json"))
+    assert len(j["results"]) == 2
+    md = format_results(rs, "markdown")
+    assert md.startswith("| rank |") and md.count("\n") == 3
+    txt = format_results(rs, "text")
+    assert len(txt.splitlines()) == 2
+    with pytest.raises(ValueError):
+        format_results(rs, "xml")
+
+
+def test_coverage_boost_formula():
+    # result_ranking.rs:8-18
+    assert coverage_boost(0, 4) == 1.0
+    assert coverage_boost(4, 4) == 3.0
+    assert coverage_boost(8, 4) == 3.0  # capped at 1.0 coverage
+    assert 1.0 < coverage_boost(2, 4) < 3.0
+    assert coverage_boost(1, 0) == 1.0
+
+
+def test_coverage_boost_rank_identity(spark, tiny_index, tiny_oracle):
+    from probe_spark.engine import SearchEngine
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path)
+    for q in ("migrate endpoint meta", "+firewall whitelist"):
+        exp = oracle_search(tiny_oracle, q, k=10, boost_coverage=True)
+        got_df = eng.search(q, k=10, boost_coverage=True)
+        got = [(int(r["doc_id"]), float(r["score"])) for r in got_df.collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
+
+
+def test_cli_build_search_grep(spark, tmp_path, capsys):
+    """Drive the CLI main() in-process (same session via getOrCreate)."""
+    from probe_spark.cli import main
+    from probe_spark.fixtures import pages_df
+
+    pages = pages_df(spark, 120).drop("html", "warc_ts")
+    pages.write.mode("overwrite").parquet(str(tmp_path / "pages"))
+
+    assert main(
+        ["build", "--pages", str(tmp_path / "pages"), "--index",
+         str(tmp_path / "ix"), "--buckets", "2"]
+    ) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_docs"] == 120
+
+    assert main(
+        ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
+         "-k", "5", "--format", "json"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < len(out["results"]) <= 5
+    assert out["results"][0]["score"] > 0
+
+    # multi-query joins with AND (search_runner.rs:371-375)
+    assert main(
+        ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
+         "whitelist", "-k", "5", "--format", "json"]
+    ) == 0
+    _ = capsys.readouterr()
+
+    assert main(
+        ["grep", "--index", str(tmp_path / "ix"), "--pattern",
+         "firewall", "--count"]
+    ) == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n > 0
+
+    assert main(["compact", "--index", str(tmp_path / "ix")]) == 0
+    blocks = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blocks["blocks_bytes"] > 0
+
+    assert main(
+        ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
+         "-k", "5", "--wand", "--format", "text"]
+    ) == 0
