@@ -571,6 +571,127 @@ FROM proj GROUP BY vec_id
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path beyond brute force): 8 deterministic
+    centroids (the first 8 vectors), assign every vector to its nearest
+    centroid (coarse quantizer), then search only the 2 cells nearest the
+    query -- top-5 by cosine within the probed cells."""
+    emb = _emb(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm2(a):
+        return F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    # assign: nearest centroid by cosine (broadcast 8 centroids)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        (dot(F.col("embedding"), F.col("c"))
+         / (F.sqrt(norm2(F.col("embedding"))) * F.sqrt(norm2(F.col("c"))))
+         ).alias("sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    # probe: the 2 cells nearest the query vector (vec 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    probe2 = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(2)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = assign.join(probe2, "cell", "leftsemi").filter(F.col("vec_id") != 0)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("q"))
+                / (
+                    F.sqrt(norm2(F.col("embedding")))
+                    * F.sqrt(norm2(F.col("q")))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+SIM_IVF_SQL = """
+WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+               FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (SELECT vec_id, cid,
+             list_dot_product(ev, c)
+               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(c, c)))
+             AS sim
+           FROM e, cents),
+assign AS (SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+probe2 AS (SELECT cid AS cell FROM scored WHERE vec_id = 0
+           ORDER BY sim DESC, cid ASC LIMIT 2),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(ev, qe)
+             / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qe, qe))),
+             6) AS cos
+FROM e JOIN assign ON e.vec_id = assign.vec_id, q
+WHERE assign.cell IN (SELECT cell FROM probe2) AND e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC LIMIT 5
+"""
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events stream table
+    (batch form; the streaming module handles live ingestion)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -728,6 +849,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
+    "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
+    "events_window": (events_window, EVENTS_WINDOW_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_langid": (text_langid, LANGID_SQL),

@@ -22,9 +22,11 @@ TABLES = [
 
 
 def norm(df):
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if not np.issubdtype(df[c].dtype, np.number):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
