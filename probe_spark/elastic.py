@@ -426,6 +426,16 @@ def evaluate(
 # Query plan (query.rs:94-227)
 # ---------------------------------------------------------------------------
 
+def validate_query(query: str) -> tuple[bool, str | None]:
+    """Q10 (query_validator.rs): syntax pre-check without building a plan.
+    Returns (ok, error_message)."""
+    try:
+        parse_query(query)
+        return True, None
+    except ParseError as e:
+        return False, str(e)
+
+
 FILTER_FIELDS = frozenset(
     [
         "file",
