@@ -25,6 +25,14 @@ from probe_spark.entry_queries import ALL_QUERIES
 _CACHE_ROOT = Path(__file__).resolve().parent / ".cache" / "docidx"
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver builds its own SparkSession; make sure executors can
+    import probe_spark regardless of the driver's cwd/PYTHONPATH."""
+    from probe_spark.session import _ship_package
+
+    _ship_package(spark)
+
+
 def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, cached on disk) the inverted index over the documents
     table of ``sf_dir``; returns the index path."""
@@ -32,6 +40,7 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
 
     from probe_spark.indexer import build_index
 
+    _ensure_shipped(spark)
     key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
     if not (ix / "stats").exists():
@@ -62,11 +71,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return probe_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable) -> Callable:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in ALL_QUERIES.items()
+        name: _shipped(fn) for name, (fn, _sql) in ALL_QUERIES.items()
     }
-    out["probe_bm25_topk"] = probe_bm25_topk
+    out["probe_bm25_topk"] = _shipped(probe_bm25_topk)
     return out
 
 
