@@ -84,11 +84,16 @@ class SearchEngine:
         self._docs_path = str(p / "docs")
         self._terms_path = str(p / "terms")
         self._cached_cand = None
+        # create readers once: repeated spark.read.parquet re-lists files
+        # and re-infers partitioning on every query
+        self._postings_df = spark.read.parquet(self._postings_path)
+        self._docs_df = spark.read.parquet(self._docs_path)
+        self._terms_df = spark.read.parquet(self._terms_path)
 
     # -- helpers ------------------------------------------------------------
 
     def _docs(self) -> DataFrame:
-        return self.spark.read.parquet(self._docs_path)
+        return self._docs_df
 
     def _filtered_docs(self, plan: QueryPlan) -> DataFrame | None:
         """Apply field filters (F1/F3 web mapping): lang equality, url
@@ -117,7 +122,7 @@ class SearchEngine:
         containment rescue for exact/excluded terms."""
         terms = list(plan.term_indices)
         post = (
-            self.spark.read.parquet(self._postings_path)
+            self._postings_df
             .filter(F.col("term").isin(terms))
             .select("term", "doc_id", "tf", "doc_len")
         )
@@ -161,7 +166,7 @@ class SearchEngine:
         out: dict[str, int] = {}
         if regular:
             rows = (
-                self.spark.read.parquet(self._terms_path)
+                self._terms_df
                 .filter(F.col("term").isin(regular))
                 .select("term", "df")
                 .collect()

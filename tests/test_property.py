@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) mirroring the reference's proptest
+layer (SURVEY.md SS5.3, tests/property_tests.rs): nothing panics on
+arbitrary input, codecs round-trip, evaluation is consistent."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from probe_spark import elastic, textkit
+from probe_spark.codec import (
+    decode_doc_block,
+    encode_doc_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+from probe_spark.stemmer import stem
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenize_total(text):
+    # never raises; output is a list of non-empty strings; dedup holds
+    toks = textkit.tokenize(text)
+    assert all(isinstance(t, str) and t for t in toks)
+    assert len(toks) == len(set(toks))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=64))
+def test_stemmer_total_and_idempotent_on_output_length(word):
+    out = stem(word)
+    assert isinstance(out, str)
+    assert len(out) <= len(word) + 1  # step-1b can append an 'e'
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+def test_varbyte_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert varbyte_decode(varbyte_encode(v)).tolist() == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200, unique=True
+    )
+)
+def test_doc_block_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert decode_doc_block(encode_doc_block(arr)).tolist() == sorted(ids)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100))
+def test_parse_query_total(query):
+    # parse either succeeds or raises ParseError -- nothing else
+    try:
+        ast, special = elastic.parse_query(query)
+    except elastic.ParseError:
+        return
+    # every parsed AST can be planned and evaluated
+    try:
+        plan = elastic.create_query_plan(query)
+    except elastic.ParseError:
+        return
+    if plan.ast is not None:
+        for matched in (frozenset(), frozenset(range(len(plan.term_indices)))):
+            elastic.evaluate(plan.ast, matched, plan.term_indices)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefgh -+()\"", max_size=40))
+def test_evaluate_all_terms_matched_implies_no_excluded_fails(query):
+    """If every term is matched, evaluation fails iff the query has an
+    excluded term (whose presence then vetoes the doc)."""
+    try:
+        plan = elastic.create_query_plan(query)
+    except elastic.ParseError:
+        return
+    if plan.ast is None or not plan.term_indices:
+        return
+    all_matched = frozenset(plan.term_indices.values())
+    result = elastic.evaluate(plan.ast, all_matched, plan.term_indices)
+    if not plan.excluded_terms:
+        assert result, query
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnop", min_size=2, max_size=24))
+def test_decompound_parts_are_vocab_or_empty(word):
+    parts = textkit.decompound(word)
+    if parts:
+        assert len(parts) >= 2
+        assert "".join(parts) == word
+        assert all(p.lower() in textkit.VOCABULARY for p in parts)
