@@ -66,6 +66,25 @@ def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search("spark AND (merge OR sort)", k=10)
 
 
+def probe_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-pruned (WAND-style) top-10 over the compacted block index
+    for a disjunctive query (rows-only check; rank identity vs the oracle
+    is pytest-verified in tests/test_wand.py)."""
+    from pyspark.sql import Row
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.wand import WandEngine
+
+    ix = _documents_index(spark, sf_dir)
+    if not (Path(ix) / "blocks").exists():
+        compact_index(spark, ix)
+    pairs = WandEngine(spark, ix).search_local("spark merge sort window", k=10)
+    return spark.createDataFrame(
+        [Row(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(pairs)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return probe_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -86,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _shipped(fn) for name, (fn, _sql) in ALL_QUERIES.items()
     }
     out["probe_bm25_topk"] = _shipped(probe_bm25_topk)
+    out["probe_wand_topk"] = _shipped(probe_wand_topk)
     return out
 
 
