@@ -209,6 +209,12 @@ def build_index(
         manifest = json.loads(manifest_path.read_text())
         n_buckets = manifest["n_buckets"]
     else:
+        # fresh build: drop checkpoints of any previous build in this dir
+        # (stale lineage would pollute metrics and the resume set)
+        import shutil
+
+        shutil.rmtree(out / "lineage", ignore_errors=True)
+        (out / "stream_state.json").unlink(missing_ok=True)
         if validate_extraction:
             from probe_spark.extract import extract_text
 
