@@ -679,7 +679,11 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # min/max are order-independent (exact across engines); avg's
+            # summation order can differ by 1 ulp and flip a round() at a
+            # .5 boundary (observed at sf0.1)
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
         )
     )
 
@@ -687,7 +691,9 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_WINDOW_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type,
-       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+       count(*)::BIGINT AS n,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
 FROM events GROUP BY 1, 2
 """
 
