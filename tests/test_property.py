@@ -80,6 +80,13 @@ def test_evaluate_all_terms_matched_implies_no_excluded_fails(query):
         return
     if plan.ast is None or not plan.term_indices:
         return
+    # a Term whose keywords expanded away entirely (stopwords) evaluates to
+    # its `excluded` flag regardless of matches (elastic_query.rs:186-189),
+    # so an empty non-excluded term legitimately vetoes -- skip those
+    if any(
+        not t.keywords and not t.excluded for t in elastic.walk_terms(plan.ast)
+    ):
+        return
     all_matched = frozenset(plan.term_indices.values())
     result = elastic.evaluate(plan.ast, all_matched, plan.term_indices)
     if not plan.excluded_terms:
