@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "grep":
         from pyspark.sql import functions as F
 
-        docs = spark.read.parquet(f"{args.index}/docs")
+        docs = spark.read.parquet(f"{args.index}/pages_indexed")
         m = docs.filter(F.col("text").rlike(args.pattern))
         if args.invert:
             m = docs.join(m.select("doc_id"), "doc_id", "leftanti")

@@ -81,7 +81,12 @@ class SearchEngine:
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self._postings_path = str(p / "postings")
-        self._docs_path = str(p / "docs")
+        # the doc store IS the ingest snapshot (text is written once at
+        # build time); doc_len lives in the slim doc_lens table and is
+        # only joined in for containment-rescue hits
+        self._docs_path = str(
+            p / "pages_indexed" if (p / "pages_indexed").exists() else p / "docs"
+        )
         self._terms_path = str(p / "terms")
         self._cached_cand = None
         # create readers once: repeated spark.read.parquet re-lists files
@@ -89,6 +94,10 @@ class SearchEngine:
         self._postings_df = spark.read.parquet(self._postings_path)
         self._docs_df = spark.read.parquet(self._docs_path)
         self._terms_df = spark.read.parquet(self._terms_path)
+        lens_path = p / "doc_lens"
+        self._doc_lens_df = (
+            spark.read.parquet(str(lens_path)) if lens_path.exists() else None
+        )
 
     # -- helpers ------------------------------------------------------------
 
@@ -131,7 +140,6 @@ class SearchEngine:
             return post
         docs = self._docs().select(
             "doc_id",
-            "doc_len",
             F.lower(F.col("text")).alias("_t"),
             F.lower(F.col("url")).alias("_u"),
         )
@@ -143,12 +151,21 @@ class SearchEngine:
                     F.lit(t).alias("term"),
                     "doc_id",
                     F.lit(1).cast("int").alias("tf"),
-                    "doc_len",
                 )
             )
         scan_df = scans[0]
         for s in scans[1:]:
             scan_df = scan_df.unionByName(s)
+        if self._doc_lens_df is not None:
+            # rescue hits need doc_len for BM25 -- join the slim lengths
+            # table (only the matched doc_ids flow into the join)
+            scan_df = scan_df.join(self._doc_lens_df, "doc_id", "left").select(
+                "term", "doc_id", "tf", "doc_len"
+            )
+        else:  # legacy layout: doc store carried doc_len
+            scan_df = scan_df.join(
+                self._docs_df.select("doc_id", "doc_len"), "doc_id", "left"
+            ).select("term", "doc_id", "tf", "doc_len")
         # token tf wins over the rescue tf=1 (file_processing.rs:1350-1358
         # only appends when the token is absent)
         return (

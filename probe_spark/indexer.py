@@ -6,9 +6,10 @@ semantics are provided by an explicit manifest + lineage table, which is the
 same mechanism Iceberg snapshots would give us):
 
   manifest.json                 build parameters + bucket offsets (phase A)
-  pages_indexed/bucket=i/       ingest snapshot: doc_id-assigned pages
-  docs/bucket=i/                doc store: doc_id, url, doc_len, lang, text
+  pages_indexed/bucket=i/       THE doc store: doc_id, url, lang, text
+  doc_lens/bucket=i/            slim lengths: doc_id, doc_len
   postings/bucket=i/            flat postings: term, doc_id, tf, doc_len
+  terms_partial/bucket=i/       per-bucket term aggregates (df, cf)
   terms/                        term dictionary: term, df, cf
   stats/                        singleton: n_docs, avgdl
   lineage/                      per-bucket build metrics + checkpoints
@@ -20,13 +21,23 @@ Scale design notes (explicitly, per the north rule):
     bucket (Window.partitionBy(bucket)), then add per-bucket offsets
     computed from bucket counts -- two narrow passes, no driver collect of
     data rows.
+  * the document text is written ONCE (pages_indexed, phase A); phase B
+    derives only slim columns from it (doc_lens, postings).  At web scale
+    the text dominates bytes -- a second doc-store copy would double the
+    build's write volume for nothing.
   * per-doc TF is computed map-side inside the tokenize mapInPandas UDF
     (one Arrow pass, no explode->groupBy shuffle for TF).
-  * postings within a bucket are range-partitioned and sorted by
-    (term, doc_id) before write, so parquet row-group stats prune term
-    lookups at query time; buckets double as salt for hot-term skew --
-    a head term's postings are B independent sorted runs merged at query
-    or compaction time (SURVEY.md SS4 skew handling).
+  * postings within a bucket are hash-partitioned by term (a term's
+    postings land in exactly one file per bucket -- no sampling pass, and
+    skew-free since terms spread uniformly) and sorted by (term, doc_id),
+    so parquet row-group stats prune term lookups at query time; buckets
+    double as salt for hot-term skew -- a head term's postings are B
+    independent sorted runs merged at query or compaction time (SURVEY.md
+    SS4 skew handling).
+  * global aggregates need no extra passes over data: doc counts and
+    doc_len sums ride the doc_lens write as Observations (stats is written
+    driver-side from lineage sums), and the term dictionary is re-aggregated
+    from per-bucket partials computed while the tokenization is cached.
   * builds are resumable: each bucket commits a lineage row after its
     files land; re-running skips completed buckets (kill-resume tested).
   * doc_len is denormalized into postings rows so BM25 scoring needs no
@@ -184,6 +195,25 @@ def _dir_bytes(path: Path) -> int:
     return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
 
 
+def write_stats(index_dir: str, n_docs: int, avgdl: float) -> None:
+    """Write the singleton stats table driver-side (pyarrow) -- the inputs
+    already rode the doc_lens writes as Observations, so no Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(index_dir) / "stats"
+    out.mkdir(parents=True, exist_ok=True)
+    for f in out.glob("*.parquet"):
+        f.unlink()
+    table = pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "avgdl": pa.array([float(avgdl)], type=pa.float64()),
+        }
+    )
+    pq.write_table(table, out / "part-00000.parquet")
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -261,7 +291,7 @@ def build_index(
             _append_lineage(
                 index_dir,
                 {
-                    "bucket": b, "n_docs": 0, "n_postings": 0,
+                    "bucket": b, "n_docs": 0, "n_postings": 0, "sum_dl": 0,
                     "bytes_in": 0, "bytes_out": 0, "wall_ms": 0,
                     "finished_ts": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
@@ -279,37 +309,52 @@ def build_index(
         )
         rows = bucket_pages.mapInPandas(_tokenize_partition, TOKENS_SCHEMA)
         rows.persist()
-        docs_dir = out / "docs" / f"bucket={b}"
+        lens_dir = out / "doc_lens" / f"bucket={b}"
         postings_dir = out / "postings" / f"bucket={b}"
-        # postings first: the range-partition sampling materializes the
-        # persisted tokenization at full parallelism, so the coalesced
-        # doc-store write below reads from cache instead of throttling
-        # tokenization down to its few write tasks.  Row counts ride the
-        # write actions as Observations -- no separate count jobs.
+        tpart_dir = out / "terms_partial" / f"bucket={b}"
+        # postings first: this job materializes the persisted tokenization
+        # at full parallelism; the small doc_lens/terms_partial jobs below
+        # then read from cache.  Hash repartition by term (no sampling
+        # pass, unlike repartitionByRange) keeps a term's postings in one
+        # file per bucket; sortWithinPartitions gives tight row-group
+        # term ranges for query-time pruning.  Row counts ride the write
+        # actions as Observations -- no separate count jobs.
         obs_p = Observation()
         postings_b = (
             rows.filter(F.col("term").isNotNull())
             .select("term", "doc_id", "tf", "doc_len")
-            .repartitionByRange(
-                max(2, spark.sparkContext.defaultParallelism // 2),
-                "term",
-                "doc_id",
+            .observe(obs_p, F.count(F.lit(1)).alias("n"))
+            .repartition(
+                max(2, spark.sparkContext.defaultParallelism // 2), "term"
             )
             .sortWithinPartitions("term", "doc_id")
-            # observe ABOVE the range exchange: the partitioner's sampling
-            # pass re-executes nodes below it and would double the count
-            .observe(obs_p, F.count(F.lit(1)).alias("n"))
         )
         postings_b.write.mode("overwrite").parquet(str(postings_dir))
         obs_d = Observation()
-        docs_b = (
+        lens_b = (
             rows.filter(F.col("term").isNull())
-            .select("doc_id", "url", "doc_len", "lang", "text")
-            .observe(obs_d, F.count(F.lit(1)).alias("n"))
+            .select("doc_id", "doc_len")
+            .observe(
+                obs_d,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"),
+            )
         )
-        docs_b.coalesce(4).write.mode("overwrite").parquet(str(docs_dir))
+        lens_b.coalesce(2).write.mode("overwrite").parquet(str(lens_dir))
+        # per-bucket term partials from the cached tokenization: the final
+        # dictionary re-aggregates these (vocab-sized) instead of scanning
+        # the full postings table again
+        (
+            rows.filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(str(tpart_dir))
+        )
         n_postings = int(obs_p.get["n"])
         n_docs = int(obs_d.get["n"])
+        sum_dl = int(obs_d.get["sum_dl"])
         rows.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         _append_lineage(
@@ -318,8 +363,9 @@ def build_index(
                 "bucket": b,
                 "n_docs": n_docs,
                 "n_postings": n_postings,
+                "sum_dl": sum_dl,
                 "bytes_in": _dir_bytes(pages_indexed_dir / f"bucket={b}"),
-                "bytes_out": _dir_bytes(postings_dir) + _dir_bytes(docs_dir),
+                "bytes_out": _dir_bytes(postings_dir) + _dir_bytes(lens_dir),
                 "wall_ms": wall_ms,
                 "finished_ts": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
@@ -341,19 +387,38 @@ def build_index(
         with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(_build_bucket, todo))
 
-    # Phase C: finalize global aggregates (idempotent overwrite)
-    postings = spark.read.parquet(str(out / "postings"))
-    terms = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
+    # Phase C: finalize global aggregates (idempotent overwrite).  The term
+    # dictionary re-aggregates the per-bucket partials (vocab-sized input,
+    # not the postings table); stats needs NO job -- counts and doc_len
+    # sums rode the phase-B writes as Observations into lineage.
+    tpart_root = out / "terms_partial"
+    terms_schema = "term string, df long, cf long"
+    if tpart_root.exists() and any(tpart_root.iterdir()):
+        terms = (
+            spark.read.parquet(str(tpart_root))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+    else:
+        terms = spark.createDataFrame([], terms_schema)
     terms.write.mode("overwrite").parquet(str(out / "terms"))
-    docs = spark.read.parquet(str(out / "docs"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-    stats.write.mode("overwrite").parquet(str(out / "stats"))
 
     lineage = _read_lineage(index_dir)
+    if lineage and all("sum_dl" in r for r in lineage.values()):
+        n_docs_tot = sum(r["n_docs"] for r in lineage.values())
+        sum_dl_tot = sum(r["sum_dl"] for r in lineage.values())
+        write_stats(
+            index_dir,
+            n_docs_tot,
+            (sum_dl_tot / n_docs_tot) if n_docs_tot else 0.0,
+        )
+    else:  # pragma: no cover - legacy lineage without sum_dl
+        lens = spark.read.parquet(str(out / "doc_lens"))
+        stats = lens.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        )
+        stats.write.mode("overwrite").parquet(str(out / "stats"))
+
     tot = {
         k: sum(r[k] for r in lineage.values())
         for k in ("n_docs", "n_postings", "bytes_in", "bytes_out", "wall_ms")

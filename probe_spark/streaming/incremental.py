@@ -14,8 +14,8 @@ Design:
     assign doc_ids above the current high-water mark (batch-local url rank
     -- note this is arrival-order, not global url rank, so tie-breaks are
     deterministic but not identical to a from-scratch rebuild; a rebuild
-    canonicalizes), append postings/docs under delta buckets, refresh
-    terms/stats (cheap idempotent aggregates);
+    canonicalizes), append postings/pages_indexed/doc_lens under delta
+    buckets, refresh terms/stats (cheap idempotent aggregates);
   * the flat-postings query engine sees appended postings immediately;
     compaction folds deltas into block-max blocks on demand.
 """
@@ -29,7 +29,7 @@ from pathlib import Path
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition
+from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition, write_stats
 
 PAGES_SCHEMA = "url string, text string, lang string"
 
@@ -38,10 +38,10 @@ def _high_water(spark: SparkSession, index_dir: str) -> int:
     p = Path(index_dir) / "stream_state.json"
     if p.exists():
         return int(json.loads(p.read_text())["next_doc_id"])
-    docs_dir = Path(index_dir) / "docs"
-    if docs_dir.exists():
+    lens_dir = Path(index_dir) / "doc_lens"
+    if lens_dir.exists():
         row = (
-            spark.read.parquet(str(docs_dir))
+            spark.read.parquet(str(lens_dir))
             .agg(F.max("doc_id").alias("m"))
             .collect()[0]
         )
@@ -59,14 +59,25 @@ def _set_high_water(index_dir: str, value: int) -> None:
 
 def _refresh_aggregates(spark: SparkSession, index_dir: str) -> None:
     out = Path(index_dir)
-    postings = spark.read.parquet(str(out / "postings"))
-    postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    tpart = out / "terms_partial"
+    if tpart.exists():
+        terms_src = spark.read.parquet(str(tpart))
+    else:  # pragma: no cover - index built without partials
+        terms_src = spark.read.parquet(str(out / "postings")).select(
+            "term", F.lit(1).alias("df"), F.col("tf").alias("cf")
+        )
+    terms_src.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).write.mode("overwrite").parquet(str(out / "terms"))
-    docs = spark.read.parquet(str(out / "docs"))
-    docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    ).write.mode("overwrite").parquet(str(out / "stats"))
+    row = (
+        spark.read.parquet(str(out / "doc_lens"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
+        .collect()[0]
+    )
+    import shutil
+
+    shutil.rmtree(out / "stats", ignore_errors=True)
+    write_stats(index_dir, int(row["n"]), float(row["a"] or 0.0))
 
 
 def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -> int:
@@ -74,10 +85,10 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     out = Path(index_dir)
     base = _high_water(spark, index_dir)
     fresh = batch_df.select("url", "text", "lang").dropDuplicates(["url"])
-    if (out / "docs").exists():
+    if (out / "pages_indexed").exists():
         # url is the document key: re-crawled pages already in the index
         # are skipped (the streaming analog of the session-cache dedup, S8)
-        existing = spark.read.parquet(str(out / "docs")).select("url")
+        existing = spark.read.parquet(str(out / "pages_indexed")).select("url")
         fresh = fresh.join(existing, "url", "leftanti")
     w = Window.orderBy("url")  # micro-batches are small by construction
     pages = fresh.withColumn(
@@ -98,10 +109,25 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     )
     (
         rows.filter(F.col("term").isNull())
-        .select("doc_id", "url", "doc_len", "lang", "text")
+        .select("doc_id", "url", "lang", "text")
         .coalesce(2)
         .write.mode("overwrite")
-        .parquet(str(out / "docs" / f"bucket={bucket}"))
+        .parquet(str(out / "pages_indexed" / f"bucket={bucket}"))
+    )
+    (
+        rows.filter(F.col("term").isNull())
+        .select("doc_id", "doc_len")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(out / "doc_lens" / f"bucket={bucket}"))
+    )
+    (
+        rows.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(out / "terms_partial" / f"bucket={bucket}"))
     )
     rows.unpersist()
     _set_high_water(index_dir, base + n_docs)

@@ -64,7 +64,8 @@ def test_index_global_stats(spark, tiny_index, tiny_oracle):
 def test_doc_ids_match_url_rank(spark, tiny_index, tiny_oracle):
     path, _ = tiny_index
     rows = (
-        spark.read.parquet(f"{path}/docs")
+        spark.read.parquet(f"{path}/pages_indexed")
+        .join(spark.read.parquet(f"{path}/doc_lens"), "doc_id")
         .select("doc_id", "url", "doc_len")
         .orderBy("doc_id")
         .collect()
@@ -129,7 +130,7 @@ def test_resumability(spark, tmp_path):
     # resume completes only the missing buckets
     build_index(spark, pages, str(crash_dir), n_buckets=3, resume=True)
 
-    for table in ("docs", "postings", "terms", "stats"):
+    for table in ("pages_indexed", "doc_lens", "postings", "terms", "stats"):
         a = (
             spark.read.parquet(f"{clean_dir}/{table}")
             .toPandas()

@@ -39,7 +39,7 @@ def test_incremental_ingest_then_query(spark, tmp_path, query):
 
     # engine must now rank over the union corpus; the oracle is built from
     # the engine's own doc store (ids are arrival-order for streamed docs)
-    docs_rows = spark.read.parquet(f"{ix}/docs").collect()
+    docs_rows = spark.read.parquet(f"{ix}/pages_indexed").collect()
     oracle_ix = CorpusIndex.build(
         [Doc(r["doc_id"], r["url"], r["text"], r["lang"]) for r in docs_rows]
     )
@@ -75,5 +75,5 @@ def test_incremental_checkpoint_no_reprocess(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    docs = spark.read.parquet(f"{ix}/docs")
+    docs = spark.read.parquet(f"{ix}/pages_indexed")
     assert docs.count() == docs.select("url").distinct().count()
