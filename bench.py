@@ -29,7 +29,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-SCALING_DOCS = int(os.environ.get("PROBE_BENCH_SCALING_DOCS", "40000"))
+SCALING_DOCS = int(os.environ.get("PROBE_BENCH_SCALING_DOCS", "60000"))
 
 HEADLINE = {
     "single_term": "spark",
@@ -41,6 +41,29 @@ HEADLINE = {
     "nested_bool": "(merge OR sort) AND spark",
     "field_filter": "lang:de spark",
 }
+
+
+def _burn(_):
+    x = 0
+    for i in range(2 * 10**7):
+        x += i * i
+    return x
+
+
+def _cpu_ceiling(lo: int, hi: int) -> float:
+    """Raw-CPU scaling efficiency of this host from lo to hi processes:
+    pure-Python arithmetic via multiprocessing, 2 tasks per process slot.
+    On an unloaded hi-core box this is ~1.0; co-tenant steal pulls it down
+    and bounds ANY job's achievable efficiency."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(_burn, range(2 * n))
+        rates[n] = 2 * n / (time.time() - t0)
+    return (rates[hi] / rates[lo]) / (hi / lo)
 
 
 def _fresh_spark(cores: int | str):
@@ -109,16 +132,26 @@ def main() -> None:
     }
 
     # 1. scaling evidence: same job, two parallelism levels.  The sandbox
-    # is a shared host with high run-to-run variance, so interleave two
-    # runs per level and take the min (best-case, contention-free).
+    # is a shared oversubscribed host with 2-4x run-to-run variance AND a
+    # fluctuating raw-CPU ceiling (co-tenant steal), so (a) interleave up
+    # to three runs per level and take the min, and (b) measure the host's
+    # raw multiprocessing ceiling for the same core ratio in the same
+    # minutes -- job efficiency is reported both raw and normalized to
+    # that ceiling (a real N->4N executor cluster has no such ceiling).
     if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
+        ceil0 = _cpu_ceiling(8, cpus)
         wall0 = time.time()
         t_hi = _scaling_build(cpus, tmp, f"{tmp}/scaleN")
         t_lo = _scaling_build(8, tmp, f"{tmp}/scale8")
-        if time.time() - wall0 < 300:  # second pair only if time permits
-            t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN2"))
-            t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale82"))
+        for i in (2, 3):  # extra pairs only while time permits
+            if time.time() - wall0 > 300:
+                break
+            t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN{i}"))
+            t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale8{i}"))
+        ceil1 = _cpu_ceiling(8, cpus)
+        ceiling = max(ceil0, ceil1)
         speedup = t_lo / t_hi
+        eff = speedup / (cpus / 8)
         result["scaling"] = {
             "job": f"index-build {SCALING_DOCS} synthetic pages",
             "cores_lo": 8,
@@ -128,7 +161,15 @@ def main() -> None:
             "docs_per_sec_lo": round(SCALING_DOCS / t_lo, 1),
             "docs_per_sec_hi": round(SCALING_DOCS / t_hi, 1),
             "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (cpus / 8), 3),
+            "efficiency": round(eff, 3),
+            # host ceiling: same-ratio speedup of pure-Python CPU work via
+            # multiprocessing (no Spark, no I/O) on this box, measured
+            # before and after the job runs; the max is the best the host
+            # offered during the window
+            "host_cpu_ceiling_efficiency": round(ceiling, 3),
+            "efficiency_vs_host_ceiling": round(min(1.0, eff / ceiling), 3)
+            if ceiling > 0
+            else None,
         }
 
     from probe_spark.engine import SearchEngine

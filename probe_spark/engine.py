@@ -98,6 +98,20 @@ class SearchEngine:
         self._doc_lens_df = (
             spark.read.parquet(str(lens_path)) if lens_path.exists() else None
         )
+        # driver-side term-stats cache (standard IR engine practice): df
+        # lookups repeat across queries, and a Spark job per query just to
+        # read <=256 dictionary rows is pure fixed overhead.  Small
+        # dictionaries load whole (one job at init); at web scale the
+        # table exceeds the bound and lookups fall back to the term-pruned
+        # parquet read, memoized per term.
+        self._df_cache: dict[str, int] = {}
+        self._full_dict = False
+        if self.n_docs <= 1_000_000:
+            pdf = self._terms_df.select("term", "df").toPandas()
+            self._df_cache = dict(
+                zip(pdf["term"], (int(x) for x in pdf["df"]))
+            )
+            self._full_dict = True
 
     # -- helpers ------------------------------------------------------------
 
@@ -174,21 +188,33 @@ class SearchEngine:
             .agg(F.max("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
         )
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term from the dictionary: driver cache first,
+        term-pruned parquet lookup for misses (memoized)."""
+        out = {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        missing = [t for t in terms if t not in out]
+        if missing and not self._full_dict:
+            rows = (
+                self._terms_df
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            for r in rows:
+                out[r["term"]] = int(r["df"])
+            for t in missing:  # absent from dictionary => df 0, memoize too
+                self._df_cache[t] = out.get(t, 0)
+        return out
+
     def _query_dfs(self, plan: QueryPlan, cand: DataFrame) -> dict[str, int]:
         """Global df per query term: regular terms from the terms dictionary
-        (metadata-sized parquet lookup, term-pruned); rescue terms from the
+        (driver cache / term-pruned parquet); rescue terms from the
         candidate rows (their containment scan defines their df)."""
         rescues = oracle.rescue_terms(plan)
         regular = [t for t in plan.term_indices if t not in rescues]
         out: dict[str, int] = {}
         if regular:
-            rows = (
-                self._terms_df
-                .filter(F.col("term").isin(regular))
-                .select("term", "df")
-                .collect()
-            )
-            out.update({r["term"]: int(r["df"]) for r in rows})
+            out.update(self.term_dfs(regular))
         if rescues:
             rows = (
                 cand.filter(F.col("term").isin(sorted(rescues)))

@@ -6,19 +6,32 @@ termination (SURVEY.md R4/R6); a sequential doc-at-a-time WAND does not map
 onto Spark's execution model, so pruning happens at segment granularity
 (8192-doc aligned ranges, compaction.py) with block-max metadata:
 
-  phase 0  per-seg upper bound = sum over query terms of max block ub
+  phase 0  per-seg upper bound = sum over query terms of max block ub;
+           for queries with must-match keywords (required terms, And
+           branches) only segments containing EVERY must keyword survive
+           (the segment-level analog of posting-list intersection, U3)
   phase 1  score the top-S segments by upper bound -> threshold theta =
            k-th best score found (a LOWER bound on the true k-th score)
   phase 2  score only the remaining segments with ub_seg >= theta
   merge    exact top-k by (score desc, doc_id asc)
 
-Correct for disjunctive (OR-bag) queries: a doc in a pruned segment scores
-<= ub_seg < theta <= true k-th score, so it cannot enter the top-k.  Ties at
-theta live in un-pruned segments and are resolved by the final exact sort.
-Queries outside this class fall back to the general engine (engine.py).
+Pruning is correct for any monotone-positive score: a doc in a pruned
+segment scores <= ub_seg < theta <= true k-th score, so it cannot enter the
+top-k; a doc in a must-pruned segment lacks a keyword every scoring doc
+needs.  Ties at theta live in un-pruned segments and are resolved by the
+final exact sort.
+
+Two in-segment scorers:
+  * disjunctive OR-bags: dense numpy accumulation (no Python per doc);
+  * general boolean (required/And/Or, multi-keyword terms): candidates =
+    intersection of must-keyword postings, then the ORACLE's evaluate +
+    score_expr per candidate -- one implementation, two hosts, so rank
+    identity is structural.
+Exact/excluded (containment-rescue) terms and field filters fall back to
+the flat-postings engine (engine.py).
 
 Everything stays in DataFrames: segment scoring is one Arrow applyInPandas
-over (seg) groups doing dense numpy accumulation over decoded blocks.
+over (seg) groups over decoded blocks.
 """
 
 from __future__ import annotations
@@ -47,6 +60,49 @@ _SCORE_SCHEMA = StructType(
 )
 
 
+def _wand_supported(plan) -> bool:
+    """Queries the segment engine can serve: token-postings semantics only.
+    Exact/excluded terms need the doc-store containment rescue, filters
+    need the doc store's lang/url columns -- those fall back."""
+    return bool(
+        plan.ast is not None
+        and not plan.filters
+        and not plan.is_universal_query
+        and not plan.has_only_excluded_terms
+        and plan.term_indices
+        and not plan.excluded_terms
+        and not oracle.rescue_terms(plan)
+    )
+
+
+def _must_keywords(plan) -> frozenset[str]:
+    """Keywords every scoring doc must contain -- the segment-intersection
+    prune set.  With required terms anywhere, B1's required-first rule
+    (elastic_query.rs:109-146) makes all keywords of every required term
+    mandatory and optional terms vacuous.  Without required terms, the
+    boolean structure decides: And needs both sides, Or either side, a
+    single-keyword Term needs its keyword (multi-keyword terms match on
+    ANY keyword, so they contribute no must)."""
+    ast = plan.ast
+    if plan.has_required_anywhere:
+        kws: set[str] = set()
+        for t in elastic.walk_terms(ast):
+            if t.required and not t.excluded:
+                kws.update(t.lowercase_keywords)
+        return frozenset(kws)
+
+    def must(e) -> set[str]:
+        if isinstance(e, elastic.Term):
+            if len(e.lowercase_keywords) == 1:
+                return set(e.lowercase_keywords)
+            return set()
+        if isinstance(e, elastic.And):
+            return must(e.left) | must(e.right)
+        return must(e.left) & must(e.right)
+
+    return frozenset(must(ast))
+
+
 class WandEngine:
     """Top-k search over the compacted ``blocks`` table."""
 
@@ -70,14 +126,9 @@ class WandEngine:
         self._fallback = SearchEngine(spark, index_dir, params)
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
-        rows = (
-            self.spark.read.parquet(self._terms_path)
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
+        dfs = self._fallback.term_dfs(terms)
         return {
-            r["term"]: oracle.idf(self.n_docs, int(r["df"])) for r in rows
+            t: oracle.idf(self.n_docs, df) for t, df in dfs.items() if df
         }
 
     def _score_segs(
@@ -136,12 +187,102 @@ class WandEngine:
 
         return blocks.groupBy("seg").applyInPandas(score_group, _SCORE_SCHEMA)
 
+    def _score_segs_bool(
+        self,
+        blocks: DataFrame,
+        idfs: dict[str, float],
+        k: int,
+        plan,
+        must_kws: tuple[str, ...],
+    ) -> DataFrame:
+        """Per-seg boolean scoring: decode blocks into dense per-term tf
+        lanes, intersect the must-keyword lanes to get candidates, then run
+        the ORACLE's evaluate + score_expr per candidate (shared code path
+        => f64 rank identity).  Emits the seg's top-k."""
+        params = self.params
+        avgdl = self.avgdl
+        ast = plan.ast
+        term_indices = dict(plan.term_indices)
+
+        def score_group(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from probe_spark.codec import decode_doc_block, varbyte_decode
+            from probe_spark.elastic import evaluate
+            from probe_spark.oracle import score_expr
+
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            seg = int(pdf["seg"].iloc[0])
+            base = seg << SEG_BITS
+            tf_lane: dict[str, np.ndarray] = {}
+            dl_lane = np.zeros(SEG_SIZE, dtype=np.int64)
+            for term, docs, tfs, dls in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+            ):
+                d = (decode_doc_block(docs) - base).astype(np.int64)
+                lane = tf_lane.get(term)
+                if lane is None:
+                    lane = np.zeros(SEG_SIZE, dtype=np.int64)
+                    tf_lane[term] = lane
+                lane[d] = varbyte_decode(tfs).astype(np.int64)
+                dl_lane[d] = varbyte_decode(dls).astype(np.int64)
+            if must_kws:
+                mask = None
+                for kw in must_kws:
+                    lane = tf_lane.get(kw)
+                    if lane is None:
+                        return empty
+                    m = lane > 0
+                    mask = m if mask is None else (mask & m)
+            else:
+                mask = np.zeros(SEG_SIZE, dtype=bool)
+                for lane in tf_lane.values():
+                    mask |= lane > 0
+            cand = np.flatnonzero(mask)
+            if len(cand) == 0:
+                return empty
+            lanes = sorted(tf_lane.items())
+            out_ids: list[int] = []
+            out_scores: list[float] = []
+            for off in cand:
+                tf = {
+                    term: int(lane[off]) for term, lane in lanes if lane[off]
+                }
+                matched = frozenset(term_indices[t] for t in tf)
+                if not evaluate(ast, matched, term_indices):
+                    continue
+                s = score_expr(
+                    ast, tf, int(dl_lane[off]), avgdl, idfs, params
+                )
+                if s is None:
+                    continue
+                out_ids.append(int(off) + base)
+                out_scores.append(float(s))
+            if not out_ids:
+                return empty
+            order = sorted(
+                range(len(out_ids)),
+                key=lambda i: (-out_scores[i], out_ids[i]),
+            )[:k]
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([out_ids[i] for i in order], "int64"),
+                    "score": np.array([out_scores[i] for i in order], "float64"),
+                }
+            )
+
+        return blocks.groupBy("seg").applyInPandas(score_group, _SCORE_SCHEMA)
+
     def search_local(
         self, query: str, k: int = 10
     ) -> list[tuple[int, float]]:
         plan = elastic.create_query_plan(query)
-        if not _is_disjunctive_bag(plan) or plan.filters:
+        if not _wand_supported(plan):
             return self._fallback.search_local(query, k)
+        disjunctive = _is_disjunctive_bag(plan)
         terms = list(plan.term_indices)
         if not terms:
             return []
@@ -154,11 +295,29 @@ class WandEngine:
                 for kw in t.lowercase_keywords
             )
         }
+        must_kws = () if disjunctive else tuple(sorted(_must_keywords(plan)))
 
         blocks = self.spark.read.parquet(self._blocks_path).filter(
             F.col("term").isin(terms)
         )
+        if must_kws:
+            # segment-level posting intersection: only segments containing
+            # EVERY must keyword can hold a scoring doc
+            must_segs = (
+                blocks.filter(F.col("term").isin(list(must_kws)))
+                .groupBy("seg")
+                .agg(F.count_distinct("term").alias("nt"))
+                .filter(F.col("nt") == len(must_kws))
+                .select("seg")
+            )
+            blocks = blocks.join(must_segs, "seg", "leftsemi")
         blocks = blocks.persist()
+
+        def score(bdf: DataFrame) -> DataFrame:
+            if disjunctive:
+                return self._score_segs(bdf, idfs, k, term_pos)
+            return self._score_segs_bool(bdf, idfs, k, plan, must_kws)
+
         try:
             # phase 0: per-seg upper bound (sum over terms of max block ub)
             seg_ub = (
@@ -176,9 +335,7 @@ class WandEngine:
             if not top_segs:
                 return []
             p1 = (
-                self._score_segs(
-                    blocks.filter(F.col("seg").isin(top_segs)), idfs, k, term_pos
-                )
+                score(blocks.filter(F.col("seg").isin(top_segs)))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -191,9 +348,7 @@ class WandEngine:
                 (~F.col("seg").isin(top_segs)) & (F.col("seg_ub") >= theta)
             ).select("seg")
             p2 = (
-                self._score_segs(
-                    blocks.join(rest, "seg", "leftsemi"), idfs, k, term_pos
-                )
+                score(blocks.join(rest, "seg", "leftsemi"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()

@@ -82,13 +82,70 @@ def test_wand_matches_oracle(spark, compacted, tiny_oracle, query):
         assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
 
 
-def test_wand_fallback_for_boolean(spark, compacted, tiny_oracle):
-    """Non-disjunctive queries route to the general engine."""
+BOOLEAN_QUERIES = [
+    "+firewall whitelist",
+    "lock AND token",  # 448/1000 docs co-occur; AND must drop ~400 one-sided
+    "(timeout OR deadline) AND process",
+    "+error +handling retry",
+    "error AND (validation OR token)",
+]
+
+
+@pytest.mark.parametrize("query", BOOLEAN_QUERIES)
+def test_wand_boolean_matches_oracle(spark, compacted, tiny_oracle, query):
+    """Required/And/Or queries run on the segment engine (must-keyword
+    intersection + oracle scorer in-segment) and stay rank-identical."""
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+    got = eng.search_local(query, k=10)
+    expected = oracle_search(tiny_oracle, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], query
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
+
+
+def test_wand_fallback_for_rescue_and_filters(spark, compacted, tiny_oracle):
+    """Exact/excluded (containment) terms and field filters route to the
+    general engine."""
     from probe_spark.wand import WandEngine
 
     path, _ = compacted
     eng = WandEngine(spark, path)
-    for q in ("+firewall whitelist", "process -deprecated", '"parseJSONToHTML5"'):
+    for q in ("process -deprecated", '"parseJSONToHTML5"'):
         got = eng.search_local(q, k=10)
         expected = oracle_search(tiny_oracle, q, k=10)
         assert [d for d, _ in got] == [d for d, _ in expected], q
+
+
+def test_wand_multiseg_pruning_identity(spark, tmp_path_factory):
+    """Corpus spanning >1 segment (8192-doc aligned): must-segment pruning
+    and theta pruning must not change results vs the oracle."""
+    from probe_spark.compaction import compact_index
+    from probe_spark.fixtures import oracle_corpus, pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.wand import WandEngine
+
+    n = 9000
+    d = tmp_path_factory.mktemp("ix") / "small"
+    build_index(spark, pages_df(spark, n), str(d), n_buckets=4)
+    compact_index(spark, str(d))
+    segs = {
+        r["seg"]
+        for r in spark.read.parquet(f"{d}/blocks").select("seg").distinct().collect()
+    }
+    assert len(segs) >= 2, "corpus must span multiple segments"
+    oracle_ix = oracle_corpus(n)
+    eng = WandEngine(spark, str(d), phase1_segs=1)
+    for q in (
+        "firewall whitelist",
+        "+error +handling retry",
+        "lock AND token",
+        "(timeout OR deadline) AND process",
+    ):
+        got = eng.search_local(q, k=10)
+        expected = oracle_search(oracle_ix, q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in expected], q
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
