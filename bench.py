@@ -144,7 +144,7 @@ def main() -> None:
         t_hi = _scaling_build(cpus, tmp, f"{tmp}/scaleN")
         t_lo = _scaling_build(8, tmp, f"{tmp}/scale8")
         for i in (2, 3):  # extra pairs only while time permits
-            if time.time() - wall0 > 300:
+            if time.time() - wall0 > 220:
                 break
             t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN{i}"))
             t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale8{i}"))

@@ -140,6 +140,44 @@ class SearchEngine:
             docs = docs.filter(F.lower(F.col("url")).contains(s))
         return docs
 
+    # above this many bloom candidates the isin-pushdown stops paying for
+    # itself; verify with the plain full scan instead
+    _BLOOM_ISIN_CAP = 50_000
+
+    def _bloom_candidate_ids(self, needle: str) -> list[int] | None:
+        """Trigram-bloom prefilter (trigram.py): doc_ids whose bloom holds
+        every trigram of ``needle`` -- a SUPERSET of the true containment
+        matches, collected from the slim doc_lens table so the verify scan
+        can push ``doc_id IN (...)`` into the parquet row groups instead of
+        reading the whole text column.  None => prefilter unavailable or
+        not worthwhile (fall back to the full scan)."""
+        if (
+            self._doc_lens_df is None
+            or "tri_bloom" not in self._doc_lens_df.columns
+            or len(needle.encode("utf-8")) < 3
+        ):
+            return None
+
+        @F.pandas_udf("boolean")
+        def _hit(blooms):
+            import pandas as pd
+
+            from probe_spark.trigram import bloom_batch_might_contain
+
+            if len(blooms) == 0:
+                return pd.Series([], dtype=bool)
+            return pd.Series(bloom_batch_might_contain(blooms, needle))
+
+        rows = (
+            self._doc_lens_df.filter(_hit(F.col("tri_bloom")))
+            .select("doc_id")
+            .limit(self._BLOOM_ISIN_CAP + 1)
+            .collect()
+        )
+        if len(rows) > self._BLOOM_ISIN_CAP:
+            return None
+        return [int(r["doc_id"]) for r in rows]
+
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
         containment rescue for exact/excluded terms."""
@@ -159,14 +197,24 @@ class SearchEngine:
         )
         scans = []
         for t in rescues:
+            base = docs
+            ids = self._bloom_candidate_ids(t)
+            if ids is not None:
+                if not ids:
+                    continue  # no doc can contain t
+                base = docs.filter(F.col("doc_id").isin(ids))
             scans.append(
-                docs.filter(F.col("_t").contains(t) | F.col("_u").contains(t))
+                base.filter(F.col("_t").contains(t) | F.col("_u").contains(t))
                 .select(
                     F.lit(t).alias("term"),
                     "doc_id",
                     F.lit(1).cast("int").alias("tf"),
                 )
             )
+        if not scans:
+            # every rescue term was bloom-refuted corpus-wide: no doc can
+            # contain any of them, token postings alone decide
+            return post
         scan_df = scans[0]
         for s in scans[1:]:
             scan_df = scan_df.unionByName(s)

@@ -60,6 +60,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import BinaryType
+
 TOKENS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -69,6 +71,7 @@ TOKENS_SCHEMA = StructType(
         StructField("doc_len", LongType()),
         StructField("term", StringType()),
         StructField("tf", IntegerType()),
+        StructField("tri_bloom", BinaryType()),
     ]
 )
 
@@ -81,6 +84,7 @@ def _tokenize_partition(iterator):
     import pandas as pd
 
     from probe_spark.textkit import preprocess_text_with_url
+    from probe_spark.trigram import doc_bloom
 
     for pdf in iterator:
         out = {
@@ -91,6 +95,7 @@ def _tokenize_partition(iterator):
             "doc_len": [],
             "term": [],
             "tf": [],
+            "tri_bloom": [],
         }
         for doc_id, url, lang, text in zip(
             pdf["doc_id"], pdf["url"], pdf["lang"], pdf["text"]
@@ -100,7 +105,7 @@ def _tokenize_partition(iterator):
             for t in toks:
                 counts[t] = counts.get(t, 0) + 1
             dl = len(toks)
-            # doc-store row
+            # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
             out["doc_id"].append(doc_id)
             out["url"].append(url)
             out["lang"].append(lang)
@@ -108,6 +113,7 @@ def _tokenize_partition(iterator):
             out["doc_len"].append(dl)
             out["term"].append(None)
             out["tf"].append(0)
+            out["tri_bloom"].append(doc_bloom(text, url))
             # posting rows
             for t, c in counts.items():
                 out["doc_id"].append(doc_id)
@@ -117,6 +123,7 @@ def _tokenize_partition(iterator):
                 out["doc_len"].append(dl)
                 out["term"].append(t)
                 out["tf"].append(c)
+                out["tri_bloom"].append(None)
         yield pd.DataFrame(out)
 
 
@@ -333,7 +340,7 @@ def build_index(
         obs_d = Observation()
         lens_b = (
             rows.filter(F.col("term").isNull())
-            .select("doc_id", "doc_len")
+            .select("doc_id", "doc_len", "tri_bloom")
             .observe(
                 obs_d,
                 F.count(F.lit(1)).alias("n"),

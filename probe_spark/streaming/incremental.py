@@ -116,7 +116,7 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     )
     (
         rows.filter(F.col("term").isNull())
-        .select("doc_id", "doc_len")
+        .select("doc_id", "doc_len", "tri_bloom")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(str(out / "doc_lens" / f"bucket={bucket}"))

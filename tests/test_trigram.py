@@ -1,0 +1,94 @@
+"""Trigram bloom prefilter (trigram.py): superset property (no false
+negatives -- the correctness invariant), selectivity sanity, and engine
+integration for quoted/negated terms."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from probe_spark.trigram import (
+    BLOOM_BYTES,
+    bloom_batch_might_contain,
+    bloom_build,
+    doc_bloom,
+)
+
+
+@given(
+    st.text(min_size=0, max_size=400),
+    st.integers(min_value=0, max_value=400),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_no_false_negatives_on_substrings(text, start, length):
+    """Every substring of the haystack must pass the bloom check: its
+    trigrams are a subset of the haystack's trigrams by construction."""
+    hay = text.lower()
+    bloom = bloom_build(hay.encode("utf-8"))
+    sub = hay[start : start + length]
+    assert bloom_batch_might_contain([bloom], sub)[0]
+
+
+def test_doc_bloom_covers_url():
+    bloom = doc_bloom("some body text", "https://Example.com/Path-Segment")
+    for needle in ("example.com", "path-segment", "body text"):
+        assert bloom_batch_might_contain([bloom], needle)[0]
+
+
+def test_short_needles_pass():
+    """<3-byte needles have no trigrams: the filter must not reject (the
+    engine falls back to the verify scan)."""
+    bloom = bloom_build(b"abcdef")
+    assert bloom_batch_might_contain([bloom], "xy")[0]
+    assert bloom_batch_might_contain([bloom], "")[0]
+
+
+def test_selectivity_on_unrelated_needles():
+    """Statistical sanity: long needles that share no trigrams with the
+    haystack are nearly always refused (superset filter, low FPR)."""
+    rng = np.random.default_rng(7)
+    hay = "".join(rng.choice(list("abcdefghij"), 2000))
+    bloom = bloom_build(hay.encode("utf-8"))
+    needles = [
+        "".join(rng.choice(list("QRSTUVWXYZ0123456789"), 12)).lower()
+        for _ in range(200)
+    ]
+    hits = sum(
+        int(bloom_batch_might_contain([bloom], n)[0])
+        for n in needles
+        if n not in hay
+    )
+    assert hits < 10  # ~0 expected; generous bound for hash collisions
+
+
+def test_bloom_size():
+    assert len(bloom_build(b"hello world")) == BLOOM_BYTES
+
+
+def test_engine_quoted_term_uses_bloom_and_matches_oracle(
+    spark, tiny_index, tiny_oracle
+):
+    """Quoted terms must return identical results through the bloom-pruned
+    rescue path, including a corpus-wide-refuted term (zero candidates)."""
+    from probe_spark.engine import SearchEngine
+    from probe_spark.oracle import search as oracle_search
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path)
+    assert "tri_bloom" in eng._doc_lens_df.columns
+    for q in ('"error handling"', '"parseJSONToHTML5"', '"zzqqxxnowhere"'):
+        got = eng.search_local(q, k=10)
+        expected = oracle_search(tiny_oracle, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
+
+
+def test_bloom_candidate_ids_refutes_absent_term(spark, tiny_index):
+    from probe_spark.engine import SearchEngine
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path)
+    assert eng._bloom_candidate_ids("zzqqxxnowhere") == []
+    assert eng._bloom_candidate_ids("ab") is None  # too short
