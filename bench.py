@@ -96,6 +96,30 @@ def _scaling_pages(tmp: str) -> str:
     return _SCALING_PAGES
 
 
+def _scaling_tokenize(cores: int, tmp: str) -> float:
+    """The CPU-dominant kernel alone: tokenize+TF over the scaling corpus
+    (mapInPandas, no writes) -- isolates compute scaling from shuffle/write
+    fixed costs.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition
+
+    pages_path = _scaling_pages(tmp)
+    spark = _fresh_spark(cores)
+    try:
+        df = (
+            spark.read.parquet(pages_path)
+            .withColumn("doc_id", F.monotonically_increasing_id())
+            .repartition(int(cores) * 2)
+            .mapInPandas(_tokenize_partition, TOKENS_SCHEMA)
+        )
+        t0 = time.time()
+        df.filter(F.col("term").isNull()).count()
+        return time.time() - t0
+    finally:
+        spark.stop()
+
+
 def _scaling_build(cores: int, tmp: str, out_dir: str) -> float:
     """The scaling job: tokenize + index SCALING_DOCS pages from parquet.
     Returns wall seconds (cold session each time for fairness)."""
@@ -148,10 +172,13 @@ def main() -> None:
                 break
             t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN{i}"))
             t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale8{i}"))
+        kt_hi = _scaling_tokenize(cpus, tmp)
+        kt_lo = _scaling_tokenize(8, tmp)
         ceil1 = _cpu_ceiling(8, cpus)
         ceiling = max(ceil0, ceil1)
         speedup = t_lo / t_hi
         eff = speedup / (cpus / 8)
+        k_eff = (kt_lo / kt_hi) / (cpus / 8)
         result["scaling"] = {
             "job": f"index-build {SCALING_DOCS} synthetic pages",
             "cores_lo": 8,
@@ -170,6 +197,11 @@ def main() -> None:
             "efficiency_vs_host_ceiling": round(min(1.0, eff / ceiling), 3)
             if ceiling > 0
             else None,
+            # the CPU-dominant tokenize+TF kernel alone (no writes): what a
+            # real cluster's executors spend their time on
+            "tokenize_kernel_sec_lo": round(kt_lo, 2),
+            "tokenize_kernel_sec_hi": round(kt_hi, 2),
+            "tokenize_kernel_efficiency": round(k_eff, 3),
         }
 
     from probe_spark.engine import SearchEngine

@@ -105,6 +105,7 @@ class SearchEngine:
         # table exceeds the bound and lookups fall back to the term-pruned
         # parquet read, memoized per term.
         self._df_cache: dict[str, int] = {}
+        self._bloom_cache: dict[str, list[int] | None] = {}
         self._full_dict = False
         if self.n_docs <= 1_000_000:
             pdf = self._terms_df.select("term", "df").toPandas()
@@ -157,6 +158,8 @@ class SearchEngine:
             or len(needle.encode("utf-8")) < 3
         ):
             return None
+        if needle in self._bloom_cache:
+            return self._bloom_cache[needle]
 
         @F.pandas_udf("boolean")
         def _hit(blooms):
@@ -174,9 +177,15 @@ class SearchEngine:
             .limit(self._BLOOM_ISIN_CAP + 1)
             .collect()
         )
-        if len(rows) > self._BLOOM_ISIN_CAP:
-            return None
-        return [int(r["doc_id"]) for r in rows]
+        out = (
+            None
+            if len(rows) > self._BLOOM_ISIN_CAP
+            else [int(r["doc_id"]) for r in rows]
+        )
+        if len(self._bloom_cache) > 1000:  # bound driver memory
+            self._bloom_cache.clear()
+        self._bloom_cache[needle] = out
+        return out
 
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
@@ -202,7 +211,14 @@ class SearchEngine:
             if ids is not None:
                 if not ids:
                     continue  # no doc can contain t
-                base = docs.filter(F.col("doc_id").isin(ids))
+                # one JVM-parsed IN expression: a python-side .isin(ids)
+                # pays a py4j literal conversion PER id (~2ms each -- 5s of
+                # driver time at a few thousand candidates)
+                base = docs.filter(
+                    F.expr(
+                        "doc_id IN (%s)" % ",".join(map(str, ids))
+                    )
+                )
             scans.append(
                 base.filter(F.col("_t").contains(t) | F.col("_u").contains(t))
                 .select(

@@ -53,17 +53,16 @@ def _bit_positions(codes: np.ndarray) -> list[np.ndarray]:
 
 
 def bloom_build(data: bytes) -> bytes:
-    """Bloom filter (BLOOM_BYTES) over the byte trigrams of ``data``."""
-    bits = np.zeros(BLOOM_BYTES, dtype=np.uint8)
+    """Bloom filter (BLOOM_BYTES) over the byte trigrams of ``data``.
+    Bit i lives at byte i>>3, mask 1<<(i&7) -- packbits little bitorder
+    (duplicate positions collapse in the boolean assignment; no slow
+    scatter-or needed)."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
     codes = _tri_codes(data)
     if len(codes):
         for idx in _bit_positions(codes):
-            np.bitwise_or.at(
-                bits,
-                (idx >> np.uint64(3)).astype(np.int64),
-                (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
-            )
-    return bits.tobytes()
+            bits[idx.astype(np.int64)] = True
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def doc_bloom(text: str, url: str) -> bytes:

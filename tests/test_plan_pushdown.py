@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the declarative query plans must keep their
+predicates and projections at the parquet scans (Catalyst pushdown) -- the
+properties that make the engine viable at 100 TB, checked against
+.explain("formatted") output so regressions in plan shape fail loudly."""
+
+import re
+
+import pytest
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_postings_term_filter_pushed_down(spark, tiny_index):
+    """Query-term retrieval must push term IN (...) into the postings scan
+    (row-group pruning on the term-sorted files) and prune columns."""
+    from pyspark.sql import functions as F
+
+    path, _ = tiny_index
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isin(["firewal", "whitelist"]))
+        .select("term", "doc_id", "tf", "doc_len")
+    )
+    plan = _formatted_plan(post)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+    # column pruning: the scan must not read columns we did not select
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"term", "doc_id", "tf", "doc_len"}, cols
+
+
+def test_rescue_scan_docid_pushdown(spark, tiny_index):
+    """The bloom-pruned containment verify pushes doc_id IN (...) into the
+    doc-store scan, so non-candidate row groups are skipped."""
+    from probe_spark.engine import SearchEngine
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path)
+    ids = eng._bloom_candidate_ids("parsejsontohtml5")
+    assert ids  # the fixture corpus contains this string
+    from pyspark.sql import functions as F
+
+    scan = eng._docs().select("doc_id", "text").filter(
+        F.col("doc_id").isin(ids[:50])
+    )
+    plan = _formatted_plan(scan)
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(doc_id", plan), plan
+
+
+def test_docs_url_projection_prunes_text(spark, tiny_index):
+    """Top-k url hydration must not read the text column."""
+    path, _ = tiny_index
+    from probe_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, path)
+    proj = eng._docs().select("doc_id", "url")
+    plan = _formatted_plan(proj)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert "text" not in m.group(1), m.group(1)
+
+
+def test_disjunctive_query_whole_stage_codegen(spark, tiny_index):
+    """The OR-bag scoring path must stay JVM-side (whole-stage codegen
+    spans, no Python evaluation in the hot loop)."""
+    from probe_spark.engine import SearchEngine
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path)
+    df = eng.search("firewall whitelist process", k=10)
+    plan = _formatted_plan(df)
+    # (WholeStageCodegen ids only materialize in the final adaptive plan,
+    # so assert the absence of Python nodes -- the load-bearing property)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # disjunctive path needs no UDF
+    assert "AdaptiveSparkPlan" in plan  # AQE on (skew/coalesce re-planning)
