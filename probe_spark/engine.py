@@ -72,10 +72,16 @@ class SearchEngine:
         spark: SparkSession,
         index_dir: str,
         params: BM25Params = DEFAULT_BM25,
+        bloom_min_docs: int = 50_000,
     ):
+        """``bloom_min_docs``: below this corpus size the trigram-bloom
+        prefilter is skipped -- a full containment scan of a tiny doc store
+        is cheaper than the prefilter's extra job (the bloom pays off when
+        text bytes dwarf bloom bytes + job overhead, i.e. at scale)."""
         self.spark = spark
         self.index_dir = str(index_dir)
         self.params = params
+        self.bloom_min_docs = bloom_min_docs
         p = Path(self.index_dir)
         row = spark.read.parquet(str(p / "stats")).collect()[0]
         self.n_docs = int(row["n_docs"])
@@ -155,6 +161,7 @@ class SearchEngine:
         if (
             self._doc_lens_df is None
             or "tri_bloom" not in self._doc_lens_df.columns
+            or self.n_docs < self.bloom_min_docs
             or len(needle.encode("utf-8")) < 3
         ):
             return None

@@ -531,6 +531,63 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35 on the synthetic
+    embeddings, whose max off-diagonal cosine is ~0.51).  Exhaustive
+    self-join here (exact, oracle-comparable); the scale path buckets with
+    sim_lsh_buckets / sim_ivf_topk first and verifies only colliding pairs
+    -- an exhaustive pair join is quadratic and does not survive 100TB."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "n",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .orderBy("a", "b")
+    )
+
+
+DEDUP_EMBED_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+ORDER BY a, b
+"""
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (8 deterministic integer hyperplanes):
     bucket = 8 sign bits; the scale path for ANN (bucket-join instead of
@@ -853,6 +910,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_embed_cosine": (dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),

@@ -41,7 +41,7 @@ def test_rescue_scan_docid_pushdown(spark, tiny_index):
     from probe_spark.engine import SearchEngine
 
     path, _ = tiny_index
-    eng = SearchEngine(spark, path)
+    eng = SearchEngine(spark, path, bloom_min_docs=0)
     ids = eng._bloom_candidate_ids("parsejsontohtml5")
     assert ids  # the fixture corpus contains this string
     from pyspark.sql import functions as F

@@ -75,7 +75,7 @@ def test_engine_quoted_term_uses_bloom_and_matches_oracle(
     from probe_spark.oracle import search as oracle_search
 
     path, _ = tiny_index
-    eng = SearchEngine(spark, path)
+    eng = SearchEngine(spark, path, bloom_min_docs=0)  # force the prefilter
     assert "tri_bloom" in eng._doc_lens_df.columns
     for q in ('"error handling"', '"parseJSONToHTML5"', '"zzqqxxnowhere"'):
         got = eng.search_local(q, k=10)
@@ -89,6 +89,9 @@ def test_bloom_candidate_ids_refutes_absent_term(spark, tiny_index):
     from probe_spark.engine import SearchEngine
 
     path, _ = tiny_index
-    eng = SearchEngine(spark, path)
+    eng = SearchEngine(spark, path, bloom_min_docs=0)
     assert eng._bloom_candidate_ids("zzqqxxnowhere") == []
     assert eng._bloom_candidate_ids("ab") is None  # too short
+    # below the size gate the prefilter stays out of the way
+    gated = SearchEngine(spark, path)  # default bloom_min_docs
+    assert gated._bloom_candidate_ids("zzqqxxnowhere") is None
