@@ -168,12 +168,14 @@ def main() -> None:
         t_hi = _scaling_build(cpus, tmp, f"{tmp}/scaleN")
         t_lo = _scaling_build(8, tmp, f"{tmp}/scale8")
         for i in (2, 3):  # extra pairs only while time permits
-            if time.time() - wall0 > 220:
+            if time.time() - wall0 > 150:
                 break
             t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN{i}"))
             t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale8{i}"))
         kt_hi = _scaling_tokenize(cpus, tmp)
         kt_lo = _scaling_tokenize(8, tmp)
+        kt_hi = min(kt_hi, _scaling_tokenize(cpus, tmp))
+        kt_lo = min(kt_lo, _scaling_tokenize(8, tmp))
         ceil1 = _cpu_ceiling(8, cpus)
         ceiling = max(ceil0, ceil1)
         speedup = t_lo / t_hi

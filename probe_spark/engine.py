@@ -417,6 +417,19 @@ class SearchEngine:
                 + F.lit(p.b) * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
             )
         )
+        if len(kw_pos) == 1:
+            # single-term query: one posting row per doc, nothing to sum --
+            # no shuffle at all, straight scan -> score -> top-k
+            term = next(iter(kw_pos))
+            scored = cand.select(
+                "doc_id",
+                (F.lit(idfs.get(term, 0.0)) * tf_part).alias("score"),
+            ).filter(F.col("score") > 0.0)
+            if getattr(self, "_boost_coverage", False):
+                scored = scored.withColumn(
+                    "score", F.col("score") * F.lit(3.0)  # cov=1 => 1+1^1.5*2
+                )
+            return scored
         arr = (
             cand.withColumn("term_score", idf_map[F.col("term")] * tf_part)
             .withColumn("pos", pos_map[F.col("term")])
