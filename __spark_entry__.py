@@ -43,6 +43,11 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     _ensure_shipped(spark)
     key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
+    if (ix / "stats").exists() and not (ix / "doc_lens").exists():
+        # stale cache from the pre-doc_lens layout: rebuild
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
     if not (ix / "stats").exists():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
@@ -85,6 +90,25 @@ def probe_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def probe_wand_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (required + And) query through the WAND segment engine:
+    must-keyword segment intersection, then the oracle scorer in-segment
+    (rows-only check; rank identity vs the oracle is pytest-verified)."""
+    from pyspark.sql import Row
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.wand import WandEngine
+
+    ix = _documents_index(spark, sf_dir)
+    if not (Path(ix) / "blocks").exists():
+        compact_index(spark, ix)
+    pairs = WandEngine(spark, ix).search_local("+spark merge AND sort", k=10)
+    return spark.createDataFrame(
+        [Row(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(pairs)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return probe_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -106,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["probe_bm25_topk"] = _shipped(probe_bm25_topk)
     out["probe_wand_topk"] = _shipped(probe_wand_topk)
+    out["probe_wand_bool_topk"] = _shipped(probe_wand_bool_topk)
     return out
 
 

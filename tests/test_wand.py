@@ -131,11 +131,21 @@ def test_wand_multiseg_pruning_identity(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("ix") / "small"
     build_index(spark, pages_df(spark, n), str(d), n_buckets=4)
     compact_index(spark, str(d))
-    segs = {
-        r["seg"]
-        for r in spark.read.parquet(f"{d}/blocks").select("seg").distinct().collect()
-    }
+    blocks = spark.read.parquet(f"{d}/blocks")
+    segs = {r["seg"] for r in blocks.select("seg").distinct().collect()}
     assert len(segs) >= 2, "corpus must span multiple segments"
+    # hot-term skew bound: (term, seg) is the salt -- even a term present
+    # in EVERY doc (e.g. every url contributes 'http') may not put more
+    # than one segment's worth of postings in a single compaction group
+    from pyspark.sql import functions as F
+
+    worst = (
+        blocks.groupBy("term", "seg")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= 8192, f"compaction group exceeds segment bound: {worst}"
     oracle_ix = oracle_corpus(n)
     eng = WandEngine(spark, str(d), phase1_segs=1)
     for q in (
