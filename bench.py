@@ -238,13 +238,21 @@ def main() -> None:
     eng.search_local("spark", 10)
     eng.search_local('"warmup phrase"', 10)
     queries: dict[str, float] = {}
+    all_ts: list[float] = []
     for name, q in HEADLINE.items():
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             eng.search_local(q, 10)
             ts.append(time.time() - t0)
         queries[name] = round(statistics.median(ts), 3)
+        all_ts.extend(ts)
+    all_ts.sort()
+    result["latency"] = {
+        "p50": round(all_ts[len(all_ts) // 2], 3),
+        "p99": round(all_ts[min(len(all_ts) - 1, int(len(all_ts) * 0.99))], 3),
+        "n_samples": len(all_ts),
+    }
 
     # pipeline operators (single run each)
     from probe_spark.entry_queries import (

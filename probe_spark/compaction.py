@@ -129,11 +129,12 @@ def compact_index(
     blocks = joined.groupBy("term", "seg").applyInPandas(
         encode_group, BLOCKS_SCHEMA
     )
+    # the groupBy above already hash-partitioned by (term, seg); sorting
+    # within those partitions gives tight row-group stats for term pruning
+    # WITHOUT another exchange -- a repartitionByRange here would sample
+    # the applyInPandas output and run the block encoding twice
     (
-        blocks.repartitionByRange(
-            max(2, spark.sparkContext.defaultParallelism // 2), "term", "seg"
-        )
-        .sortWithinPartitions("term", "seg", "block_id")
+        blocks.sortWithinPartitions("term", "seg", "block_id")
         .write.mode("overwrite")
         .parquet(str(out / "blocks"))
     )
