@@ -23,7 +23,9 @@ Scale/skew notes:
 
 from __future__ import annotations
 
+import json
 import math
+import time
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -67,6 +69,7 @@ def compact_index(
 ) -> dict:
     """Build the ``blocks`` table from the flat postings.  Idempotent
     overwrite; returns size metrics."""
+    t_start = time.time()
     out = Path(index_dir)
     stats = spark.read.parquet(str(out / "stats")).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
@@ -142,7 +145,14 @@ def compact_index(
     def _bytes(p: Path) -> int:
         return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
-    return {
+    metrics = {
         "flat_bytes": _bytes(out / "postings"),
         "blocks_bytes": _bytes(out / "blocks"),
+        "wall_ms": int((time.time() - t_start) * 1000),
+        "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    # same checkpoint/metrics log as the build (lineage north rule)
+    lineage = out / "lineage"
+    lineage.mkdir(exist_ok=True)
+    (lineage / "compaction.json").write_text(json.dumps(metrics))
+    return metrics

@@ -318,11 +318,31 @@ class WandEngine:
                 return self._score_segs(bdf, idfs, k, term_pos)
             return self._score_segs_bool(bdf, idfs, k, plan, must_kws)
 
+        # a keyword can appear in SEVERAL Term nodes (exception dual-emit,
+        # e.g. "repository OR repositori" where both Terms carry
+        # "repositori"); score_expr sums it once per node, so the upper
+        # bound must scale each term's contribution by its multiplicity
+        from collections import Counter
+
+        mult = Counter(
+            kw
+            for t in elastic.walk_terms(plan.ast)
+            for kw in t.lowercase_keywords
+        )
+        mult_map = F.create_map(
+            *[
+                x
+                for t, v in sorted(mult.items())
+                for x in (F.lit(t), F.lit(float(v)))
+            ]
+        )
         try:
-            # phase 0: per-seg upper bound (sum over terms of max block ub)
+            # phase 0: per-seg upper bound (sum over terms of max block ub
+            # x AST multiplicity)
             seg_ub = (
                 blocks.groupBy("seg", "term")
                 .agg(F.max("ub").alias("tub"))
+                .withColumn("tub", F.col("tub") * mult_map[F.col("term")])
                 .groupBy("seg")
                 .agg(F.sum("tub").alias("seg_ub"))
             )

@@ -153,6 +153,9 @@ def test_wand_multiseg_pruning_identity(spark, tmp_path_factory):
         "+error +handling retry",
         "lock AND token",
         "(timeout OR deadline) AND process",
+        # dual-emit duplicate keyword across Or branches: the segment upper
+        # bound must scale by AST multiplicity or theta over-prunes
+        "repository OR repositori",
     ):
         got = eng.search_local(q, k=10)
         expected = oracle_search(oracle_ix, q, k=10)
