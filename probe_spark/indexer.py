@@ -306,13 +306,17 @@ def build_index(
                 },
             )
             return
+        # task sizing is data-proportional, not a fixed fan-out: at web
+        # scale one bucket can be terabytes, so split by bytes (~64 MB of
+        # input text per tokenize task) with a floor of 2x cores so small
+        # buckets still use the whole machine and stragglers even out
+        par = spark.sparkContext.defaultParallelism
+        bucket_bytes = _dir_bytes(pages_indexed_dir / f"bucket={b}")
+        n_tasks = max(par * 2, int(bucket_bytes // (64 << 20)))
         bucket_pages = (
             spark.read.parquet(str(pages_indexed_dir / f"bucket={b}"))
             .select("doc_id", "url", "lang", "text")
-            # each bucket lands as few files from the phase-A shuffle;
-            # spread tokenization across all cores with 2x task granularity
-            # so stragglers even out (round-robin, no key needed)
-            .repartition(spark.sparkContext.defaultParallelism * 2)
+            .repartition(n_tasks)
         )
         rows = bucket_pages.mapInPandas(_tokenize_partition, TOKENS_SCHEMA)
         rows.persist()
@@ -331,8 +335,11 @@ def build_index(
             rows.filter(F.col("term").isNotNull())
             .select("term", "doc_id", "tf", "doc_len")
             .observe(obs_p, F.count(F.lit(1)).alias("n"))
+            # postings bytes track input text bytes (~1 posting row per
+            # ~10 input bytes, heavily compressed); size the term-hash
+            # shuffle so each output file stays row-group friendly
             .repartition(
-                max(2, spark.sparkContext.defaultParallelism // 2), "term"
+                max(2, par // 2, int(bucket_bytes // (256 << 20))), "term"
             )
             .sortWithinPartitions("term", "doc_id")
         )
