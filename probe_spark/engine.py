@@ -138,13 +138,26 @@ class SearchEngine:
             for f in ("file", "path", "filename", "dir", "directory")
             for v in plan.filters.get(f, [])
         ]
-        if not lang_vals and not url_subs:
+        ext_vals = [
+            v.lower().lstrip(".")
+            for f in ("ext", "extension")
+            for v in plan.filters.get(f, [])
+        ]
+        if not lang_vals and not url_subs and not ext_vals:
             return None
         docs = self._docs()
         if lang_vals:
             docs = docs.filter(F.lower(F.col("lang")).isin(lang_vals))
         for s in url_subs:
             docs = docs.filter(F.lower(F.col("url")).contains(s))
+        if ext_vals:
+            # same regex as oracle.url_extension (shared semantics)
+            ext = F.lower(
+                F.regexp_extract(
+                    F.col("url"), r"\.([A-Za-z0-9]+)([?#].*)?$", 1
+                )
+            )
+            docs = docs.filter(ext.isin(ext_vals))
         return docs
 
     # above this many bloom candidates the isin-pushdown stops paying for

@@ -31,6 +31,7 @@ Design decisions vs the scan-on-demand reference (SURVEY.md SS7.0):
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 from probe_spark import elastic, textkit
@@ -172,9 +173,22 @@ def global_df(index: CorpusIndex, plan: QueryPlan) -> dict[str, int]:
     return out
 
 
+_EXT_RE = re.compile(r"\.([A-Za-z0-9]+)([?#].*)?$")
+
+
+def url_extension(url: str) -> str:
+    """The web analog of a file extension: trailing .alnum run of the url
+    (before any ?query/#fragment), lowercased; '' when absent.  Shared by
+    oracle and engine (filters.rs:98-202 ext class, re-keyed on url)."""
+    m = _EXT_RE.search(url or "")
+    return m.group(1).lower() if m else ""
+
+
 def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
     """F1/F3 for the web schema: lang filter on the lang column; url filters
-    (file/path/filename/dir) as case-insensitive substring on url."""
+    (file/path/filename/dir) as case-insensitive substring on url; ext/
+    extension as the url's trailing extension.  type: has no web meaning
+    (tree-sitter language map) and is ignored -- documented in COVERAGE."""
     keep = []
     lang_vals = {
         v.lower()
@@ -186,10 +200,17 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
         for f in ("file", "path", "filename", "dir", "directory")
         for v in plan.filters.get(f, [])
     ]
+    ext_vals = {
+        v.lower().lstrip(".")
+        for f in ("ext", "extension")
+        for v in plan.filters.get(f, [])
+    }
     for i, d in enumerate(index.docs):
         if lang_vals and d.lang.lower() not in lang_vals:
             continue
         if url_subs and not all(s in d.url.lower() for s in url_subs):
+            continue
+        if ext_vals and url_extension(d.url) not in ext_vals:
             continue
         keep.append(i)
     return keep
