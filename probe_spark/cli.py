@@ -39,7 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--exact", action="store_true")
     s.add_argument("--boost-coverage", action="store_true")
-    s.add_argument("--format", default="text", choices=["text", "json", "markdown"])
+    s.add_argument(
+        "--format", default="text", choices=["text", "json", "markdown", "xml"]
+    )
     s.add_argument("--max-results", type=int)
     s.add_argument("--max-bytes", type=int)
     s.add_argument("--max-tokens", type=int)
@@ -54,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--count", action="store_true")
     g.add_argument("--invert", action="store_true")
     g.add_argument("--limit", type=int, default=20)
+    g.add_argument(
+        "--context", type=int, default=0, metavar="N",
+        help="print matching text lines with N lines of context (grep.rs "
+        "-A/-B analog within each doc)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -123,6 +130,28 @@ def main(argv: list[str] | None = None) -> int:
             m = docs.join(m.select("doc_id"), "doc_id", "leftanti")
         if args.count:
             print(m.count())
+        elif args.context > 0 and not args.invert:
+            import re as _re
+
+            pat = _re.compile(args.pattern)
+            rows = (
+                m.select("doc_id", "url", "text")
+                .orderBy("doc_id")
+                .limit(args.limit)
+                .collect()
+            )
+            for r in rows:
+                lines = (r["text"] or "").splitlines()
+                hit_ix = [i for i, ln in enumerate(lines) if pat.search(ln)]
+                shown: set[int] = set()
+                for i in hit_ix:
+                    for j in range(max(0, i - args.context),
+                                   min(len(lines), i + args.context + 1)):
+                        shown.add(j)
+                print(f"== {r['doc_id']} {r['url']}")
+                for j in sorted(shown):
+                    mark = ":" if j in hit_ix else "-"
+                    print(f"{j + 1}{mark} {lines[j]}")
         else:
             for r in m.select("doc_id", "url").orderBy("doc_id").limit(args.limit).collect():
                 print(r["doc_id"], r["url"])

@@ -67,10 +67,27 @@ def apply_limits(
 
 
 def format_results(rows: list[dict], fmt: str = "text") -> str:
-    """S7 output formatters: text / json / markdown (the web-engine subset
-    of the reference's terminal/markdown/plain/json/xml set)."""
+    """S7 output formatters: text / json / markdown / xml (the web-engine
+    subset of the reference's terminal/markdown/plain/json/xml set,
+    search_output.rs)."""
     if fmt == "json":
         return json.dumps({"results": rows}, default=str)
+    if fmt == "xml":
+        from xml.sax.saxutils import escape
+
+        lines = ["<results>"]
+        for r in rows:
+            lines.append(
+                "  <result rank=\"{rank}\" doc_id=\"{doc}\" "
+                "score=\"{score:.6f}\">{url}</result>".format(
+                    rank=r.get("rank"),
+                    doc=r.get("doc_id"),
+                    score=r.get("score"),
+                    url=escape(str(r.get("url"))),
+                )
+            )
+        lines.append("</results>")
+        return "\n".join(lines)
     if fmt == "markdown":
         lines = ["| rank | doc_id | url | score |", "|---|---|---|---|"]
         lines += [

@@ -52,8 +52,11 @@ def test_formats():
     assert md.startswith("| rank |") and md.count("\n") == 3
     txt = format_results(rs, "text")
     assert len(txt.splitlines()) == 2
+    xml = format_results(rs, "xml")
+    assert xml.startswith("<results>") and xml.endswith("</results>")
+    assert xml.count("<result ") == 2
     with pytest.raises(ValueError):
-        format_results(rs, "xml")
+        format_results(rs, "html")
 
 
 def test_coverage_boost_formula():
@@ -124,3 +127,20 @@ def test_cli_build_search_grep(spark, tmp_path, capsys):
         ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
          "-k", "5", "--wand", "--format", "text"]
     ) == 0
+    _ = capsys.readouterr()
+
+    # grep --context prints matching lines with surrounding context
+    assert main(
+        ["grep", "--index", str(tmp_path / "ix"), "--pattern", "firewall",
+         "--context", "1", "--limit", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "== " in out and ": " in out
+
+    # xml search output
+    assert main(
+        ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
+         "-k", "3", "--format", "xml"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "<results>" in out and "<result " in out
