@@ -120,19 +120,27 @@ def _scaling_tokenize(cores: int, tmp: str) -> float:
         spark.stop()
 
 
-def _scaling_build(cores: int, tmp: str, out_dir: str) -> float:
+def _scaling_build(cores: int, tmp: str, out_dir: str, trials: int = 3) -> float:
     """The scaling job: tokenize + index SCALING_DOCS pages from parquet.
-    Returns wall seconds (cold session each time for fairness)."""
+    One session per core level (warm executors are the steady state a real
+    cluster runs at; both levels get identical treatment), min over
+    ``trials`` runs -- this shared host swings 2-4x between minutes and
+    min-of-N is the only stable statistic."""
     from probe_spark.indexer import build_index
 
     pages_path = _scaling_pages(tmp)
     spark = _fresh_spark(cores)
+    best = float("inf")
     try:
-        t0 = time.time()
-        build_index(
-            spark, spark.read.parquet(pages_path), out_dir, n_buckets=4
-        )
-        return time.time() - t0
+        for i in range(trials):
+            d = f"{out_dir}_{i}"
+            t0 = time.time()
+            build_index(
+                spark, spark.read.parquet(pages_path), d, n_buckets=4
+            )
+            best = min(best, time.time() - t0)
+            shutil.rmtree(d, ignore_errors=True)
+        return best
     finally:
         spark.stop()
 
@@ -164,14 +172,8 @@ def main() -> None:
     # that ceiling (a real N->4N executor cluster has no such ceiling).
     if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
         ceil0 = _cpu_ceiling(8, cpus)
-        wall0 = time.time()
         t_hi = _scaling_build(cpus, tmp, f"{tmp}/scaleN")
         t_lo = _scaling_build(8, tmp, f"{tmp}/scale8")
-        for i in (2, 3):  # extra pairs only while time permits
-            if time.time() - wall0 > 150:
-                break
-            t_hi = min(t_hi, _scaling_build(cpus, tmp, f"{tmp}/scaleN{i}"))
-            t_lo = min(t_lo, _scaling_build(8, tmp, f"{tmp}/scale8{i}"))
         kt_hi = _scaling_tokenize(cpus, tmp)
         kt_lo = _scaling_tokenize(8, tmp)
         kt_hi = min(kt_hi, _scaling_tokenize(cpus, tmp))
