@@ -4,13 +4,24 @@ Stage 3 of the build plan (SURVEY.md SS7.4).  Each (term, segment) group --
 segment = doc_id >> SEG_BITS, i.e. an aligned range of 8192 docs -- is
 encoded into blocks of <= POSTING_BLOCK_SIZE docs:
 
-  blocks(term, seg, block_id, n, first_doc, max_doc, max_tf, ub,
-         docs binary, tfs binary, dls binary)
+  blocks/bucket=i/(term, seg, block_id, n, first_doc, max_doc, max_tf,
+                   min_dl, ub, docs binary, tfs binary, dls binary)
 
-``ub`` is the block-max BM25 upper bound: idf(term) * max over the block of
-tf_part(tf, dl) with the index's global stats -- the WAND pruning metadata
-(plays the role of the reference's SIMD prefilter + early termination,
-SURVEY.md R4/R6).
+Block-max metadata: the WAND upper bound is computed at QUERY time from
+(max_tf, min_dl) with the index's CURRENT global stats --
+tf_part(tf, dl) is increasing in tf and decreasing in dl, so
+idf_now * tf_part(max_tf, min_dl, avgdl_now) dominates every doc in the
+block.  (A stored build-time ub would go stale and make pruning unsound
+as soon as incremental ingest changes N/df/avgdl; the stored ``ub``
+column is informational.)  Plays the role of the reference's SIMD
+prefilter + early termination (SURVEY.md R4/R6).
+
+Compaction is per-postings-bucket, resumable, and incremental: each
+bucket's blocks land under blocks/bucket=<name> and are checkpointed in
+lineage/compaction.json -- re-running compacts only new buckets (e.g.
+streaming deltas), the per-bucket unit mirroring the build's lineage
+(north rule).  Multiple buckets can contribute blocks to the same
+(term, seg); the query side accumulates across them.
 
 Scale/skew notes:
   * the group key (term, seg) IS the salt: a hot term's postings form many
@@ -54,6 +65,7 @@ BLOCKS_SCHEMA = StructType(
         StructField("first_doc", LongType()),
         StructField("max_doc", LongType()),
         StructField("max_tf", IntegerType()),
+        StructField("min_dl", LongType()),
         StructField("ub", DoubleType()),
         StructField("docs", BinaryType()),
         StructField("tfs", BinaryType()),
@@ -61,27 +73,62 @@ BLOCKS_SCHEMA = StructType(
     ]
 )
 
+_STATE = "compaction.json"
+
+
+def _read_state(out: Path) -> dict:
+    p = out / "lineage" / _STATE
+    if p.exists():
+        state = json.loads(p.read_text())
+        if isinstance(state.get("buckets"), dict):
+            return state
+    return {"buckets": {}}
+
+
+def _write_state(out: Path, state: dict) -> None:
+    lineage = out / "lineage"
+    lineage.mkdir(exist_ok=True)
+    tmp = lineage / f".{_STATE}.tmp"
+    tmp.write_text(json.dumps(state))
+    tmp.rename(lineage / _STATE)
+
 
 def compact_index(
     spark: SparkSession,
     index_dir: str,
     params: BM25Params = DEFAULT_BM25,
+    resume: bool = True,
 ) -> dict:
-    """Build the ``blocks`` table from the flat postings.  Idempotent
-    overwrite; returns size metrics."""
+    """Compact flat postings buckets into the ``blocks`` table.  With
+    resume=True (default) buckets already checkpointed in
+    lineage/compaction.json are skipped -- incremental ingest only pays
+    for its deltas.  Returns cumulative size metrics."""
     t_start = time.time()
     out = Path(index_dir)
     stats = spark.read.parquet(str(out / "stats")).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     k1, b = params.k1, params.b
 
-    postings = spark.read.parquet(str(out / "postings")).select(
-        "term", "doc_id", "tf", "doc_len"
+    postings_root = out / "postings"
+    buckets = sorted(
+        d.name.split("=", 1)[1]
+        for d in postings_root.iterdir()
+        if d.is_dir() and d.name.startswith("bucket=")
     )
+    blocks_root = out / "blocks"
+    legacy_flat = blocks_root.exists() and any(
+        f.is_file() and not f.name.startswith(".")
+        for f in blocks_root.iterdir()
+    )
+    if not resume or legacy_flat:
+        # full recompact, or a pre-bucketed layout lingering in the root
+        import shutil
+
+        shutil.rmtree(blocks_root, ignore_errors=True)
+        state = {"buckets": {}}
+    else:
+        state = _read_state(out)
     terms = spark.read.parquet(str(out / "terms")).select("term", "df")
-    joined = postings.join(terms, "term").withColumn(
-        "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
-    )
 
     def encode_group(pdf):
         import numpy as np
@@ -121,6 +168,7 @@ def compact_index(
                     "first_doc": int(d[0]),
                     "max_doc": int(d[-1]),
                     "max_tf": int(t.max()),
+                    "min_dl": int(l.min()),
                     "ub": ub,
                     "docs": encode_doc_block(d),
                     "tfs": varbyte_encode(t),
@@ -129,30 +177,43 @@ def compact_index(
             )
         return pd.DataFrame(rows)
 
-    blocks = joined.groupBy("term", "seg").applyInPandas(
-        encode_group, BLOCKS_SCHEMA
-    )
-    # the groupBy above already hash-partitioned by (term, seg); sorting
-    # within those partitions gives tight row-group stats for term pruning
-    # WITHOUT another exchange -- a repartitionByRange here would sample
-    # the applyInPandas output and run the block encoding twice
-    (
-        blocks.sortWithinPartitions("term", "seg", "block_id")
-        .write.mode("overwrite")
-        .parquet(str(out / "blocks"))
-    )
-
     def _bytes(p: Path) -> int:
         return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
-    metrics = {
+    for bname in buckets:
+        if bname in state["buckets"]:
+            continue
+        t0 = time.time()
+        postings = spark.read.parquet(
+            str(postings_root / f"bucket={bname}")
+        ).select("term", "doc_id", "tf", "doc_len")
+        joined = postings.join(terms, "term").withColumn(
+            "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
+        )
+        blocks = joined.groupBy("term", "seg").applyInPandas(
+            encode_group, BLOCKS_SCHEMA
+        )
+        # the groupBy above already hash-partitioned by (term, seg);
+        # sorting within those partitions gives tight row-group stats for
+        # term pruning WITHOUT another exchange -- a repartitionByRange
+        # here would sample the applyInPandas output and run the block
+        # encoding twice
+        bdir = out / "blocks" / f"bucket={bname}"
+        (
+            blocks.sortWithinPartitions("term", "seg", "block_id")
+            .write.mode("overwrite")
+            .parquet(str(bdir))
+        )
+        state["buckets"][bname] = {
+            "blocks_bytes": _bytes(bdir),
+            "wall_ms": int((time.time() - t0) * 1000),
+            "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        _write_state(out, state)  # per-bucket checkpoint (kill-resume)
+
+    return {
         "flat_bytes": _bytes(out / "postings"),
         "blocks_bytes": _bytes(out / "blocks"),
+        "buckets_compacted": len(state["buckets"]),
         "wall_ms": int((time.time() - t_start) * 1000),
-        "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    # same checkpoint/metrics log as the build (lineage north rule)
-    lineage = out / "lineage"
-    lineage.mkdir(exist_ok=True)
-    (lineage / "compaction.json").write_text(json.dumps(metrics))
-    return metrics

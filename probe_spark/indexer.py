@@ -246,11 +246,17 @@ def build_index(
         manifest = json.loads(manifest_path.read_text())
         n_buckets = manifest["n_buckets"]
     else:
-        # fresh build: drop checkpoints of any previous build in this dir
-        # (stale lineage would pollute metrics and the resume set)
+        # fresh build: drop checkpoints AND derived tables of any previous
+        # build in this dir -- per-bucket writes overwrite only their own
+        # bucket, so a rebuild with fewer buckets would otherwise leave
+        # stale higher-numbered bucket dirs polluting postings/terms/blocks
         import shutil
 
-        shutil.rmtree(out / "lineage", ignore_errors=True)
+        for stale in (
+            "lineage", "postings", "doc_lens", "docs", "terms_partial",
+            "terms", "stats", "blocks",
+        ):
+            shutil.rmtree(out / stale, ignore_errors=True)
         (out / "stream_state.json").unlink(missing_ok=True)
         if validate_extraction:
             from probe_spark.extract import extract_text

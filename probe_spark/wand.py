@@ -60,6 +60,14 @@ _SCORE_SCHEMA = StructType(
 )
 
 
+def idf_map_expr(idfs: dict[str, float]):
+    """Literal map Column term -> idf (missing terms fall out as null,
+    which nulls the product -- those blocks contribute no upper bound)."""
+    return F.create_map(
+        *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
+    )
+
+
 def _wand_supported(plan) -> bool:
     """Queries the segment engine can serve: token-postings semantics only.
     Exact/excluded terms need the doc-store containment rescue, filters
@@ -276,6 +284,26 @@ class WandEngine:
 
         return blocks.groupBy("seg").applyInPandas(score_group, _SCORE_SCHEMA)
 
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Top-k as a ranked DataFrame (rank, doc_id, url, score) -- same
+        shape as SearchEngine.search, urls hydrated from the doc store."""
+        pairs = self.search_local(query, k)
+        from pyspark.sql import Row
+
+        hits = self.spark.createDataFrame(
+            [
+                Row(rank=i + 1, doc_id=int(d), score=float(s))
+                for i, (d, s) in enumerate(pairs)
+            ],
+            "rank int, doc_id long, score double",
+        )
+        docs = self._fallback._docs().select("doc_id", "url")
+        return (
+            hits.join(docs, "doc_id", "left")
+            .select("rank", "doc_id", "url", "score")
+            .orderBy("rank")
+        )
+
     def search_local(
         self, query: str, k: int = 10
     ) -> list[tuple[int, float]]:
@@ -337,11 +365,31 @@ class WandEngine:
             ]
         )
         try:
-            # phase 0: per-seg upper bound (sum over terms of max block ub
-            # x AST multiplicity)
+            # phase 0: per-seg upper bound, computed with CURRENT global
+            # stats from the stats-independent block metadata (max_tf,
+            # min_dl): tf_part is increasing in tf and decreasing in dl,
+            # so idf_now * tf_part(max_tf, min_dl) dominates every doc in
+            # the block.  (A build-time ub would go stale -- and pruning
+            # unsound -- once incremental ingest changes N/df/avgdl.)
+            p = self.params
+            mtf = F.col("max_tf").cast("double")
+            if self.avgdl > 0:
+                tfp = (mtf * F.lit(p.k1 + 1.0)) / (
+                    mtf
+                    + F.lit(p.k1)
+                    * (
+                        F.lit(1.0 - p.b)
+                        + F.lit(p.b)
+                        * (F.col("min_dl").cast("double") / F.lit(self.avgdl))
+                    )
+                )
+            else:  # empty corpus
+                tfp = F.lit(0.0)
+            ub_now = idf_map_expr(idfs)[F.col("term")] * tfp
             seg_ub = (
-                blocks.groupBy("seg", "term")
-                .agg(F.max("ub").alias("tub"))
+                blocks.withColumn("ub_now", ub_now)
+                .groupBy("seg", "term")
+                .agg(F.max("ub_now").alias("tub"))
                 .withColumn("tub", F.col("tub") * mult_map[F.col("term")])
                 .groupBy("seg")
                 .agg(F.sum("tub").alias("seg_ub"))

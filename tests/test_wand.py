@@ -106,6 +106,44 @@ def test_wand_boolean_matches_oracle(spark, compacted, tiny_oracle, query):
         assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
 
 
+def test_wand_search_dataframe_api(spark, compacted):
+    """WandEngine.search returns the SearchEngine-shaped ranked DataFrame
+    with hydrated urls."""
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    rows = WandEngine(spark, path).search("firewall whitelist", k=5).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["url"] and r["score"] > 0 for r in rows)
+
+
+def test_wand_engine_differential_random_queries(spark, compacted, tiny_oracle):
+    """Seeded random query shapes: WandEngine and SearchEngine must agree
+    with the oracle regardless of which internal path serves the query."""
+    import random
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    wand = WandEngine(spark, path, phase1_segs=1)
+    eng = SearchEngine(spark, path)
+    rng = random.Random(42)
+    vocab = ["firewall", "whitelist", "error", "handling", "retry",
+             "process", "timeout", "deadline", "token", "lock"]
+    ops = ["{} {}", "{} AND {}", "{} OR {}", "+{} {}", "({} OR {}) AND {}"]
+    for _ in range(6):
+        shape = rng.choice(ops)
+        words = rng.sample(vocab, shape.count("{}"))
+        q = shape.format(*words)
+        exp = oracle_search(tiny_oracle, q, k=10)
+        for label, got in (("wand", wand.search_local(q, 10)),
+                           ("engine", eng.search_local(q, 10))):
+            assert [d for d, _ in got] == [d for d, _ in exp], (label, q)
+            for (gd, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (label, q, gd)
+
+
 def test_wand_fallback_for_rescue_and_filters(spark, compacted, tiny_oracle):
     """Exact/excluded (containment) terms and field filters route to the
     general engine."""
