@@ -1,0 +1,133 @@
+"""Streaming operators over the events table: watermarked windowed aggs
+(append mode, event time) and gap sessionization via applyInPandasWithState
+-- each verified against batch recomputation of the same semantics."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """The sf0.001 events table split into 4 time-ordered stream files."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("ts")
+        .withColumn("rn", F.monotonically_increasing_id())
+    )
+    rows = ev.count()
+    step = rows // 4 + 1
+    pdf = ev.drop("rn").toPandas().sort_values("ts").reset_index(drop=True)
+    import time as _t
+
+    for i in range(4):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / f"f{i:02d}"))
+            _t.sleep(1.1)  # distinct mtimes => deterministic file order
+    return str(d)
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path, event_files):
+    """Append-mode watermarked windows: every emitted row must equal the
+    batch computation of the same window, and all windows safely behind
+    the final watermark must have been emitted."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, f"{event_files}/f*", max_files=1)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["w_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    batch_events = spark.read.parquet(f"{event_files}/f*")
+    exp_rows = windowed_event_counts(batch_events).collect()
+    exp = {
+        (r["w_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in exp_rows
+    }
+    assert got, "stream emitted nothing"
+    # everything emitted is exactly the batch value
+    for key, (n, s) in got.items():
+        assert key in exp, key
+        assert n == exp[key][0], key
+        assert s == pytest.approx(exp[key][1], rel=1e-9), key
+    # completeness behind the watermark: windows ending before the
+    # watermark at the LAST trigger (max ts of first 3 files - 10 min)
+    import datetime
+
+    pdf3 = spark.read.parquet(*[f"{event_files}/f{i:02d}" for i in range(3)])
+    wm = pdf3.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(minutes=10)
+    due = {k for k, _ in exp.items() if True}
+    due = {
+        (r["w_start"], r["event_type"])
+        for r in exp_rows
+        if r["w_end"] <= wm
+    }
+    missing = due - set(got)
+    assert not missing, f"windows behind the watermark not emitted: {missing}"
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path, event_files):
+    """applyInPandasWithState gap sessions: the latest update per
+    (user, session_start) must equal the batch window-function oracle."""
+    from probe_spark.streaming.events import (
+        read_events_stream,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    gap = 7200  # 2h of silence ends a session
+    stream = read_events_stream(spark, f"{event_files}/f*", max_files=1)
+    q = (
+        sessionize_stream(stream, gap_seconds=gap)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    updates = spark.sql("SELECT * FROM sessions").collect()
+    assert updates
+    # last update per (user, session_start) wins (largest n_events)
+    final: dict = {}
+    for r in updates:
+        key = (r["user_id"], r["session_start"])
+        if key not in final or r["n_events"] > final[key]["n_events"]:
+            final[key] = r
+
+    batch_events = spark.read.parquet(f"{event_files}/f*")
+    exp = {
+        (r["user_id"], r["session_start"]): r
+        for r in sessionize_batch(spark, batch_events, gap_seconds=gap).collect()
+    }
+    assert len(exp) > batch_events.select("user_id").distinct().count(), (
+        "gap too large: no user produced multiple sessions; weak test"
+    )
+    assert set(final) == set(exp)
+    for key, r in final.items():
+        e = exp[key]
+        assert r["session_end"] == e["session_end"], key
+        assert r["n_events"] == e["n_events"], key
+        assert r["value_sum"] == pytest.approx(e["value_sum"], rel=1e-9), key
