@@ -755,6 +755,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions (batch form of the stateful streaming
+    operator streaming/events.py::sessionize_stream): a 2h event-time gap
+    closes a session.  min/max/count only -- order-independent, exact
+    across engines."""
+    from probe_spark.streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    sess = sessionize_batch(spark, ev, gap_seconds=7200)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        sess.select(
+            "user_id",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# gap comparison matches Spark's cast(ts as long) second-truncation:
+# floor(epoch(..)) on the DuckDB side
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts)))::BIGINT > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -915,6 +962,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "events_window": (events_window, EVENTS_WINDOW_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_langid": (text_langid, LANGID_SQL),

@@ -165,14 +165,14 @@ def sessionize_batch(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps (parquet) cannot cast straight to long; go through
+    # timestamp first (identity under the UTC session timezone)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    epoch_lag = F.lag("ts").over(w).cast("timestamp").cast("long")
     gapped = events.withColumn(
         "new_sess",
         (
-            F.coalesce(
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"),
-                F.lit(None),
-            )
-            > gap_seconds
+            F.coalesce(epoch - epoch_lag, F.lit(None)) > gap_seconds
         ).cast("int"),
     ).withColumn(
         "sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(w)
