@@ -81,8 +81,8 @@ def probe_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probe_spark.wand import WandEngine
 
     ix = _documents_index(spark, sf_dir)
-    if not (Path(ix) / "blocks").exists():
-        compact_index(spark, ix)
+    # no-op when every bucket is checkpointed; heals legacy block layouts
+    compact_index(spark, ix, resume=True)
     pairs = WandEngine(spark, ix).search_local("spark merge sort window", k=10)
     return spark.createDataFrame(
         [Row(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(pairs)],
@@ -100,8 +100,7 @@ def probe_wand_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probe_spark.wand import WandEngine
 
     ix = _documents_index(spark, sf_dir)
-    if not (Path(ix) / "blocks").exists():
-        compact_index(spark, ix)
+    compact_index(spark, ix, resume=True)
     pairs = WandEngine(spark, ix).search_local("+spark merge AND sort", k=10)
     return spark.createDataFrame(
         [Row(rank=i + 1, doc_id=d, score=s) for i, (d, s) in enumerate(pairs)],
