@@ -46,9 +46,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-bytes", type=int)
     s.add_argument("--max-tokens", type=int)
     s.add_argument("--wand", action="store_true", help="use the compacted block index")
+    s.add_argument(
+        "--session",
+        help="session id: drop docs already returned for this (session, "
+        "query) and record the new ones (cache.rs S8 analog; cache table "
+        "lives at <index>/session_cache)",
+    )
 
     c = sub.add_parser("compact", help="compact postings into block-max blocks")
     c.add_argument("--index", required=True)
+
+    bm = sub.add_parser(
+        "benchmark", help="time the headline query shapes on an index"
+    )
+    bm.add_argument("--index", required=True)
+    bm.add_argument("--runs", type=int, default=3)
 
     g = sub.add_parser("grep", help="regex grep over the doc store (S5)")
     g.add_argument("--index", required=True)
@@ -104,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
                     query, args.k, args.exact, args.boost_coverage
                 ).collect()
             ]
+        if args.session:
+            from probe_spark.session_cache import SessionCache
+
+            cache = SessionCache(spark, f"{args.index}/session_cache")
+            pairs = [(r["doc_id"], r["score"]) for r in rows]
+            fresh = {d for d, _ in cache.filter_results(args.session, query, pairs)}
+            rows = [r for r in rows if r["doc_id"] in fresh]
+            cache.add_results(
+                args.session, query, [(r["doc_id"], r["score"]) for r in rows]
+            )
         limited = apply_limits(
             rows,
             max_results=args.max_results,
@@ -113,6 +135,32 @@ def main(argv: list[str] | None = None) -> int:
         print(format_results(limited.results, args.format))
         if limited.limits_applied:
             print(f"# skipped {limited.skipped} results (limits)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "benchmark":
+        import statistics
+        import time
+
+        from probe_spark.engine import SearchEngine
+
+        shapes = {
+            "single_term": "spark",
+            "implicit_or": "merge sort window",
+            "required": "+spark merge",
+            "boolean": "(merge OR sort) AND spark",
+            "exact_phrase": '"join scan"',
+        }
+        eng = SearchEngine(spark, args.index)
+        eng.search_local("warmup", 10)
+        timings = {}
+        for name, q in shapes.items():
+            ts = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                eng.search_local(q, 10)
+                ts.append(time.time() - t0)
+            timings[name] = round(statistics.median(ts), 3)
+        print(json.dumps({"runs": args.runs, "median_sec": timings}))
         return 0
 
     if args.cmd == "compact":

@@ -144,3 +144,20 @@ def test_cli_build_search_grep(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "<results>" in out and "<result " in out
+
+    # session cache: second identical search in the same session returns
+    # only not-yet-seen docs (here: none)
+    for expected_n in (3, 0):
+        assert main(
+            ["search", "--index", str(tmp_path / "ix"), "--query",
+             "firewall", "-k", "3", "--session", "s1", "--format", "json"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["results"]) == expected_n, out
+
+    # benchmark subcommand emits one JSON line of median timings
+    assert main(
+        ["benchmark", "--index", str(tmp_path / "ix"), "--runs", "1"]
+    ) == 0
+    bm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(bm["median_sec"]) >= {"single_term", "boolean"}
