@@ -101,10 +101,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.wand:
             from probe_spark.wand import WandEngine
 
-            pairs = WandEngine(spark, args.index).search_local(query, args.k)
             rows = [
-                {"rank": i + 1, "doc_id": d, "url": None, "score": s}
-                for i, (d, s) in enumerate(pairs)
+                r.asDict()
+                for r in WandEngine(spark, args.index)
+                .search(query, args.k)
+                .collect()
             ]
         else:
             from probe_spark.engine import SearchEngine

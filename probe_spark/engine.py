@@ -164,13 +164,13 @@ class SearchEngine:
     # itself; verify with the plain full scan instead
     _BLOOM_ISIN_CAP = 50_000
 
-    def _bloom_candidate_ids(self, needle: str) -> list[int] | None:
+    def _bloom_candidate_ids(self, needle: str):
         """Trigram-bloom prefilter (trigram.py): doc_ids whose bloom holds
         every trigram of ``needle`` -- a SUPERSET of the true containment
-        matches, collected from the slim doc_lens table so the verify scan
-        can push ``doc_id IN (...)`` into the parquet row groups instead of
-        reading the whole text column.  None => prefilter unavailable or
-        not worthwhile (fall back to the full scan)."""
+        matches, from the slim doc_lens table.  Returns a list (collected;
+        verify scan pushes ``doc_id IN (...)`` into parquet row groups), or
+        a lazy candidate DataFrame when the list would exceed the IN cap
+        (caller semi-joins), or None when the prefilter is unavailable."""
         if (
             self._doc_lens_df is None
             or "tri_bloom" not in self._doc_lens_df.columns
@@ -191,17 +191,17 @@ class SearchEngine:
                 return pd.Series([], dtype=bool)
             return pd.Series(bloom_batch_might_contain(blooms, needle))
 
-        rows = (
-            self._doc_lens_df.filter(_hit(F.col("tri_bloom")))
-            .select("doc_id")
-            .limit(self._BLOOM_ISIN_CAP + 1)
-            .collect()
+        cand_df = self._doc_lens_df.filter(_hit(F.col("tri_bloom"))).select(
+            "doc_id"
         )
-        out = (
-            None
-            if len(rows) > self._BLOOM_ISIN_CAP
-            else [int(r["doc_id"]) for r in rows]
-        )
+        rows = cand_df.limit(self._BLOOM_ISIN_CAP + 1).collect()
+        if len(rows) > self._BLOOM_ISIN_CAP:
+            # too many candidates for an IN pushdown: hand back the lazy
+            # candidate frame -- the caller semi-joins it (contains() runs
+            # on far fewer rows even though the text read is not pruned)
+            out: list[int] | DataFrame | None = cand_df
+        else:
+            out = [int(r["doc_id"]) for r in rows]
         if len(self._bloom_cache) > 1000:  # bound driver memory
             self._bloom_cache.clear()
         self._bloom_cache[needle] = out
@@ -228,7 +228,9 @@ class SearchEngine:
         for t in rescues:
             base = docs
             ids = self._bloom_candidate_ids(t)
-            if ids is not None:
+            if isinstance(ids, DataFrame):
+                base = docs.join(ids, "doc_id", "leftsemi")
+            elif ids is not None:
                 if not ids:
                     continue  # no doc can contain t
                 # one JVM-parsed IN expression: a python-side .isin(ids)

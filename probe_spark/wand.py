@@ -305,8 +305,11 @@ class WandEngine:
         )
 
     def search_local(
-        self, query: str, k: int = 10
+        self, query: str, k: int = 10, exact: bool = False
     ) -> list[tuple[int, float]]:
+        if exact:
+            # whole-query exact terms need the containment rescue
+            return self._fallback.search_local(query, k, exact=True)
         plan = elastic.create_query_plan(query)
         if not _wand_supported(plan):
             return self._fallback.search_local(query, k)

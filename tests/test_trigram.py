@@ -85,6 +85,26 @@ def test_engine_quoted_term_uses_bloom_and_matches_oracle(
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
 
 
+def test_bloom_semijoin_path_above_isin_cap(spark, tiny_index, tiny_oracle):
+    """When candidates exceed the IN cap, the verify scan semi-joins the
+    lazy candidate frame -- results stay identical."""
+    from pyspark.sql import DataFrame
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.oracle import search as oracle_search
+
+    path, _ = tiny_index
+    eng = SearchEngine(spark, path, bloom_min_docs=0)
+    eng._BLOOM_ISIN_CAP = 1  # force the semi-join branch
+    assert isinstance(eng._bloom_candidate_ids("error handling"), DataFrame)
+    q = '"error handling" retry'
+    got = eng.search_local(q, k=10)
+    expected = oracle_search(tiny_oracle, q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), gd
+
+
 def test_bloom_candidate_ids_refutes_absent_term(spark, tiny_index):
     from probe_spark.engine import SearchEngine
 
