@@ -180,9 +180,11 @@ def compact_index(
     def _bytes(p: Path) -> int:
         return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
-    for bname in buckets:
-        if bname in state["buckets"]:
-            continue
+    import threading
+
+    state_lock = threading.Lock()
+
+    def _compact_bucket(bname: str) -> None:
         t0 = time.time()
         postings = spark.read.parquet(
             str(postings_root / f"bucket={bname}")
@@ -204,12 +206,24 @@ def compact_index(
             .write.mode("overwrite")
             .parquet(str(bdir))
         )
-        state["buckets"][bname] = {
-            "blocks_bytes": _bytes(bdir),
-            "wall_ms": int((time.time() - t0) * 1000),
-            "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        _write_state(out, state)  # per-bucket checkpoint (kill-resume)
+        with state_lock:
+            state["buckets"][bname] = {
+                "blocks_bytes": _bytes(bdir),
+                "wall_ms": int((time.time() - t0) * 1000),
+                "finished_ts": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
+            _write_state(out, state)  # per-bucket checkpoint (kill-resume)
+
+    todo = [b for b in buckets if b not in state["buckets"]]
+    if todo:
+        # concurrent bucket jobs, same pattern as the build's phase B --
+        # sequential per-bucket jobs would serialize the whole compaction
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(todo), 4)) as ex:
+            list(ex.map(_compact_bucket, todo))
 
     return {
         "flat_bytes": _bytes(out / "postings"),
