@@ -5,16 +5,16 @@ segment = doc_id >> SEG_BITS, i.e. an aligned range of 8192 docs -- is
 encoded into blocks of <= POSTING_BLOCK_SIZE docs:
 
   blocks/bucket=i/(term, seg, block_id, n, first_doc, max_doc, max_tf,
-                   min_dl, ub, docs binary, tfs binary, dls binary)
+                   min_dl, docs binary, tfs binary, dls binary)
 
-Block-max metadata: the WAND upper bound is computed at QUERY time from
-(max_tf, min_dl) with the index's CURRENT global stats --
-tf_part(tf, dl) is increasing in tf and decreasing in dl, so
+Block-max metadata is stats-INDEPENDENT: the WAND upper bound is derived
+at QUERY time from (max_tf, min_dl) with the index's current global stats
+-- tf_part(tf, dl) is increasing in tf and decreasing in dl, so
 idf_now * tf_part(max_tf, min_dl, avgdl_now) dominates every doc in the
 block.  (A stored build-time ub would go stale and make pruning unsound
-as soon as incremental ingest changes N/df/avgdl; the stored ``ub``
-column is informational.)  Plays the role of the reference's SIMD
-prefilter + early termination (SURVEY.md R4/R6).
+as soon as incremental ingest changes N/df/avgdl; it would also force a
+postings x dictionary join per bucket just to get idf.)  Plays the role
+of the reference's SIMD prefilter + early termination (SURVEY.md R4/R6).
 
 Compaction is per-postings-bucket, resumable, and incremental: each
 bucket's blocks land under blocks/bucket=<name> and are checkpointed in
@@ -35,7 +35,6 @@ Scale/skew notes:
 from __future__ import annotations
 
 import json
-import math
 import time
 from pathlib import Path
 
@@ -43,7 +42,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -66,7 +64,6 @@ BLOCKS_SCHEMA = StructType(
         StructField("max_doc", LongType()),
         StructField("max_tf", IntegerType()),
         StructField("min_dl", LongType()),
-        StructField("ub", DoubleType()),
         StructField("docs", BinaryType()),
         StructField("tfs", BinaryType()),
         StructField("dls", BinaryType()),
@@ -105,10 +102,6 @@ def compact_index(
     for its deltas.  Returns cumulative size metrics."""
     t_start = time.time()
     out = Path(index_dir)
-    stats = spark.read.parquet(str(out / "stats")).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    k1, b = params.k1, params.b
-
     postings_root = out / "postings"
     buckets = sorted(
         d.name.split("=", 1)[1]
@@ -128,7 +121,6 @@ def compact_index(
         state = {"buckets": {}}
     else:
         state = _read_state(out)
-    terms = spark.read.parquet(str(out / "terms")).select("term", "df")
 
     def encode_group(pdf):
         import numpy as np
@@ -139,8 +131,6 @@ def compact_index(
         pdf = pdf.sort_values("doc_id")
         term = pdf["term"].iloc[0]
         seg = int(pdf["seg"].iloc[0])
-        df_t = int(pdf["df"].iloc[0])
-        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) if df_t else 0.0
         doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
         tf = pdf["tf"].to_numpy(dtype=np.uint64)
         dl = pdf["doc_len"].to_numpy(dtype=np.uint64)
@@ -151,14 +141,6 @@ def compact_index(
                 tf[i : i + POSTING_BLOCK_SIZE],
                 dl[i : i + POSTING_BLOCK_SIZE],
             )
-            tff = t.astype(np.float64)
-            if avgdl > 0:
-                tp = (tff * (k1 + 1.0)) / (
-                    tff + k1 * (1.0 - b + b * (l.astype(np.float64) / avgdl))
-                )
-                ub = float(idf * tp.max())
-            else:
-                ub = 0.0
             rows.append(
                 {
                     "term": term,
@@ -169,7 +151,6 @@ def compact_index(
                     "max_doc": int(d[-1]),
                     "max_tf": int(t.max()),
                     "min_dl": int(l.min()),
-                    "ub": ub,
                     "docs": encode_doc_block(d),
                     "tfs": varbyte_encode(t),
                     "dls": varbyte_encode(l),
@@ -189,11 +170,16 @@ def compact_index(
         postings = spark.read.parquet(
             str(postings_root / f"bucket={bname}")
         ).select("term", "doc_id", "tf", "doc_len")
-        joined = postings.join(terms, "term").withColumn(
-            "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
-        )
-        blocks = joined.groupBy("term", "seg").applyInPandas(
-            encode_group, BLOCKS_SCHEMA
+        # no dictionary join: block metadata (max_tf, min_dl) is stats-
+        # independent, and the query side derives upper bounds from it
+        # with CURRENT idf/avgdl -- saving a postings x vocab shuffle per
+        # bucket and keeping bounds sound under incremental ingest
+        blocks = (
+            postings.withColumn(
+                "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
+            )
+            .groupBy("term", "seg")
+            .applyInPandas(encode_group, BLOCKS_SCHEMA)
         )
         # the groupBy above already hash-partitioned by (term, seg);
         # sorting within those partitions gives tight row-group stats for
