@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     bm.add_argument("--index", required=True)
     bm.add_argument("--runs", type=int, default=3)
 
+    ex = sub.add_parser(
+        "extract",
+        help="fetch documents from the doc store by doc_id or url "
+        "(the page-granularity analog of probe extract, src/extract/)",
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--doc", type=int, action="append", default=[])
+    ex.add_argument("--url", action="append", default=[])
+    ex.add_argument("--format", default="text", choices=["text", "json"])
+
+    va = sub.add_parser(
+        "validate", help="syntax-check a query without running it (Q10)"
+    )
+    va.add_argument("--query", required=True)
+
     g = sub.add_parser("grep", help="regex grep over the doc store (S5)")
     g.add_argument("--index", required=True)
     g.add_argument("--pattern", required=True)
@@ -75,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "validate":  # pure driver-side, no Spark session
+        from probe_spark.elastic import validate_query
+
+        ok, err = validate_query(args.query)
+        print(json.dumps({"ok": ok, "error": err}))
+        return 0 if ok else 1
 
     from probe_spark.session import get_spark
 
@@ -136,6 +158,33 @@ def main(argv: list[str] | None = None) -> int:
         print(format_results(limited.results, args.format))
         if limited.limits_applied:
             print(f"# skipped {limited.skipped} results (limits)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "extract":
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{args.index}/pages_indexed")
+        cond = None
+        if args.doc:
+            cond = F.col("doc_id").isin(args.doc)
+        if args.url:
+            u = F.col("url").isin(args.url)
+            cond = u if cond is None else (cond | u)
+        if cond is None:
+            print("# nothing requested (--doc/--url)", file=sys.stderr)
+            return 2
+        rows = (
+            docs.filter(cond)
+            .select("doc_id", "url", "lang", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        if args.format == "json":
+            print(json.dumps({"documents": [r.asDict() for r in rows]}))
+        else:
+            for r in rows:
+                print(f"== {r['doc_id']} {r['url']} [{r['lang']}]")
+                print(r["text"])
         return 0
 
     if args.cmd == "benchmark":

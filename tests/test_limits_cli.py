@@ -161,3 +161,20 @@ def test_cli_build_search_grep(spark, tmp_path, capsys):
     ) == 0
     bm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(bm["median_sec"]) >= {"single_term", "boolean"}
+
+    # extract by doc_id / url (page-granularity probe extract analog)
+    assert main(
+        ["extract", "--index", str(tmp_path / "ix"), "--doc", "0",
+         "--doc", "3", "--format", "json"]
+    ) == 0
+    ext = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [d["doc_id"] for d in ext["documents"]] == [0, 3]
+    assert all(d["text"] for d in ext["documents"])
+
+    # validate (Q10) -- no Spark session needed
+    assert main(["validate", "--query", "+error (handler OR retry)"]) == 0
+    ok = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ok["ok"] is True
+    assert main(["validate", "--query", "@ ! ^"]) == 1
+    bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bad["ok"] is False and bad["error"]
