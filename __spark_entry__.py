@@ -59,6 +59,88 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     return str(ix)
 
 
+def _documents_simple_index(spark: SparkSession, sf_dir: str) -> str:
+    """Side index over the documents table built with the SQL-expressible
+    whitespace tokenizer (build_index(tokenizer='simple')) and compacted
+    into block-max blocks.  The probe_index_*_simple entries route their
+    queries through SearchEngine/WandEngine READING these postings/blocks
+    tables, so the driver's DuckDB oracle exercises the inverted index
+    machinery itself (codec, compaction, segment pruning) -- the full-probe
+    tokenizer keeps its own pytest parity suite."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.indexer import build_index
+
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}:simple".encode()).hexdigest()[:12]
+    ix = _CACHE_ROOT / key
+    if not (ix / "stats").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        build_index(spark, pages, str(ix), n_buckets=4, tokenizer="simple")
+    compact_index(spark, str(ix), resume=True)
+    return str(ix)
+
+
+def _rounded_topk(hits: DataFrame, k: int = 10) -> DataFrame:
+    """Round scores to 6dp (absorbing summation-order ulps) and re-rank by
+    (rounded score desc, source doc_id asc) -- the same ordering the SQL
+    oracle applies.  The source doc_id is recovered from the synthetic
+    doc://%08d url, which is rank-stable by construction."""
+    from pyspark.sql import functions as F
+
+    return (
+        hits.select(
+            F.regexp_extract("url", r"(\d+)", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def probe_index_bm25_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 BM25 top-10 for 'spark join' answered THROUGH the inverted index
+    (SearchEngine over postings/terms/stats built with the simple
+    tokenizer); DuckDB oracle = the same BM25 math in SQL (R1_SQL).  The
+    query terms are stemming-invariant, so the elastic pipeline resolves
+    them to the same strings the simple index stores."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search("spark join", k=50))
+
+
+def probe_index_wand_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query/oracle as probe_index_bm25_simple but answered by the
+    segment-pruned WAND engine over the compacted varbyte BLOCK index --
+    puts codec + compaction + block-max pruning under the DuckDB oracle."""
+    from probe_spark.wand import WandEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = WandEngine(spark, ix)
+    return _rounded_topk(eng.search("spark join", k=50))
+
+
+def probe_index_bool_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 boolean expression '+spark +join -window' through the index
+    (required-first gate + vectorized lane scorer + exclusion containment
+    rescue); DuckDB oracle = R2_SQL.  Containment == token semantics here:
+    the synthetic vocabulary has no superstrings of 'window' and the
+    doc:// urls contain no letters from it."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search("+spark +join -window", k=50))
+
+
 def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: elastic-query BM25 top-10 through the distributed inverted
     index with the FULL probe tokenizer (rank-identity vs the pure-Python
@@ -130,10 +212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_bm25_topk"] = _shipped(probe_bm25_topk)
     out["probe_wand_topk"] = _shipped(probe_wand_topk)
     out["probe_wand_bool_topk"] = _shipped(probe_wand_bool_topk)
+    out["probe_index_bm25_simple"] = _shipped(probe_index_bm25_simple)
+    out["probe_index_wand_simple"] = _shipped(probe_index_wand_simple)
+    out["probe_index_bool_simple"] = _shipped(probe_index_bool_simple)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from probe_spark.entry_queries import R1_SQL, R2_SQL
+
+    out = {
         name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None
     }
+    # the simple-tokenizer index entries share the BM25 math oracles: the
+    # Spark side reads the REAL postings/blocks tables, the SQL recomputes
+    # the same scores from raw text
+    out["probe_index_bm25_simple"] = R1_SQL
+    out["probe_index_wand_simple"] = R1_SQL
+    out["probe_index_bool_simple"] = R2_SQL
+    return out

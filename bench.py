@@ -96,17 +96,23 @@ def _scaling_pages(tmp: str) -> str:
     return _SCALING_PAGES
 
 
-def _scaling_tokenize(cores: int, tmp: str) -> float:
-    """The CPU-dominant kernel alone: tokenize+TF over the scaling corpus
-    (mapInPandas, no writes) -- isolates compute scaling from shuffle/write
-    fixed costs.  Returns wall seconds."""
+def _scaling_trial(cores: int, tmp: str, out_dir: str) -> tuple[float, float]:
+    """One scaling trial at ``cores``: (build seconds, tokenize-kernel
+    seconds) from a fresh session.  The kernel (tokenize+TF mapInPandas, no
+    writes) isolates compute scaling from shuffle/write fixed costs; the
+    build that precedes it doubles as JIT/codegen warm-up, identical at
+    both levels."""
     from pyspark.sql import functions as F
 
-    from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition
+    from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition, build_index
 
     pages_path = _scaling_pages(tmp)
     spark = _fresh_spark(cores)
     try:
+        t0 = time.time()
+        build_index(spark, spark.read.parquet(pages_path), out_dir, n_buckets=4)
+        build_sec = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
         df = (
             spark.read.parquet(pages_path)
             .withColumn("doc_id", F.monotonically_increasing_id())
@@ -115,34 +121,24 @@ def _scaling_tokenize(cores: int, tmp: str) -> float:
         )
         t0 = time.time()
         df.filter(F.col("term").isNull()).count()
-        return time.time() - t0
+        return build_sec, time.time() - t0
     finally:
         spark.stop()
 
 
-def _scaling_build(cores: int, tmp: str, out_dir: str, trials: int = 3) -> float:
-    """The scaling job: tokenize + index SCALING_DOCS pages from parquet.
-    One session per core level (warm executors are the steady state a real
-    cluster runs at; both levels get identical treatment), min over
-    ``trials`` runs -- this shared host swings 2-4x between minutes and
-    min-of-N is the only stable statistic."""
-    from probe_spark.indexer import build_index
-
-    pages_path = _scaling_pages(tmp)
-    spark = _fresh_spark(cores)
-    best = float("inf")
-    try:
-        for i in range(trials):
-            d = f"{out_dir}_{i}"
-            t0 = time.time()
-            build_index(
-                spark, spark.read.parquet(pages_path), d, n_buckets=4
-            )
-            best = min(best, time.time() - t0)
-            shutil.rmtree(d, ignore_errors=True)
-        return best
-    finally:
-        spark.stop()
+def _scaling_min_of_interleaved(
+    cpus: int, tmp: str
+) -> tuple[float, float, float, float]:
+    """Min-of-2 INTERLEAVED trials per level, mirrored order (lo hi hi lo)
+    so a drifting host window hits both levels symmetrically -- this shared
+    box swings 2-4x between minutes and min-of-N over interleaved runs is
+    the only stable statistic.  Returns (t_lo, t_hi, kt_lo, kt_hi)."""
+    best = {8: [float("inf"), float("inf")], cpus: [float("inf"), float("inf")]}
+    for i, cores in enumerate((8, cpus, cpus, 8)):
+        b, k = _scaling_trial(cores, tmp, f"{tmp}/scale_{cores}_{i}")
+        best[cores][0] = min(best[cores][0], b)
+        best[cores][1] = min(best[cores][1], k)
+    return best[8][0], best[cpus][0], best[8][1], best[cpus][1]
 
 
 def main() -> None:
@@ -172,12 +168,7 @@ def main() -> None:
     # that ceiling (a real N->4N executor cluster has no such ceiling).
     if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
         ceil0 = _cpu_ceiling(8, cpus)
-        t_hi = _scaling_build(cpus, tmp, f"{tmp}/scaleN")
-        t_lo = _scaling_build(8, tmp, f"{tmp}/scale8")
-        kt_hi = _scaling_tokenize(cpus, tmp)
-        kt_lo = _scaling_tokenize(8, tmp)
-        kt_hi = min(kt_hi, _scaling_tokenize(cpus, tmp))
-        kt_lo = min(kt_lo, _scaling_tokenize(8, tmp))
+        t_lo, t_hi, kt_lo, kt_hi = _scaling_min_of_interleaved(cpus, tmp)
         ceil1 = _cpu_ceiling(8, cpus)
         ceiling = max(ceil0, ceil1)
         speedup = t_lo / t_hi
@@ -239,6 +230,8 @@ def main() -> None:
     # text-scan path (first string-contains scan pays a one-time JIT cost)
     eng.search_local("spark", 10)
     eng.search_local('"warmup phrase"', 10)
+    # warm the general boolean path too (pivot agg + lane scorer codegen)
+    eng.search_local("+spark merge", 10)
     queries: dict[str, float] = {}
     all_ts: list[float] = []
     for name, q in HEADLINE.items():
@@ -270,9 +263,12 @@ def main() -> None:
         ("op_sim_cosine", sim_cosine_topk),
         ("op_text_quality", text_quality),
     ]:
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        queries[name] = round(time.time() - t0, 3)
+        ts = []
+        for _ in range(2):  # min-of-2: single shots are window-noise
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            ts.append(time.time() - t0)
+        queries[name] = round(min(ts), 3)
 
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)

@@ -121,12 +121,21 @@ def main(argv: list[str] | None = None) -> int:
 
         query = " AND ".join(args.query)
         if args.wand:
+            if args.boost_coverage:
+                # the segment engine has no coverage-boost path; silently
+                # dropping the flag would return unboosted scores
+                print(
+                    "error: --boost-coverage is not supported with --wand "
+                    "(use the flat engine)",
+                    file=sys.stderr,
+                )
+                return 2
             from probe_spark.wand import WandEngine
 
             rows = [
                 r.asDict()
                 for r in WandEngine(spark, args.index)
-                .search(query, args.k)
+                .search(query, args.k, exact=args.exact)
                 .collect()
             ]
         else:
@@ -142,7 +151,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.session:
             from probe_spark.session_cache import SessionCache
 
-            cache = SessionCache(spark, f"{args.index}/session_cache")
+            cache = SessionCache(
+                spark, f"{args.index}/session_cache", index_dir=args.index
+            )
             pairs = [(r["doc_id"], r["score"]) for r in rows]
             fresh = {d for d, _ in cache.filter_results(args.session, query, pairs)}
             rows = [r for r in rows if r["doc_id"] in fresh]
@@ -239,14 +250,24 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()
             )
             for r in rows:
-                lines = (r["text"] or "").splitlines()
+                # the JVM rlike above is only a prefilter; the Python regex
+                # is the single source of truth for what gets printed, so
+                # dialect differences can't produce a header with no lines
+                text = r["text"] or ""
+                lines = text.splitlines()
                 hit_ix = [i for i, ln in enumerate(lines) if pat.search(ln)]
+                print(f"== {r['doc_id']} {r['url']}")
+                if not hit_ix:
+                    if pat.search(text):
+                        print("  (match spans lines; no single-line hit)")
+                    else:
+                        print("  (JVM-only match; Python regex found none)")
+                    continue
                 shown: set[int] = set()
                 for i in hit_ix:
                     for j in range(max(0, i - args.context),
                                    min(len(lines), i + args.context + 1)):
                         shown.add(j)
-                print(f"== {r['doc_id']} {r['url']}")
                 for j in sorted(shown):
                     mark = ":" if j in hit_ix else "-"
                     print(f"{j + 1}{mark} {lines[j]}")

@@ -73,6 +73,47 @@ BLOCKS_SCHEMA = StructType(
 _STATE = "compaction.json"
 
 
+def encode_posting_group(pdf):
+    """One (term, seg) group of flat postings -> compressed block rows
+    (BLOCKS_SCHEMA).  Module-level so WandEngine can encode ad-hoc posting
+    sets (e.g. excluded-term containment rows) into the same block shape
+    its scorer decodes."""
+    import numpy as np
+    import pandas as pd
+
+    from probe_spark.codec import encode_doc_block, varbyte_encode
+
+    pdf = pdf.sort_values("doc_id")
+    term = pdf["term"].iloc[0]
+    seg = int(pdf["seg"].iloc[0])
+    doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
+    tf = pdf["tf"].to_numpy(dtype=np.uint64)
+    dl = pdf["doc_len"].to_numpy(dtype=np.uint64)
+    rows = []
+    for i in range(0, len(doc), POSTING_BLOCK_SIZE):
+        d, t, l = (
+            doc[i : i + POSTING_BLOCK_SIZE],
+            tf[i : i + POSTING_BLOCK_SIZE],
+            dl[i : i + POSTING_BLOCK_SIZE],
+        )
+        rows.append(
+            {
+                "term": term,
+                "seg": seg,
+                "block_id": i // POSTING_BLOCK_SIZE,
+                "n": len(d),
+                "first_doc": int(d[0]),
+                "max_doc": int(d[-1]),
+                "max_tf": int(t.max()),
+                "min_dl": int(l.min()),
+                "docs": encode_doc_block(d),
+                "tfs": varbyte_encode(t),
+                "dls": varbyte_encode(l),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def _read_state(out: Path) -> dict:
     p = out / "lineage" / _STATE
     if p.exists():
@@ -119,44 +160,13 @@ def compact_index(
 
         shutil.rmtree(blocks_root, ignore_errors=True)
         state = {"buckets": {}}
+        # persist the cleared state BEFORE launching bucket jobs: a crash
+        # between the rmtree and the first bucket checkpoint would otherwise
+        # leave a stale compaction.json claiming all buckets compacted while
+        # the blocks table is gone
+        _write_state(out, state)
     else:
         state = _read_state(out)
-
-    def encode_group(pdf):
-        import numpy as np
-        import pandas as pd
-
-        from probe_spark.codec import encode_doc_block, varbyte_encode
-
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        seg = int(pdf["seg"].iloc[0])
-        doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
-        tf = pdf["tf"].to_numpy(dtype=np.uint64)
-        dl = pdf["doc_len"].to_numpy(dtype=np.uint64)
-        rows = []
-        for i in range(0, len(doc), POSTING_BLOCK_SIZE):
-            d, t, l = (
-                doc[i : i + POSTING_BLOCK_SIZE],
-                tf[i : i + POSTING_BLOCK_SIZE],
-                dl[i : i + POSTING_BLOCK_SIZE],
-            )
-            rows.append(
-                {
-                    "term": term,
-                    "seg": seg,
-                    "block_id": i // POSTING_BLOCK_SIZE,
-                    "n": len(d),
-                    "first_doc": int(d[0]),
-                    "max_doc": int(d[-1]),
-                    "max_tf": int(t.max()),
-                    "min_dl": int(l.min()),
-                    "docs": encode_doc_block(d),
-                    "tfs": varbyte_encode(t),
-                    "dls": varbyte_encode(l),
-                }
-            )
-        return pd.DataFrame(rows)
 
     def _bytes(p: Path) -> int:
         return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
@@ -179,7 +189,7 @@ def compact_index(
                 "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
             )
             .groupBy("term", "seg")
-            .applyInPandas(encode_group, BLOCKS_SCHEMA)
+            .applyInPandas(encode_posting_group, BLOCKS_SCHEMA)
         )
         # the groupBy above already hash-partitioned by (term, seg);
         # sorting within those partitions gives tight row-group stats for

@@ -29,3 +29,34 @@ MAX_QUERY_TERMS = 256
 # Posting-list block size (docs per compressed block) for the varbyte index
 # and block-max WAND metadata.
 POSTING_BLOCK_SIZE = 128
+
+# Language alias normalization (normalize_language_alias,
+# /root/reference/src/search/search_runner.rs:1904-1921).  Applied to BOTH
+# the lang: filter value and the document lang label (the reference
+# normalizes the requested language before consulting its language map;
+# normalizing both sides is the symmetric web-schema analog), shared by
+# engine and oracle so rank identity holds.
+LANG_ALIASES = {
+    "rs": "rust",
+    "js": "javascript",
+    "jsx": "javascript",
+    "ts": "typescript",
+    "tsx": "typescript",
+    "py": "python",
+    "h": "c",
+    "cc": "cpp",
+    "cxx": "cpp",
+    "hpp": "cpp",
+    "hxx": "cpp",
+    "rb": "ruby",
+    "cs": "csharp",
+    "sol": "solidity",
+    "cr": "crystal",
+    "hs": "haskell",
+    "lhs": "haskell",
+}
+
+
+def normalize_lang(value: str) -> str:
+    v = (value or "").lower()
+    return LANG_ALIASES.get(v, v)

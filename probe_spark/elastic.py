@@ -29,13 +29,18 @@ class ParseError(Exception):
 
 @dataclass(frozen=True)
 class Term:
-    """elastic_query.rs:27-34."""
+    """elastic_query.rs:27-34.  ``raw`` keeps the pre-expansion keyword(s)
+    (the user's original ident, dots intact) for the filename auto-detect
+    (filters.rs:302-328) -- expansion splits 'main.rs' into tokens, so the
+    detection must look at the raw form."""
 
     keywords: tuple[str, ...]
     field: str | None = None
     required: bool = False
     excluded: bool = False
     exact: bool = False
+    # carried metadata, not part of term identity (goldens compare Terms)
+    raw: tuple[str, ...] | None = dc_field(default=None, compare=False)
 
     @property
     def lowercase_keywords(self) -> tuple[str, ...]:
@@ -231,6 +236,7 @@ class _Parser:
             required=required,
             excluded=excluded,
             exact=primary.exact,
+            raw=primary.keywords,
         )
 
     def parse_primary(self) -> Expr:
@@ -337,7 +343,10 @@ def is_only_excluded_terms(expr: Expr) -> bool:
 def update_exact(expr: Expr) -> Expr:
     """query.rs:256-271 (update_ast_exact)."""
     if isinstance(expr, Term):
-        return Term(expr.keywords, expr.field, expr.required, expr.excluded, True)
+        return Term(
+            expr.keywords, expr.field, expr.required, expr.excluded, True,
+            expr.raw,
+        )
     klass = type(expr)
     return klass(update_exact(expr.left), update_exact(expr.right))
 
@@ -452,6 +461,38 @@ FILTER_FIELDS = frozenset(
 )  # filters.rs:353-368
 
 
+# filters.rs:390-427 (common_extensions) -- ported verbatim
+_FILENAME_EXTENSIONS = (
+    ".txt", ".md", ".rs", ".js", ".ts", ".py", ".java", ".c", ".cpp", ".h",
+    ".go", ".json", ".yaml", ".yml", ".toml", ".xml", ".html", ".css",
+    ".scss", ".sass", ".sh", ".bash", ".zsh", ".fish", ".rb", ".php",
+    ".swift", ".kt", ".scala", ".sql", ".csv", ".log", ".conf", ".config",
+    ".env", ".gitignore", ".dockerfile", ".makefile", ".cmake", ".gradle",
+    ".properties", ".ini", ".cfg",
+)
+
+# filters.rs:444-457 (common_files) -- ported verbatim
+_FILENAME_COMMON = (
+    "makefile", "dockerfile", "readme", "license", "changelog",
+    "contributing", "codeowners", "authors", "notice", "cargo.toml",
+    "package.json",
+)
+
+
+def is_filename_like(term: str) -> bool:
+    """filters.rs:375-465 (is_filename_like): known extension, dotfile, or
+    common filename prefix.  Drives the F2 auto-detect: an unfielded term
+    that looks like a filename becomes a filename (url-substring) filter."""
+    if not term.strip():
+        return False
+    t = term.lower()
+    if any(t.endswith(ext) for ext in _FILENAME_EXTENSIONS):
+        return True
+    if term.startswith(".") and "/" not in term and len(term) > 1:
+        return True
+    return any(t == f or t.startswith(f) for f in _FILENAME_COMMON)
+
+
 @dataclass
 class QueryPlan:
     """query.rs:33-62, minus caches (vectorized eval needs none)."""
@@ -477,10 +518,15 @@ class QueryPlan:
         return out
 
 
-def extract_filters(expr: Expr) -> tuple[dict[str, list[str]], Expr | None]:
-    """filters.rs:205-266 (extract_and_simplify, without filename autodetect
-    -- web urls are not filename-like code files, and autodetect would
-    misfire on dotted tokens; field filters only)."""
+def extract_filters(
+    expr: Expr, autodetect: bool = True
+) -> tuple[dict[str, list[str]], Expr | None]:
+    """filters.rs:205-351 (extract_and_simplify_with_autodetect): field
+    filters plus F2 filename auto-detect -- an unfielded, non-required,
+    non-excluded term whose RAW (pre-expansion) keywords all look
+    filename-like (filters.rs:302-328) becomes a ``filename`` filter (url
+    substring on the web schema).  The raw form is used because parse-time
+    expansion splits 'main.rs' into tokens."""
     filters: dict[str, list[str]] = {}
 
     def simplify(e: Expr) -> Expr | None:
@@ -488,6 +534,16 @@ def extract_filters(expr: Expr) -> tuple[dict[str, list[str]], Expr | None]:
             if e.field is not None and e.field.lower() in FILTER_FIELDS:
                 filters.setdefault(e.field.lower(), []).extend(e.keywords)
                 return None
+            if (
+                autodetect
+                and e.field is None
+                and not e.required
+                and not e.excluded
+            ):
+                raw = e.raw if e.raw is not None else e.keywords
+                if raw and all(is_filename_like(kw) for kw in raw):
+                    filters.setdefault("filename", []).extend(raw)
+                    return None
             return e
         left = simplify(e.left)
         right = simplify(e.right)

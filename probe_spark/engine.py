@@ -113,7 +113,10 @@ class SearchEngine:
         self._df_cache: dict[str, int] = {}
         self._bloom_cache: dict[str, list[int] | None] = {}
         self._full_dict = False
-        if self.n_docs <= 1_000_000:
+        # guard the whole-dictionary preload by VOCABULARY size, not doc
+        # count (web vocab at 1M docs can be tens of millions of terms);
+        # row counts come from parquet footers -- driver-side, no job
+        if self._vocab_rows(p / "terms") <= 2_000_000:
             pdf = self._terms_df.select("term", "df").toPandas()
             self._df_cache = dict(
                 zip(pdf["term"], (int(x) for x in pdf["df"]))
@@ -122,14 +125,30 @@ class SearchEngine:
 
     # -- helpers ------------------------------------------------------------
 
+    @staticmethod
+    def _vocab_rows(terms_dir: Path) -> int:
+        """Term-dictionary row count from parquet footer metadata (no Spark
+        job; footers are a few KB regardless of table size)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in Path(terms_dir).rglob("*.parquet"):
+            try:
+                total += pq.ParquetFile(str(f)).metadata.num_rows
+            except Exception:  # unreadable footer: assume big, skip preload
+                return 1 << 62
+        return total
+
     def _docs(self) -> DataFrame:
         return self._docs_df
 
     def _filtered_docs(self, plan: QueryPlan) -> DataFrame | None:
         """Apply field filters (F1/F3 web mapping): lang equality, url
         substring.  Returns None when no filters are active."""
+        from probe_spark.config import LANG_ALIASES, normalize_lang
+
         lang_vals = [
-            v.lower()
+            normalize_lang(v)
             for f in ("lang", "language")
             for v in plan.filters.get(f, [])
         ]
@@ -147,7 +166,19 @@ class SearchEngine:
             return None
         docs = self._docs()
         if lang_vals:
-            docs = docs.filter(F.lower(F.col("lang")).isin(lang_vals))
+            # alias-normalize the doc label too (lang:rs == lang:rust,
+            # search_runner.rs:1904-1921) -- tiny literal map, JVM-side
+            alias_map = F.create_map(
+                *[
+                    x
+                    for a, c in sorted(LANG_ALIASES.items())
+                    for x in (F.lit(a), F.lit(c))
+                ]
+            )
+            doc_lang = F.lower(F.col("lang"))
+            docs = docs.filter(
+                F.coalesce(alias_map[doc_lang], doc_lang).isin(lang_vals)
+            )
         for s in url_subs:
             docs = docs.filter(F.lower(F.col("url")).contains(s))
         if ext_vals:
@@ -210,13 +241,18 @@ class SearchEngine:
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
         containment rescue for exact/excluded terms."""
-        terms = list(plan.term_indices)
+        return self._term_rows(plan, list(plan.term_indices))
+
+    def _term_rows(self, plan: QueryPlan, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf, doc_len) rows for the GIVEN terms only, with
+        the containment rescue applied to those that are rescue terms
+        (lets WandEngine fetch just the excluded-term rows)."""
         post = (
             self._postings_df
-            .filter(F.col("term").isin(terms))
+            .filter(F.col("term").isin(list(terms)))
             .select("term", "doc_id", "tf", "doc_len")
         )
-        rescues = sorted(oracle.rescue_terms(plan))
+        rescues = sorted(t for t in oracle.rescue_terms(plan) if t in terms)
         if not rescues:
             return post
         docs = self._docs().select(
@@ -476,8 +512,12 @@ class SearchEngine:
     def _score_general(
         self, cand: DataFrame, plan: QueryPlan, idfs: dict[str, float]
     ) -> DataFrame:
-        """Arrow-vectorized scorer hosting the oracle's score_expr +
-        evaluate -- one implementation, two hosts (SURVEY.md SS7.1)."""
+        """Vectorized boolean scorer: pivot candidate rows into per-term tf
+        columns with one whole-stage-codegen conditional agg (the only
+        shuffle), then evaluate + score the AST as numpy lane ops
+        (lanes.eval_and_score) over the Arrow batch -- no per-doc Python.
+        Rank identity vs the scalar oracle (evaluate + score_expr) is pinned
+        bit-for-bit by tests/test_lanes.py and the q01-q25 suite."""
         from pyspark.sql.types import (
             DoubleType,
             LongType,
@@ -487,6 +527,7 @@ class SearchEngine:
 
         ast = plan.ast
         term_indices = dict(plan.term_indices)
+        term_list = plan.terms  # index order; one tf column per query term
         avgdl = self.avgdl
         params = self.params
         boost = getattr(self, "_boost_coverage", False)
@@ -499,41 +540,49 @@ class SearchEngine:
             ]
         )
 
-        grouped = cand.groupBy("doc_id").agg(
-            F.collect_list("term").alias("terms"),
-            F.collect_list("tf").alias("tfs"),
-            F.first("doc_len").alias("doc_len"),
-        )
+        aggs = [F.first("doc_len").alias("doc_len")]
+        for i, t in enumerate(term_list):
+            aggs.append(
+                F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"_tf{i}")
+            )
+        wide = cand.groupBy("doc_id").agg(*aggs)
 
         def score_batch(iterator):
+            import numpy as np
             import pandas as pd
 
-            from probe_spark.elastic import evaluate
-            from probe_spark.oracle import score_expr
+            from probe_spark.lanes import eval_and_score
 
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
             for pdf in iterator:
-                out_ids, out_scores = [], []
-                for doc_id, terms, tfs, doc_len in zip(
-                    pdf["doc_id"], pdf["terms"], pdf["tfs"], pdf["doc_len"]
-                ):
-                    tf = dict(zip(terms, (int(x) for x in tfs)))
-                    matched = frozenset(
-                        term_indices[t] for t in tf if t in term_indices
-                    )
-                    if not evaluate(ast, matched, term_indices):
-                        continue
-                    s = score_expr(ast, tf, int(doc_len), avgdl, idfs, params)
-                    if s is None:
-                        continue
-                    if boost:
-                        from probe_spark.oracle import coverage_boost
+                if not len(pdf):
+                    yield empty
+                    continue
+                lanes: dict[str, np.ndarray] = {}
+                for i, t in enumerate(term_list):
+                    col = pdf[f"_tf{i}"]
+                    if col.notna().any():
+                        lanes[t] = col.fillna(0).to_numpy(np.int64)
+                dl = pdf["doc_len"].to_numpy(np.int64)
+                keep, scores = eval_and_score(
+                    ast, term_indices, lanes, dl, avgdl, idfs, params
+                )
+                if boost:
+                    matched = np.zeros(len(pdf), dtype=np.int64)
+                    for lane in lanes.values():
+                        matched += lane > 0
+                    cov = np.minimum(matched / float(n_terms), 1.0) if n_terms else 0.0
+                    scores = scores * (1.0 + cov**1.5 * 2.0)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64)[keep],
+                        "score": scores[keep],
+                    }
+                )
 
-                        s = s * coverage_boost(len(matched), n_terms)
-                    out_ids.append(int(doc_id))
-                    out_scores.append(float(s))
-                yield pd.DataFrame({"doc_id": out_ids, "score": out_scores})
-
-        return grouped.mapInPandas(score_batch, out_schema)
+        return wide.mapInPandas(score_batch, out_schema)
 
     def search_local(
         self, query: str, k: int = 10, exact: bool = False

@@ -438,10 +438,38 @@ FROM vote GROUP BY doc_id
 """
 
 
+# drop shingles shared by more than this many docs from near-dup joins: a
+# boilerplate 3-gram in 10^6 docs would otherwise create 10^12 candidate
+# pairs in ONE skewed join key; hot shingles carry no near-dup signal
+_SHINGLE_DF_CAP = 50
+
+
+def _capped_shingles(docs: DataFrame) -> DataFrame:
+    sh = _shingles(docs)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    # the hot list is heavy-hitters only -- small by construction, so the
+    # anti-join broadcasts instead of shuffling the full shingle table
+    return sh.join(F.broadcast(hot), "shingle", "leftanti")
+
+
+_SQL_CAPPED_SHINGLES = f"""
+SELECT * FROM sh WHERE shingle NOT IN (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP})
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs: candidate pairs share a shingle,
-    jaccard = |A inter B| / |A union B|, threshold 0.5."""
-    sh = _shingles(_docs(spark, sf_dir))
+    """N-gram Jaccard near-dup pairs: candidate pairs share a (df-capped)
+    shingle, jaccard = |A inter B| / |A union B| over the capped shingle
+    space, threshold 0.5.  The df cap bounds the hottest join key (see
+    _SHINGLE_DF_CAP) -- without it one boilerplate shingle explodes the
+    self-join quadratically at web scale."""
+    sh = _capped_shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("a")
@@ -468,13 +496,122 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+shc AS ({_SQL_CAPPED_SHINGLES}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-          FROM sh a JOIN sh b USING (shingle)
+          FROM shc a JOIN shc b USING (shingle)
           WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
        round(inter / (sa.n + sb.n - inter), 6) AS jaccard
 FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup pipeline (signatures alone don't dedup):
+    8 minhashes -> b=4 bands x r=2 rows -> candidate pairs share >= 1 band
+    bucket -> exact-Jaccard verify on the candidates only -> pairs with
+    jaccard >= 0.5.
+
+    Scale shape: candidate generation joins on band buckets (bounded
+    multiplicity -- a bucket holds near-identical docs, not the corpus),
+    never on raw shingles; verification touches only candidate pairs.
+    Recall is the standard LSH 1-(1-J^r)^b curve; both hosts compute the
+    SAME md5-derived signatures, so outputs are deterministic and
+    hash-comparable."""
+    sh = _shingles(_docs(spark, sf_dir))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))).alias(
+                f"b{i}"
+            )
+            for i in range(4)
+        ],
+    )
+    cand = None
+    for i in range(4):
+        p = (
+            bands.alias("x")
+            .join(bands.alias("y"), F.col(f"x.b{i}") == F.col(f"y.b{i}"))
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, md5(mh0 || mh1) AS b0, md5(mh2 || mh3) AS b1,
+                 md5(mh4 || mh5) AS b2, md5(mh6 || mh7) AS b3 FROM sig),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
+    ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
+    ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
+    ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
+    ON x.b3 = y.b3 AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / (sa.n + sb.n - inter) >= 0.5
@@ -628,98 +765,176 @@ FROM proj GROUP BY vec_id
 """
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the scale path beyond brute force): 8 deterministic
-    centroids (the first 8 vectors), assign every vector to its nearest
-    centroid (coarse quantizer), then search only the 2 cells nearest the
-    query -- top-5 by cosine within the probed cells."""
-    emb = _emb(spark, sf_dir)
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k_cells: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means over the corpus
+    (strata init on vec_id % k, ``iters`` Lloyd iterations of
+    assign-by-cosine -> per-dimension mean), then probe the ``nprobe``
+    cells nearest the query and rerank exactly by cosine within them.
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm2(a):
-        return F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
-    )
-    # assign: nearest centroid by cosine (broadcast 8 centroids)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        (dot(F.col("embedding"), F.col("c"))
-         / (F.sqrt(norm2(F.col("embedding"))) * F.sqrt(norm2(F.col("c"))))
-         ).alias("sim"),
-    )
+    Everything is long-format DataFrame algebra (explode -> join -> agg),
+    so the identical computation is expressible in the DuckDB oracle.
+    Determinism across hosts/summation orders: centroid components round to
+    6dp, assignment similarities to 9dp with (sim desc, cell asc)
+    tie-breaks.  On clustered data recall is high at small nprobe
+    (tests/test_ivf_recall.py pins >= 0.9); on uniform random vectors NO
+    coarse quantizer beats the probed-fraction baseline (curse of
+    dimensionality) -- the synthetic fixture embeddings are uniform, so the
+    entry's recall there reflects the data, not the machinery, and
+    nprobe=k_cells reproduces brute force exactly (also pinned)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    ed = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    ed = ed.persist()
+    vnorm = ed.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+
+    def assign_sims(cents: DataFrame) -> DataFrame:
+        cnorm = cents.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+        )
+        dots = (
+            ed.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
+        )
+        return (
+            dots.join(vnorm, "vec_id")
+            .join(F.broadcast(cnorm), "cell")
+            .select(
+                "vec_id",
+                "cell",
+                F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 9).alias(
+                    "sim"
+                ),
+            )
+        )
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    cents = (
+        ed.withColumn("cell", (F.col("vec_id") % k_cells).cast("int"))
+        .groupBy("cell", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    for _ in range(iters):
+        assign = (
+            assign_sims(cents)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        cents = (
+            ed.join(assign, "vec_id")
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+    sims = assign_sims(cents).persist()
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
+        sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .select("vec_id", "cell")
     )
-    # probe: the 2 cells nearest the query vector (vec 0)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    probe2 = (
-        scored.filter(F.col("vec_id") == 0)
-        .orderBy(F.desc("sim"), F.asc("cid"))
-        .limit(2)
-        .select(F.col("cid").alias("cell"))
+    probe = (
+        sims.filter(F.col("vec_id") == query_vec_id)
+        .orderBy(F.desc("sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
     )
-    cand = assign.join(probe2, "cell", "leftsemi").filter(F.col("vec_id") != 0)
+    cand = assign.filter(F.col("vec_id") != query_vec_id).join(
+        probe, "cell", "leftsemi"
+    )
+    qd = ed.filter(F.col("vec_id") == query_vec_id).select(
+        "i", F.col("v").alias("qv")
+    )
+    qn = vnorm.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vn").alias("qn")
+    )
     return (
-        cand.crossJoin(F.broadcast(q))
+        ed.join(cand.select("vec_id"), "vec_id", "leftsemi")
+        .join(F.broadcast(qd), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
         .select(
             "vec_id",
-            F.round(
-                dot(F.col("embedding"), F.col("q"))
-                / (
-                    F.sqrt(norm2(F.col("embedding")))
-                    * F.sqrt(norm2(F.col("q")))
-                ),
-                6,
-            ).alias("cos"),
+            F.round(F.col("dot") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(5)
+        .limit(topk)
     )
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN entry: trained 8-cell quantizer (2 Lloyd iterations), probe
+    the 2 cells nearest vec 0, exact cosine top-5 within them (see
+    ivf_topk for the scale/recall discussion)."""
+    return ivf_topk(spark, _emb(spark, sf_dir))
+
+
+# mirrors ivf_topk exactly: strata init, 2 unrolled Lloyd iterations
+# (assign by 9dp-rounded cosine, 6dp-rounded per-dim means), probe 2 cells,
+# exact rerank in the probed cells
 SIM_IVF_SQL = """
-WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
-               FROM embeddings WHERE vec_id < 8),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-scored AS (SELECT vec_id, cid,
-             list_dot_product(ev, c)
-               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(c, c)))
-             AS sim
-           FROM e, cents),
-assign AS (SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY sim DESC, cid ASC) AS rn
-             FROM scored) WHERE rn = 1),
-probe2 AS (SELECT cid AS cell FROM scored WHERE vec_id = 0
-           ORDER BY sim DESC, cid ASC LIMIT 2),
-q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id AS vec_id,
-       round(list_dot_product(ev, qe)
-             / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qe, qe))),
-             6) AS cos
-FROM e JOIN assign ON e.vec_id = assign.vec_id, q
-WHERE assign.cell IN (SELECT cell FROM probe2) AND e.vec_id <> 0
-ORDER BY cos DESC, e.vec_id ASC LIMIT 5
+WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   unnest(embedding)::DOUBLE AS v FROM embeddings),
+vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vn FROM ed GROUP BY vec_id),
+c0 AS (SELECT cell, i, round(avg(v), 6) AS c
+       FROM (SELECT (vec_id % 8)::INT AS cell, i, v FROM ed)
+       GROUP BY cell, i),
+n0 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c0 GROUP BY cell),
+d0 AS (SELECT ed.vec_id, c0.cell, sum(ed.v * c0.c) AS dot
+       FROM ed JOIN c0 USING (i) GROUP BY ed.vec_id, c0.cell),
+s0 AS (SELECT vec_id, cell, round(dot / (vn.vn * n0.cn), 9) AS sim
+       FROM d0 JOIN vn USING (vec_id) JOIN n0 USING (cell)),
+a0 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s0)
+       WHERE rn = 1),
+c1 AS (SELECT a0.cell, ed.i, round(avg(ed.v), 6) AS c
+       FROM ed JOIN a0 USING (vec_id) GROUP BY a0.cell, ed.i),
+n1 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c1 GROUP BY cell),
+d1 AS (SELECT ed.vec_id, c1.cell, sum(ed.v * c1.c) AS dot
+       FROM ed JOIN c1 USING (i) GROUP BY ed.vec_id, c1.cell),
+s1 AS (SELECT vec_id, cell, round(dot / (vn.vn * n1.cn), 9) AS sim
+       FROM d1 JOIN vn USING (vec_id) JOIN n1 USING (cell)),
+a1 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+       WHERE rn = 1),
+c2 AS (SELECT a1.cell, ed.i, round(avg(ed.v), 6) AS c
+       FROM ed JOIN a1 USING (vec_id) GROUP BY a1.cell, ed.i),
+n2 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c2 GROUP BY cell),
+d2 AS (SELECT ed.vec_id, c2.cell, sum(ed.v * c2.c) AS dot
+       FROM ed JOIN c2 USING (i) GROUP BY ed.vec_id, c2.cell),
+s2 AS (SELECT vec_id, cell, round(dot / (vn.vn * n2.cn), 9) AS sim
+       FROM d2 JOIN vn USING (vec_id) JOIN n2 USING (cell)),
+a2 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+       WHERE rn = 1),
+probe AS (SELECT cell FROM s2 WHERE vec_id = 0
+          ORDER BY sim DESC, cell ASC LIMIT 2),
+cand AS (SELECT vec_id FROM a2
+         WHERE vec_id <> 0 AND cell IN (SELECT cell FROM probe)),
+q AS (SELECT i, v AS qv FROM ed WHERE vec_id = 0),
+qn AS (SELECT vn AS qn FROM vn WHERE vec_id = 0),
+dq AS (SELECT ed.vec_id, sum(ed.v * q.qv) AS dot
+       FROM ed JOIN cand USING (vec_id) JOIN q USING (i)
+       GROUP BY ed.vec_id)
+SELECT dq.vec_id, round(dq.dot / (vn.vn * qn.qn), 6) AS cos
+FROM dq JOIN vn USING (vec_id) CROSS JOIN qn
+ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
@@ -778,14 +993,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# gap comparison matches Spark's cast(ts as long) second-truncation:
-# floor(epoch(..)) on the DuckDB side
+# gap comparison at MICROSECOND precision on both sides (same as the
+# stateful streaming operator's state math)
 EVENTS_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts,
-         CASE WHEN floor(epoch(ts))::BIGINT
-                   - floor(epoch(lag(ts) OVER
-                       (PARTITION BY user_id ORDER BY ts)))::BIGINT > 7200
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts) > 7200000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events),
 s AS (
@@ -957,6 +1172,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_embed_cosine": (dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),

@@ -76,55 +76,77 @@ TOKENS_SCHEMA = StructType(
 )
 
 
-def _tokenize_partition(iterator):
-    """mapInPandas: one input row per doc -> one output row per unique term
-    (term != null) carrying (tf, doc_len); plus one row with term = null per
-    doc carrying the doc-store payload.  Tokenization is the shared textkit
-    pipeline -- identical bytes-in/tokens-out as the oracle."""
-    import pandas as pd
+def _make_tokenize_partition(tokenizer: str = "probe"):
+    """Factory for the tokenize mapInPandas fn.  ``tokenizer``:
 
-    from probe_spark.textkit import preprocess_text_with_url
-    from probe_spark.trigram import doc_bloom
+      * "probe"  -- the full shared textkit pipeline (text ++ url tokens),
+        identical bytes-in/tokens-out as the oracle (the production path);
+      * "simple" -- single-space split of text only.  This is the
+        SQL-expressible tokenizer used by the probe_index_*_simple driver
+        entries, so the DuckDB oracle can exercise the index build + query
+        machinery (postings/terms/stats/blocks) end-to-end while the
+        tokenizer itself is verified by its own parity suite.
+    """
 
-    for pdf in iterator:
-        out = {
-            "doc_id": [],
-            "url": [],
-            "lang": [],
-            "text": [],
-            "doc_len": [],
-            "term": [],
-            "tf": [],
-            "tri_bloom": [],
-        }
-        for doc_id, url, lang, text in zip(
-            pdf["doc_id"], pdf["url"], pdf["lang"], pdf["text"]
-        ):
-            toks = preprocess_text_with_url(text or "", url or "")
-            counts: dict[str, int] = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            dl = len(toks)
-            # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
-            out["doc_id"].append(doc_id)
-            out["url"].append(url)
-            out["lang"].append(lang)
-            out["text"].append(text)
-            out["doc_len"].append(dl)
-            out["term"].append(None)
-            out["tf"].append(0)
-            out["tri_bloom"].append(doc_bloom(text, url))
-            # posting rows
-            for t, c in counts.items():
+    def fn(iterator):
+        import pandas as pd
+
+        from probe_spark.textkit import preprocess_text_with_url
+        from probe_spark.trigram import doc_bloom
+
+        if tokenizer == "simple":
+            def _toks(text, url):
+                return [t for t in (text or "").split(" ") if t]
+        else:
+            def _toks(text, url):
+                return preprocess_text_with_url(text or "", url or "")
+
+        for pdf in iterator:
+            out = {
+                "doc_id": [],
+                "url": [],
+                "lang": [],
+                "text": [],
+                "doc_len": [],
+                "term": [],
+                "tf": [],
+                "tri_bloom": [],
+            }
+            for doc_id, url, lang, text in zip(
+                pdf["doc_id"], pdf["url"], pdf["lang"], pdf["text"]
+            ):
+                toks = _toks(text, url)
+                counts: dict[str, int] = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                dl = len(toks)
+                # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
                 out["doc_id"].append(doc_id)
-                out["url"].append(None)
-                out["lang"].append(None)
-                out["text"].append(None)
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["text"].append(text)
                 out["doc_len"].append(dl)
-                out["term"].append(t)
-                out["tf"].append(c)
-                out["tri_bloom"].append(None)
-        yield pd.DataFrame(out)
+                out["term"].append(None)
+                out["tf"].append(0)
+                out["tri_bloom"].append(doc_bloom(text, url))
+                # posting rows
+                for t, c in counts.items():
+                    out["doc_id"].append(doc_id)
+                    out["url"].append(None)
+                    out["lang"].append(None)
+                    out["text"].append(None)
+                    out["doc_len"].append(dl)
+                    out["term"].append(t)
+                    out["tf"].append(c)
+                    out["tri_bloom"].append(None)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+# the production (full probe pipeline) tokenize fn -- the name the rest of
+# the codebase (incremental ingest, bench kernel) imports
+_tokenize_partition = _make_tokenize_partition("probe")
 
 
 def _assign_doc_ids(
@@ -229,11 +251,14 @@ def build_index(
     resume: bool = False,
     validate_extraction: bool = False,
     fail_buckets: frozenset[int] = frozenset(),
+    tokenizer: str = "probe",
 ) -> dict:
     """Build (or resume) the inverted index from a pages DataFrame.
 
     ``fail_buckets`` injects a failure after the named buckets complete --
-    used by the kill-resume test only.
+    used by the kill-resume test only.  ``tokenizer`` selects the tokenize
+    UDF (see _make_tokenize_partition); it is recorded in the manifest and
+    honored on resume.
 
     Returns build metrics (also persisted in the lineage table).
     """
@@ -245,6 +270,7 @@ def build_index(
     if resume and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
         n_buckets = manifest["n_buckets"]
+        tokenizer = manifest.get("tokenizer", "probe")
     else:
         # fresh build: drop checkpoints AND derived tables of any previous
         # build in this dir -- per-bucket writes overwrite only their own
@@ -285,6 +311,7 @@ def build_index(
         manifest = {
             "n_buckets": n_buckets,
             "buckets": bucket_meta,
+            "tokenizer": tokenizer,
             "created_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         manifest_path.write_text(json.dumps(manifest, indent=1))
@@ -324,7 +351,9 @@ def build_index(
             .select("doc_id", "url", "lang", "text")
             .repartition(n_tasks)
         )
-        rows = bucket_pages.mapInPandas(_tokenize_partition, TOKENS_SCHEMA)
+        rows = bucket_pages.mapInPandas(
+            _make_tokenize_partition(tokenizer), TOKENS_SCHEMA
+        )
         rows.persist()
         lens_dir = out / "doc_lens" / f"bucket={b}"
         postings_dir = out / "postings" / f"bucket={b}"

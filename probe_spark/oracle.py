@@ -189,9 +189,11 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
     (file/path/filename/dir) as case-insensitive substring on url; ext/
     extension as the url's trailing extension.  type: has no web meaning
     (tree-sitter language map) and is ignored -- documented in COVERAGE."""
+    from probe_spark.config import normalize_lang
+
     keep = []
     lang_vals = {
-        v.lower()
+        normalize_lang(v)
         for f in ("lang", "language")
         for v in plan.filters.get(f, [])
     }
@@ -206,7 +208,7 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
         for v in plan.filters.get(f, [])
     }
     for i, d in enumerate(index.docs):
-        if lang_vals and d.lang.lower() not in lang_vals:
+        if lang_vals and normalize_lang(d.lang) not in lang_vals:
             continue
         if url_subs and not all(s in d.url.lower() for s in url_subs):
             continue

@@ -107,8 +107,12 @@ def _session_fn(gap_seconds: int):
         else:
             start_us = last_us = -1
             n, vsum = 0, 0.0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # a large per-user group can arrive as several chunks that are each
+        # sorted but not sorted ACROSS chunks; concatenate and sort once so
+        # out-of-order chunks can't corrupt session boundaries
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
                 if start_us < 0:
@@ -165,14 +169,17 @@ def sessionize_batch(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    # NTZ timestamps (parquet) cannot cast straight to long; go through
-    # timestamp first (identity under the UTC session timezone)
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    epoch_lag = F.lag("ts").over(w).cast("timestamp").cast("long")
+    # compare MICROSECOND deltas, same precision as sessionize_stream's
+    # state math -- a seconds truncation here would keep two events 7200.7s
+    # apart in one session while the stream splits them.  (NTZ timestamps
+    # go through a timestamp cast first: identity under the UTC session tz.)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    epoch_lag = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
     gapped = events.withColumn(
         "new_sess",
         (
-            F.coalesce(epoch - epoch_lag, F.lit(None)) > gap_seconds
+            F.coalesce(epoch - epoch_lag, F.lit(None)) > gap_us
         ).cast("int"),
     ).withColumn(
         "sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(w)

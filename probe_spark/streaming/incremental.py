@@ -11,11 +11,17 @@ Design:
   * readStream over the pages directory (file source tracks processed files
     in the checkpoint -- the streaming analog of snapshot-scoped builds);
   * foreachBatch: tokenize the micro-batch with the SAME shared pipeline,
-    assign doc_ids above the current high-water mark (batch-local url rank
-    -- note this is arrival-order, not global url rank, so tie-breaks are
-    deterministic but not identical to a from-scratch rebuild; a rebuild
-    canonicalizes), append postings/pages_indexed/doc_lens under delta
-    buckets, refresh terms/stats (cheap idempotent aggregates);
+    assign doc_ids above the current high-water mark via RANGED rank
+    (_assign_doc_ids: range-partition by url + per-slice offsets -- scales
+    to arbitrarily large micro-batches, no single-partition window; note
+    ids are arrival-order across batches, not global url rank, so
+    tie-breaks are deterministic but differ from a from-scratch rebuild);
+  * append postings/pages_indexed/doc_lens under delta buckets; fold the
+    term dictionary incrementally (current terms + the new bucket's
+    partials -- NOT a re-scan of every historical partial) and update
+    stats from running totals carried in stream_state.json (doc counts and
+    doc_len sums ride the writes as Observations -- no extra jobs over the
+    index);
   * the flat-postings query engine sees appended postings immediately;
     compaction folds deltas into block-max blocks on demand.
 """
@@ -23,82 +29,117 @@ Design:
 from __future__ import annotations
 
 import json
+import shutil
 import time
 from pathlib import Path
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from probe_spark.indexer import TOKENS_SCHEMA, _tokenize_partition, write_stats
+from probe_spark.indexer import (
+    TOKENS_SCHEMA,
+    _assign_doc_ids,
+    _read_lineage,
+    _tokenize_partition,
+    write_stats,
+)
 
 PAGES_SCHEMA = "url string, text string, lang string"
 
 
-def _high_water(spark: SparkSession, index_dir: str) -> int:
+def _read_state(index_dir: str) -> dict:
     p = Path(index_dir) / "stream_state.json"
     if p.exists():
-        return int(json.loads(p.read_text())["next_doc_id"])
-    lens_dir = Path(index_dir) / "doc_lens"
-    if lens_dir.exists():
-        row = (
-            spark.read.parquet(str(lens_dir))
-            .agg(F.max("doc_id").alias("m"))
-            .collect()[0]
-        )
-        if row["m"] is not None:
-            return int(row["m"]) + 1
-    return 0
+        return json.loads(p.read_text())
+    return {}
 
 
-def _set_high_water(index_dir: str, value: int) -> None:
+def _write_state(index_dir: str, state: dict) -> None:
     p = Path(index_dir) / "stream_state.json"
     tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"next_doc_id": value}))
+    tmp.write_text(json.dumps(state))
     tmp.rename(p)
 
 
-def _refresh_aggregates(spark: SparkSession, index_dir: str) -> None:
+def _bootstrap_totals(spark: SparkSession, index_dir: str) -> dict:
+    """Running totals (next_doc_id, n_docs, sum_dl) for an index that has
+    no stream state yet: from the batch build's lineage when complete
+    (driver-side JSON, no jobs), else one catch-up scan of doc_lens."""
     out = Path(index_dir)
-    tpart = out / "terms_partial"
-    if tpart.exists():
-        terms_src = spark.read.parquet(str(tpart))
-    else:  # pragma: no cover - index built without partials
-        terms_src = spark.read.parquet(str(out / "postings")).select(
-            "term", F.lit(1).alias("df"), F.col("tf").alias("cf")
+    lineage = _read_lineage(index_dir)
+    if lineage and all("sum_dl" in r for r in lineage.values()):
+        n = sum(r["n_docs"] for r in lineage.values())
+        s = sum(r["sum_dl"] for r in lineage.values())
+        return {"next_doc_id": n, "n_docs": n, "sum_dl": s}
+    lens_dir = out / "doc_lens"
+    if lens_dir.exists():  # pragma: no cover - legacy lineage
+        row = (
+            spark.read.parquet(str(lens_dir))
+            .agg(
+                F.coalesce(F.max("doc_id"), F.lit(-1)).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"),
+            )
+            .collect()[0]
         )
-    terms_src.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).write.mode("overwrite").parquet(str(out / "terms"))
-    row = (
-        spark.read.parquet(str(out / "doc_lens"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
-        .collect()[0]
-    )
-    import shutil
+        return {
+            "next_doc_id": int(row["m"]) + 1,
+            "n_docs": int(row["n"]),
+            "sum_dl": int(row["s"]),
+        }
+    return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0}
 
-    shutil.rmtree(out / "stats", ignore_errors=True)
-    write_stats(index_dir, int(row["n"]), float(row["a"] or 0.0))
+
+def _fold_terms(spark: SparkSession, index_dir: str, new_partial: Path) -> None:
+    """Incremental dictionary fold: current terms + the NEW bucket's
+    partials only (vocab-sized inputs; historical partials are not
+    re-scanned).  Self-heals from all partials if terms/ is missing."""
+    out = Path(index_dir)
+    terms_dir = out / "terms"
+    if terms_dir.exists() and any(terms_dir.iterdir()):
+        src = spark.read.parquet(str(terms_dir)).unionByName(
+            spark.read.parquet(str(new_partial))
+        )
+    else:  # pragma: no cover - healing path
+        src = spark.read.parquet(str(out / "terms_partial"))
+    folded = src.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    tmp = out / "terms_tmp"
+    folded.write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(terms_dir, ignore_errors=True)
+    tmp.rename(terms_dir)
 
 
 def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -> int:
     """Fold one micro-batch of pages into the index; returns docs added."""
+    from pyspark.sql import Observation
+
     out = Path(index_dir)
-    base = _high_water(spark, index_dir)
+    state = _read_state(index_dir) or _bootstrap_totals(spark, index_dir)
+    base = int(state["next_doc_id"])
     fresh = batch_df.select("url", "text", "lang").dropDuplicates(["url"])
     if (out / "pages_indexed").exists():
         # url is the document key: re-crawled pages already in the index
         # are skipped (the streaming analog of the session-cache dedup, S8)
         existing = spark.read.parquet(str(out / "pages_indexed")).select("url")
         fresh = fresh.join(existing, "url", "leftanti")
-    w = Window.orderBy("url")  # micro-batches are small by construction
-    pages = fresh.withColumn(
-        "doc_id", F.row_number().over(w) - 1 + F.lit(base)
-    )
+    # ranged doc-id assignment (same machinery as the batch build's phase A:
+    # range-partition by url, rank per slice, add offsets) -- arbitrarily
+    # large micro-batches never funnel through one partition
+    indexed, bucket_meta, ranged = _assign_doc_ids(spark, fresh, 1)
+    n_docs = sum(m["count"] for m in bucket_meta)
+    if n_docs == 0:
+        ranged.unpersist()
+        _write_state(index_dir, state)
+        return 0
+    pages = indexed.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base)
+    ).drop("bucket")
     rows = pages.select("doc_id", "url", "lang", "text").mapInPandas(
         _tokenize_partition, TOKENS_SCHEMA
     )
     rows.persist()
-    n_docs = rows.filter(F.col("term").isNull()).count()
     bucket = f"stream_{epoch_id}_{base}"
     (
         rows.filter(F.col("term").isNotNull())
@@ -114,24 +155,40 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .write.mode("overwrite")
         .parquet(str(out / "pages_indexed" / f"bucket={bucket}"))
     )
+    obs = Observation()
     (
         rows.filter(F.col("term").isNull())
         .select("doc_id", "doc_len", "tri_bloom")
+        .observe(obs, F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(str(out / "doc_lens" / f"bucket={bucket}"))
     )
+    sum_dl = int(obs.get["sum_dl"])
+    tpart = out / "terms_partial" / f"bucket={bucket}"
     (
         rows.filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(str(out / "terms_partial" / f"bucket={bucket}"))
+        .parquet(str(tpart))
     )
     rows.unpersist()
-    _set_high_water(index_dir, base + n_docs)
-    _refresh_aggregates(spark, index_dir)
+    ranged.unpersist()
+    _fold_terms(spark, index_dir, tpart)
+    # stats from running totals -- no job over the (ever-growing) index
+    state = {
+        "next_doc_id": base + n_docs,
+        "n_docs": int(state.get("n_docs", base)) + n_docs,
+        "sum_dl": int(state.get("sum_dl", 0)) + sum_dl,
+    }
+    write_stats(
+        index_dir,
+        state["n_docs"],
+        (state["sum_dl"] / state["n_docs"]) if state["n_docs"] else 0.0,
+    )
+    _write_state(index_dir, state)
     # lineage row for the stream batch (same checkpoint table as builds)
     lineage = out / "lineage"
     lineage.mkdir(exist_ok=True)
@@ -140,6 +197,7 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
             {
                 "bucket": bucket,
                 "n_docs": n_docs,
+                "sum_dl": sum_dl,
                 "epoch": epoch_id,
                 "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

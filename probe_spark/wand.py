@@ -69,17 +69,19 @@ def idf_map_expr(idfs: dict[str, float]):
 
 
 def _wand_supported(plan) -> bool:
-    """Queries the segment engine can serve: token-postings semantics only.
-    Exact/excluded terms need the doc-store containment rescue, filters
-    need the doc store's lang/url columns -- those fall back."""
+    """Queries the segment engine can serve.  Excluded terms ARE served
+    (their containment rows are fetched from the flat engine's rescue path
+    and re-encoded as synthetic blocks -- see search_local); quoted exact
+    terms and field filters still fall back (they need doc-store columns
+    in the scoring result itself)."""
+    rescue = oracle.rescue_terms(plan)
     return bool(
         plan.ast is not None
         and not plan.filters
         and not plan.is_universal_query
         and not plan.has_only_excluded_terms
         and plan.term_indices
-        and not plan.excluded_terms
-        and not oracle.rescue_terms(plan)
+        and rescue <= plan.excluded_terms
     )
 
 
@@ -101,6 +103,8 @@ def _must_keywords(plan) -> frozenset[str]:
 
     def must(e) -> set[str]:
         if isinstance(e, elastic.Term):
+            if e.excluded:
+                return set()  # an excluded keyword is never a must
             if len(e.lowercase_keywords) == 1:
                 return set(e.lowercase_keywords)
             return set()
@@ -132,6 +136,14 @@ class WandEngine:
         self._blocks_path = str(p / "blocks")
         self._terms_path = str(p / "terms")
         self._fallback = SearchEngine(spark, index_dir, params)
+        # create the blocks reader once: spark.read.parquet re-lists files
+        # and re-infers partitioning on every call (engine.py does the same
+        # for its tables) -- measurable fixed overhead per query
+        self._blocks_df = (
+            spark.read.parquet(self._blocks_path)
+            if (p / "blocks").exists()
+            else None
+        )
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         dfs = self._fallback.term_dfs(terms)
@@ -204,9 +216,10 @@ class WandEngine:
         must_kws: tuple[str, ...],
     ) -> DataFrame:
         """Per-seg boolean scoring: decode blocks into dense per-term tf
-        lanes, intersect the must-keyword lanes to get candidates, then run
-        the ORACLE's evaluate + score_expr per candidate (shared code path
-        => f64 rank identity).  Emits the seg's top-k."""
+        lanes, intersect the must-keyword lanes to get candidates, then
+        evaluate + score the AST as numpy lane ops over the candidates
+        (lanes.eval_and_score -- bit-identical to the scalar oracle,
+        differential-tested).  Emits the seg's top-k."""
         params = self.params
         avgdl = self.avgdl
         ast = plan.ast
@@ -217,8 +230,7 @@ class WandEngine:
             import pandas as pd
 
             from probe_spark.codec import decode_doc_block, varbyte_decode
-            from probe_spark.elastic import evaluate
-            from probe_spark.oracle import score_expr
+            from probe_spark.lanes import eval_and_score
 
             empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -252,42 +264,29 @@ class WandEngine:
             cand = np.flatnonzero(mask)
             if len(cand) == 0:
                 return empty
-            lanes = sorted(tf_lane.items())
-            out_ids: list[int] = []
-            out_scores: list[float] = []
-            for off in cand:
-                tf = {
-                    term: int(lane[off]) for term, lane in lanes if lane[off]
-                }
-                matched = frozenset(term_indices[t] for t in tf)
-                if not evaluate(ast, matched, term_indices):
-                    continue
-                s = score_expr(
-                    ast, tf, int(dl_lane[off]), avgdl, idfs, params
-                )
-                if s is None:
-                    continue
-                out_ids.append(int(off) + base)
-                out_scores.append(float(s))
-            if not out_ids:
-                return empty
-            order = sorted(
-                range(len(out_ids)),
-                key=lambda i: (-out_scores[i], out_ids[i]),
-            )[:k]
-            return pd.DataFrame(
-                {
-                    "doc_id": np.array([out_ids[i] for i in order], "int64"),
-                    "score": np.array([out_scores[i] for i in order], "float64"),
-                }
+            sub = {t: lane[cand] for t, lane in tf_lane.items()}
+            keep, scores = eval_and_score(
+                ast, term_indices, sub, dl_lane[cand], avgdl, idfs, params
             )
+            ids = (cand[keep] + base).astype(np.int64)
+            sc = scores[keep]
+            if len(ids) == 0:
+                return empty
+            if len(ids) > k:
+                # top-k by (score desc, doc_id asc): lexsort's last key is
+                # primary, ids break score ties ascending
+                order = np.lexsort((ids, -sc))[:k]
+                ids, sc = ids[order], sc[order]
+            return pd.DataFrame({"doc_id": ids, "score": sc})
 
         return blocks.groupBy("seg").applyInPandas(score_group, _SCORE_SCHEMA)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10, exact: bool = False) -> DataFrame:
         """Top-k as a ranked DataFrame (rank, doc_id, url, score) -- same
-        shape as SearchEngine.search, urls hydrated from the doc store."""
-        pairs = self.search_local(query, k)
+        shape as SearchEngine.search, urls hydrated from the doc store.
+        ``exact`` is forwarded to search_local (which falls back to the flat
+        engine's containment-rescue path for whole-query exact terms)."""
+        pairs = self.search_local(query, k, exact=exact)
         from pyspark.sql import Row
 
         hits = self.spark.createDataFrame(
@@ -311,13 +310,31 @@ class WandEngine:
             # whole-query exact terms need the containment rescue
             return self._fallback.search_local(query, k, exact=True)
         plan = elastic.create_query_plan(query)
-        if not _wand_supported(plan):
+        excl = sorted(plan.excluded_terms)
+        pos_kws = {
+            kw
+            for t in elastic.walk_terms(plan.ast or elastic.Term(()))
+            if not t.excluded
+            for kw in t.lowercase_keywords
+        }
+        if not _wand_supported(plan) or (set(excl) & pos_kws):
+            # a keyword both excluded and positive mixes containment-rescue
+            # df with dictionary df -- the flat engine owns that corner
             return self._fallback.search_local(query, k)
         disjunctive = _is_disjunctive_bag(plan)
         terms = list(plan.term_indices)
         if not terms:
             return []
-        idfs = self._idfs(terms)
+        pos_terms = [t for t in terms if t not in plan.excluded_terms]
+        if not pos_terms:
+            return self._fallback.search_local(query, k)
+        idfs = self._idfs(pos_terms)
+        # an excluded term's idf only gates the drop decision (total > 0
+        # <=> tf > 0 and idf > 0); the oracle's containment df is >= 1
+        # whenever any doc matches, so any positive constant is faithful
+        for t in excl:
+            if idfs.get(t, 0.0) <= 0.0:
+                idfs[t] = 1.0
         term_pos = {
             kw: i
             for i, kw in enumerate(
@@ -328,9 +345,10 @@ class WandEngine:
         }
         must_kws = () if disjunctive else tuple(sorted(_must_keywords(plan)))
 
-        blocks = self.spark.read.parquet(self._blocks_path).filter(
-            F.col("term").isin(terms)
-        )
+        if self._blocks_df is None:
+            # blocks were compacted after this engine was constructed
+            self._blocks_df = self.spark.read.parquet(self._blocks_path)
+        blocks = self._blocks_df.filter(F.col("term").isin(pos_terms))
         if must_kws:
             # segment-level posting intersection: only segments containing
             # EVERY must keyword can hold a scoring doc
@@ -344,6 +362,31 @@ class WandEngine:
             blocks = blocks.join(must_segs, "seg", "leftsemi")
         blocks = blocks.persist()
 
+        sblocks = blocks
+        if excl:
+            # excluded terms: fetch their matching rows (token postings
+            # UNION doc-store containment, the flat engine's rescue path),
+            # encode them as synthetic blocks, and let the lane scorer
+            # apply the drop semantics in-segment.  Only segments that hold
+            # positive postings can score (every scoring doc needs a
+            # positive keyword), so exclusion rows outside them are pruned.
+            from probe_spark.compaction import BLOCKS_SCHEMA, encode_posting_group
+
+            excl_rows = self._fallback._term_rows(plan, excl)
+            excl_blocks = (
+                excl_rows.withColumn(
+                    "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
+                )
+                .groupBy("term", "seg")
+                .applyInPandas(encode_posting_group, BLOCKS_SCHEMA)
+                .join(blocks.select("seg").distinct(), "seg", "leftsemi")
+            )
+            # allowMissingColumns: the on-disk table carries the bucket
+            # partition column, the synthetic rows don't (scorer ignores it)
+            sblocks = blocks.unionByName(
+                excl_blocks, allowMissingColumns=True
+            ).persist()
+
         def score(bdf: DataFrame) -> DataFrame:
             if disjunctive:
                 return self._score_segs(bdf, idfs, k, term_pos)
@@ -352,12 +395,14 @@ class WandEngine:
         # a keyword can appear in SEVERAL Term nodes (exception dual-emit,
         # e.g. "repository OR repositori" where both Terms carry
         # "repositori"); score_expr sums it once per node, so the upper
-        # bound must scale each term's contribution by its multiplicity
+        # bound must scale each term's contribution by its multiplicity.
+        # Excluded Terms never ADD score -- they are not part of the bound.
         from collections import Counter
 
         mult = Counter(
             kw
             for t in elastic.walk_terms(plan.ast)
+            if not t.excluded
             for kw in t.lowercase_keywords
         )
         mult_map = F.create_map(
@@ -406,7 +451,7 @@ class WandEngine:
             if not top_segs:
                 return []
             p1 = (
-                score(blocks.filter(F.col("seg").isin(top_segs)))
+                score(sblocks.filter(F.col("seg").isin(top_segs)))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -419,13 +464,15 @@ class WandEngine:
                 (~F.col("seg").isin(top_segs)) & (F.col("seg_ub") >= theta)
             ).select("seg")
             p2 = (
-                score(blocks.join(rest, "seg", "leftsemi"))
+                score(sblocks.join(rest, "seg", "leftsemi"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
             )
             results += [(int(r["doc_id"]), float(r["score"])) for r in p2]
         finally:
+            if sblocks is not blocks:
+                sblocks.unpersist()
             blocks.unpersist()
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]

@@ -253,3 +253,47 @@ def test_plan_256_limit():
     q = " ".join(f"uniqterm{i}xx" for i in range(300))
     with pytest.raises(elastic.ParseError):
         create_query_plan(q)
+
+
+def test_filename_autodetect():
+    """F2 (filters.rs:302-328): unfielded filename-like terms become
+    filename filters using the RAW (pre-expansion) keyword."""
+    from probe_spark.elastic import create_query_plan
+
+    plan = create_query_plan("main.rs error")
+    assert plan.filters.get("filename") == ["main.rs"]
+    assert list(plan.term_indices) == ["error"]
+
+    # all terms filename-like -> universal (filters-only) query
+    # ("readme" is itself filename-like, filters.rs:444-457 common files)
+    plan = create_query_plan("config.yaml readme")
+    assert plan.is_universal_query
+    assert plan.filters.get("filename") == ["config.yaml", "readme"]
+
+    # required/excluded terms are never auto-detected (filters.rs:313)
+    plan = create_query_plan("+main.rs error")
+    assert "filename" not in plan.filters
+    assert "main" in plan.term_indices
+
+    # non-filename dotted tokens stay search terms
+    plan = create_query_plan("v1.2.3 error")
+    assert "filename" not in plan.filters
+
+
+def test_lang_alias_normalization_oracle():
+    """lang:rs == lang:rust in both value and label position
+    (search_runner.rs:1904-1921)."""
+    from probe_spark.elastic import create_query_plan
+    from probe_spark.oracle import CorpusIndex, Doc, search
+
+    docs = [
+        Doc(0, "https://a/x", "firewall rules and zones", "rust"),
+        Doc(1, "https://b/y", "firewall config", "rs"),
+        Doc(2, "https://c/z", "firewall errors", "python"),
+    ]
+    ix = CorpusIndex.build(docs)
+    for q in ("lang:rs firewall", "lang:rust firewall"):
+        got = {d for d, _ in search(ix, q, 10)}
+        assert got == {0, 1}, q
+    plan = create_query_plan("lang:rs firewall")
+    assert plan.filters["lang"] == ["rs"]

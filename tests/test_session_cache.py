@@ -78,3 +78,26 @@ def test_spark_tokenize_udf_equals_oracle_on_random_strings(spark):
     }
     for i, text in corpus:
         assert got[i] == tokenize(text), f"mismatch on {text!r}"
+
+
+def test_session_cache_md5_invalidation(spark, tmp_path):
+    """cache.rs:45-56 analog: a cached doc whose TEXT changed in the doc
+    store is returned again (invalidated); unchanged docs stay filtered."""
+    from probe_spark.session_cache import SessionCache
+
+    ix = tmp_path / "ix"
+    docs_dir = str(ix / "pages_indexed")
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, url string, lang string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(docs_dir)
+
+    write_docs([(1, "u1", "en", "alpha"), (2, "u2", "en", "beta")])
+    cache = SessionCache(spark, str(tmp_path / "cache"), index_dir=str(ix))
+    results = [(1, 0.9), (2, 0.8)]
+    cache.add_results("s1", "q", results)
+    assert cache.filter_results("s1", "q", results) == []
+    # re-ingest changes doc 1's text -> it must come back; doc 2 stays seen
+    write_docs([(1, "u1", "en", "alpha CHANGED"), (2, "u2", "en", "beta")])
+    assert cache.filter_results("s1", "q", results) == [(1, 0.9)]

@@ -131,3 +131,28 @@ def test_sessionize_stream_matches_batch_oracle(spark, tmp_path, event_files):
         assert r["session_end"] == e["session_end"], key
         assert r["n_events"] == e["n_events"], key
         assert r["value_sum"] == pytest.approx(e["value_sum"], rel=1e-9), key
+
+
+def test_sessionize_batch_microsecond_gap(spark):
+    """Batch and stream must use the SAME gap precision: two events
+    7200.5s apart split under a 7200s gap (a seconds truncation would
+    floor the delta to exactly 7200 and keep them together)."""
+    import datetime
+
+    from probe_spark.streaming.events import sessionize_batch
+
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + datetime.timedelta(seconds=7200, microseconds=500_000), 2.0),
+        # exactly at the gap: NOT split (strict > comparison, both hosts)
+        (2, base, 1.0),
+        (2, base + datetime.timedelta(seconds=7200), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize_batch(spark, ev, gap_seconds=7200).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2, "7200.5s delta must split the session"
+    assert len(by_user[2]) == 1, "exactly-7200s delta must not split"

@@ -145,16 +145,47 @@ def test_wand_engine_differential_random_queries(spark, compacted, tiny_oracle):
 
 
 def test_wand_fallback_for_rescue_and_filters(spark, compacted, tiny_oracle):
-    """Exact/excluded (containment) terms and field filters route to the
-    general engine."""
+    """Quoted exact terms, field filters, and only-excluded queries route
+    to the general engine."""
     from probe_spark.wand import WandEngine
 
     path, _ = compacted
     eng = WandEngine(spark, path)
-    for q in ("process -deprecated", '"parseJSONToHTML5"'):
+    for q in ('"parseJSONToHTML5"', "lang:de firewall", "-deprecated"):
         got = eng.search_local(q, k=10)
         expected = oracle_search(tiny_oracle, q, k=10)
         assert [d for d, _ in got] == [d for d, _ in expected], q
+
+
+EXCLUDED_QUERIES = [
+    "process -deprecated",          # token + containment exclusion
+    '+retry -"error handling"',     # excluded exact phrase (containment)
+    "data AND (base OR store) -leak",
+    "firewall -whitelist",
+]
+
+
+@pytest.mark.parametrize("query", EXCLUDED_QUERIES)
+def test_wand_excluded_matches_oracle(
+    spark, compacted, tiny_oracle, monkeypatch, query
+):
+    """Excluded terms are served IN the segment engine (synthetic exclusion
+    blocks + lane drop semantics), rank- and score-identical to the oracle;
+    the flat-engine fallback must NOT be taken."""
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+
+    def _no_fallback(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("excluded query fell back to the flat engine")
+
+    monkeypatch.setattr(eng._fallback, "search_local", _no_fallback)
+    got = eng.search_local(query, k=10)
+    expected = oracle_search(tiny_oracle, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], query
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
 
 
 def test_wand_multiseg_pruning_identity(spark, tmp_path_factory):
