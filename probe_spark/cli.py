@@ -6,7 +6,8 @@ Usage (also works with plain ``python -m probe_spark.cli``):
   spark-submit --py-files probe_spark.zip -m probe_spark.cli build \\
       --pages /data/pages_parquet --index /data/ix --buckets 64 [--resume]
   spark-submit ... search --index /data/ix --query '+error handler' -k 10 \\
-      [--format json|markdown|text] [--max-tokens N] [--max-bytes N]
+      [--format json|markdown|text|xml|outline|color] [--max-tokens N]
+      [--max-bytes N]
   spark-submit ... compact --index /data/ix
   spark-submit ... grep --index /data/ix --pattern 'regex'
 
@@ -40,7 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--exact", action="store_true")
     s.add_argument("--boost-coverage", action="store_true")
     s.add_argument(
-        "--format", default="text", choices=["text", "json", "markdown", "xml"]
+        "--format",
+        default="text",
+        choices=["text", "json", "markdown", "xml", "outline", "color"],
     )
     s.add_argument("--max-results", type=int)
     s.add_argument("--max-bytes", type=int)
@@ -166,7 +169,15 @@ def main(argv: list[str] | None = None) -> int:
             max_bytes=args.max_bytes,
             max_tokens=args.max_tokens,
         )
-        print(format_results(limited.results, args.format))
+        hl = None
+        if args.format == "color":
+            from probe_spark import elastic
+
+            try:
+                hl = list(elastic.create_query_plan(query).term_indices)
+            except Exception:
+                hl = None
+        print(format_results(limited.results, args.format, terms=hl))
         if limited.limits_applied:
             print(f"# skipped {limited.skipped} results (limits)", file=sys.stderr)
         return 0

@@ -618,6 +618,64 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (the consumer the signature alone lacks):
+    60-bit signature -> 4 bands x 15 bits -> candidate pairs share >= 1
+    band bucket -> popcount verify hamming <= 3.
+
+    Pigeonhole makes the blocking recall-LOSSLESS at this threshold: a pair
+    within Hamming distance 3 differs in at most 3 of the 4 bands, so at
+    least one band matches exactly.  Output is therefore EXACTLY the set of
+    pairs with hamming <= 3, and the DuckDB oracle checks the exhaustive
+    all-pairs definition -- a stronger gate than mirroring the bands.
+    Scale shape: the join key is a band bucket (near-identical docs only),
+    never the corpus; the exhaustive form exists only in the oracle."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"CAST((simhash >> {15 * i}) & 32767 AS INT)")
+                    for i in range(4)
+                ]
+            )
+        ).alias("bi", "bv"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bi", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# exhaustive oracle: every pair with hamming <= 3 (see dedup_simhash_pairs
+# docstring for why banding provably finds all of them)
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH siga AS ({DEDUP_SIMHASH_SQL}), sigb AS ({DEDUP_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM siga a JOIN sigb b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -762,6 +820,167 @@ proj AS (SELECT vec_id, p, sum(v::DOUBLE * w) AS s
          FROM ed JOIN pw USING (i) GROUP BY vec_id, p)
 SELECT vec_id, sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id
+"""
+
+
+def _lsh_bands(emb: DataFrame, n_planes: int = 24, r: int = 6):
+    """(bands, ed, vnorm) for multi-band hyperplane LSH: ``n_planes``
+    deterministic integer hyperplanes (same weight formula as
+    sim_lsh_buckets), grouped into bands of ``r`` sign bits.  ``bands`` is
+    (vec_id, bi, bv); ``ed`` the exploded (vec_id, i, v) doubles; ``vnorm``
+    per-vector L2 norms -- shared by the ANN query path (sim_lsh_topk) and
+    the near-dup pair path (dedup_embed_lsh)."""
+    spark = emb.sparkSession
+    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    pw = planes.crossJoin(dims).withColumn(
+        "w", ((F.col("i") * 31 + F.col("p") * 17) % 7 - 3).cast("double")
+    )
+    ed = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    )
+    proj = (
+        ed.join(F.broadcast(pw), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    )
+    bands = (
+        proj.withColumn("bi", F.floor(F.col("p") / r).cast("int"))
+        .withColumn(
+            "bit",
+            F.when(F.col("s") > 0, F.expr(f"shiftleft(1, p % {r})")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("vec_id", "bi")
+        .agg(F.sum("bit").cast("long").alias("bv"))
+    )
+    vnorm = ed.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+    return bands, ed, vnorm
+
+
+# shared SQL prefix mirroring _lsh_bands (24 planes, 4 bands x 6 bits)
+_SQL_LSH_BANDS = """
+pw AS (SELECT p, i, ((i * 31 + p * 17) % 7 - 3)::DOUBLE AS w
+       FROM (SELECT unnest(range(24))::INT AS p),
+            (SELECT unnest(range(64))::INT AS i)),
+ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+proj AS (SELECT vec_id, p, sum(v * w) AS s
+         FROM ed JOIN pw USING (i) GROUP BY vec_id, p),
+bands AS (SELECT vec_id, (p // 6)::INT AS bi,
+                 sum(CASE WHEN s > 0 THEN (1 << (p % 6)) ELSE 0 END)::BIGINT AS bv
+          FROM proj GROUP BY vec_id, bi),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vn FROM ed GROUP BY vec_id)
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band LSH ANN (the missing consumer of sim_lsh_buckets):
+    4 bands x 6 sign bits; candidates share >= 1 whole band signature with
+    the query (vec 0); exact cosine rerank top-5 within the candidates.
+    Collision prob for angle theta is 1-(1-(1-theta/pi)^6)^4 -- banding OR
+    trades recall for candidate count, and the verify stage makes returned
+    scores exact.  The bucket join's key multiplicity is a band bucket, so
+    candidate generation never goes quadratic at scale."""
+    emb = _emb(spark, sf_dir)
+    bands, ed, vnorm = _lsh_bands(emb)
+    qb = bands.filter(F.col("vec_id") == 0).select("bi", "bv")
+    cand = (
+        bands.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), ["bi", "bv"], "leftsemi")
+        .select("vec_id")
+        .distinct()
+    )
+    qd = ed.filter(F.col("vec_id") == 0).select("i", F.col("v").alias("qv"))
+    qn = vnorm.filter(F.col("vec_id") == 0).select(F.col("vn").alias("qn"))
+    return (
+        ed.join(cand, "vec_id", "leftsemi")
+        .join(F.broadcast(qd), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+SIM_LSH_TOPK_SQL = f"""
+WITH {_SQL_LSH_BANDS},
+qb AS (SELECT bi, bv FROM bands WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id FROM bands b JOIN qb USING (bi, bv)
+         WHERE b.vec_id <> 0),
+q AS (SELECT i, v AS qv FROM ed WHERE vec_id = 0),
+qn AS (SELECT vn AS qn FROM vn WHERE vec_id = 0),
+dq AS (SELECT ed.vec_id, sum(ed.v * q.qv) AS dot
+       FROM ed JOIN cand USING (vec_id) JOIN q USING (i)
+       GROUP BY ed.vec_id)
+SELECT dq.vec_id, round(dq.dot / (vn.vn * qn.qn), 6) AS cos
+FROM dq JOIN vn USING (vec_id) CROSS JOIN qn
+ORDER BY cos DESC, vec_id ASC LIMIT 5
+"""
+
+
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH band buckets -> candidate
+    pairs (share >= 1 band) -> exact cosine verify >= 0.35.  The scale
+    replacement for dedup_embed_cosine's exhaustive self-join: the pair
+    join runs on band buckets (bounded multiplicity), verification touches
+    candidates only.  Recall < 1 by design (the LSH curve), so the oracle
+    mirrors the banding rather than the exhaustive definition."""
+    emb = _emb(spark, sf_dir)
+    bands, ed, vnorm = _lsh_bands(emb)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bi", "bv"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    dots = (
+        cand.join(ed.alias("ea"), F.col("a") == F.col("ea.vec_id"))
+        .join(
+            ed.alias("eb"),
+            (F.col("b") == F.col("eb.vec_id")) & (F.col("ea.i") == F.col("eb.i")),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("ea.v") * F.col("eb.v")).alias("dot"))
+    )
+    na = vnorm.select(F.col("vec_id").alias("a"), F.col("vn").alias("na"))
+    nb = vnorm.select(F.col("vec_id").alias("b"), F.col("vn").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+DEDUP_EMBED_LSH_SQL = f"""
+WITH {_SQL_LSH_BANDS},
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bands x JOIN bands y USING (bi, bv)
+         WHERE x.vec_id < y.vec_id),
+dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
+         FROM cand c
+         JOIN ed ea ON ea.vec_id = c.a
+         JOIN ed eb ON eb.vec_id = c.b AND eb.i = ea.i
+         GROUP BY c.a, c.b)
+SELECT d.a, d.b, round(d.dot / (na.vn * nb.vn), 6) AS cos
+FROM dots d JOIN vn na ON na.vec_id = d.a JOIN vn nb ON nb.vec_id = d.b
+WHERE round(d.dot / (na.vn * nb.vn), 6) >= 0.35
 """
 
 
@@ -1173,9 +1392,12 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embed_cosine": (dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
+    "dedup_embed_lsh": (dedup_embed_lsh, DEDUP_EMBED_LSH_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
+    "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "events_window": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),

@@ -66,10 +66,58 @@ def apply_limits(
     return LimitedResults(out, skipped, applied)
 
 
-def format_results(rows: list[dict], fmt: str = "text") -> str:
-    """S7 output formatters: text / json / markdown / xml (the web-engine
-    subset of the reference's terminal/markdown/plain/json/xml set,
-    search_output.rs)."""
+def format_results(
+    rows: list[dict], fmt: str = "text", terms: list[str] | None = None
+) -> str:
+    """S7 output formatters: text / json / markdown / xml / outline /
+    color (full web-engine mapping of the reference's set,
+    search_output.rs).  ``outline`` groups hits under their host -- the web
+    analog of the reference grouping matches under their file's structural
+    parents (search_output.rs:2658+).  ``color`` is the ANSI-highlighted
+    text variant (search_output.rs:234-281); pass ``terms`` to highlight
+    query-term occurrences inside urls."""
+    if fmt == "outline":
+        from urllib.parse import urlparse
+
+        groups: dict[str, list[dict]] = {}
+        for r in rows:
+            host = urlparse(str(r.get("url"))).netloc or "(no host)"
+            groups.setdefault(host, []).append(r)
+        lines = []
+        for host in sorted(groups):
+            lines.append(host)
+            for r in groups[host]:
+                path = urlparse(str(r.get("url"))).path or "/"
+                lines.append(
+                    f"  {r.get('rank'):>4}  {r.get('score'):>12.6f}  {path}"
+                )
+        return "\n".join(lines)
+    if fmt == "color":
+        import re
+
+        bold, green, cyan, yellow, reset = (
+            "\x1b[1m", "\x1b[32m", "\x1b[36m", "\x1b[33m", "\x1b[0m",
+        )
+        pat = (
+            re.compile(
+                "|".join(
+                    re.escape(t) for t in sorted(terms, key=len, reverse=True)
+                ),
+                re.IGNORECASE,
+            )
+            if terms
+            else None
+        )
+        out = []
+        for r in rows:
+            url = str(r.get("url"))
+            if pat:
+                url = pat.sub(lambda m: f"{yellow}{m.group(0)}{reset}", url)
+            out.append(
+                f"{bold}{r.get('rank'):>4}{reset}  "
+                f"{green}{r.get('score'):>12.6f}{reset}  {cyan}{url}{reset}"
+            )
+        return "\n".join(out)
     if fmt == "json":
         return json.dumps({"results": rows}, default=str)
     if fmt == "xml":

@@ -59,6 +59,32 @@ def test_formats():
         format_results(rs, "html")
 
 
+def test_outline_format_groups_by_host():
+    rs = [
+        {"rank": 1, "doc_id": 1, "score": 2.0, "url": "https://a.example.com/x/1"},
+        {"rank": 2, "doc_id": 2, "score": 1.5, "url": "https://b.example.com/y"},
+        {"rank": 3, "doc_id": 3, "score": 1.0, "url": "https://a.example.com/x/2"},
+    ]
+    out = format_results(rs, "outline")
+    lines = out.splitlines()
+    # hosts sorted, each once; hits indented under their host with path only
+    assert lines[0] == "a.example.com"
+    assert lines[1].startswith("  ") and lines[1].endswith("/x/1")
+    assert lines[2].endswith("/x/2")
+    assert lines[3] == "b.example.com"
+    assert out.count("example.com") == 2
+
+
+def test_color_format_highlights_terms():
+    rs = [{"rank": 1, "doc_id": 1, "score": 2.0, "url": "https://x.com/error-log"}]
+    out = format_results(rs, "color", terms=["error"])
+    assert "\x1b[33merror\x1b[0m" in out  # term highlighted
+    assert "\x1b[1m" in out and out.count("\x1b[0m") >= 3
+    # without terms: no yellow, still colored
+    plain = format_results(rs, "color")
+    assert "\x1b[33m" not in plain and "\x1b[36m" in plain
+
+
 def test_coverage_boost_formula():
     # result_ranking.rs:8-18
     assert coverage_boost(0, 4) == 1.0
