@@ -141,6 +141,19 @@ def probe_index_bool_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search("+spark +join -window", k=50))
 
 
+def probe_index_wand_bool_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 boolean '+spark +join -window' through the WAND SEGMENT engine
+    (required-term segment intersection + synthetic exclusion blocks +
+    vectorized lane scoring over the compacted block index); same DuckDB
+    oracle as probe_index_bool_simple (R2_SQL) -- puts the WAND exclusion
+    path under the driver's hard gate."""
+    from probe_spark.wand import WandEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = WandEngine(spark, ix)
+    return _rounded_topk(eng.search("+spark +join -window", k=50))
+
+
 def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: elastic-query BM25 top-10 through the distributed inverted
     index with the FULL probe tokenizer (rank-identity vs the pure-Python
@@ -215,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_bm25_simple"] = _shipped(probe_index_bm25_simple)
     out["probe_index_wand_simple"] = _shipped(probe_index_wand_simple)
     out["probe_index_bool_simple"] = _shipped(probe_index_bool_simple)
+    out["probe_index_wand_bool_simple"] = _shipped(probe_index_wand_bool_simple)
     return out
 
 
@@ -230,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_bm25_simple"] = R1_SQL
     out["probe_index_wand_simple"] = R1_SQL
     out["probe_index_bool_simple"] = R2_SQL
+    out["probe_index_wand_bool_simple"] = R2_SQL
     return out

@@ -1294,13 +1294,45 @@ FROM documents
 """
 
 
+# per-language function-word lists for the stopword-voting language
+# identifier; shared words (e.g. "en", "a") may appear in several lists --
+# each list votes independently and the argmax decides
+_LANGID_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for", "with", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "von", "zu", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es": ("el", "los", "las", "y", "es", "en", "por", "para", "una", "con"),
+}
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword-list voting) + confusion vs the
-    labeled lang column."""
+    """Language-ID heuristic: per-language function-word voting over 4
+    languages; pred = argmax score with deterministic (score desc, lang
+    asc) tie-break, 'unknown' when no list matched.  Output is the
+    confusion matrix vs the labeled lang column.  All column math
+    (split/filter/array_sort) -- no UDF, whole-stage codegen at scale."""
     docs = _docs(spark, sf_dir)
     w = F.split("text", " ")
-    en = F.size(F.filter(w, lambda x: x.isin("the", "a"))).cast("long")
-    pred = F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    # array of (negated score, lang) structs: ascending sort puts the
+    # highest score first, ties broken by lang name ascending
+    def _score(words: tuple[str, ...]):
+        # closure factory: a default-arg lambda would present a 2-arg
+        # signature to F.filter (which would bind the element INDEX to it)
+        return F.size(F.filter(w, lambda x: x.isin(*words)))
+
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_score(words)).cast("long").alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, words in sorted(_LANGID_STOPWORDS.items())
+            ]
+        )
+    )
+    best = scored[0]
+    pred = F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("unknown"))
     return (
         docs.select("lang", pred.alias("pred"))
         .groupBy("lang", "pred")
@@ -1308,13 +1340,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LANGID_SQL = """
+def _langid_score_sql(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({quoted})))"
+
+
+# argmax as a CASE chain in tie-break order (score desc, lang asc):
+# de wins ties over en over es over fr, matching the Spark array_sort
+LANGID_SQL = f"""
+WITH scores AS (
+  SELECT lang,
+         {", ".join(f"{_langid_score_sql(ws)} AS s_{lang}" for lang, ws in sorted(_LANGID_STOPWORDS.items()))}
+  FROM documents)
 SELECT lang,
-       CASE WHEN len(list_filter(string_split(text, ' '),
-                                 x -> x IN ('the', 'a'))) > 0
-            THEN 'en' ELSE 'unknown' END AS pred,
+       CASE
+         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr'
+       END AS pred,
        count(*)::BIGINT AS n
-FROM documents GROUP BY 1, 2
+FROM scores GROUP BY 1, 2
 """
 
 

@@ -152,51 +152,73 @@ _tokenize_partition = _make_tokenize_partition("probe")
 def _assign_doc_ids(
     spark: SparkSession, pages: DataFrame, n_buckets: int
 ) -> tuple[DataFrame, list[dict]]:
-    """Phase A: doc_id = global url rank via range partition + offsets.
+    """Phase A: doc_id = global url rank via url-range slices + offsets.
 
-    Parallelism is decoupled from the bucket count: url-range partition
-    into P >= n_buckets slices (P = cluster parallelism), rank within each
-    slice, add per-slice offsets.  Contiguous slices map onto buckets
-    (range partitions are ascending in url), so bucket = pid*B//P is a
+    Two passes, but only the SECOND touches the text bytes:
+
+      1. a url-COLUMN-ONLY job range-partitions the urls into P slices
+         (P = cluster parallelism) and collects per-slice (count, min url).
+         Column pruning means the heavy text/html bytes never enter this
+         shuffle -- at web scale urls are <0.1% of the table;
+      2. the full rows are assigned their slice by comparing url against
+         the broadcast slice boundaries (a JVM-side aggregate over a
+         literal array -- equal urls can't straddle a boundary because the
+         range partitioner keeps equal keys together), then ranked within
+         the slice (one width-bounded sort shuffle) and offset by the
+         slice's running count.
+
+    Compared to range-shuffling the full rows this removes a full pass
+    over the text (the old persist + count materialization) and the range
+    partitioner's SAMPLING job over the wide table.  Contiguous slices map
+    onto buckets (slices ascend in url), so bucket = slice*B//P stays a
     deterministic url-range bucketing."""
     par = max(n_buckets, spark.sparkContext.defaultParallelism)
-    ranged = pages.repartitionByRange(par, "url").withColumn(
-        "pid", F.spark_partition_id()
+    slice_rows = (
+        pages.select("url")
+        .repartitionByRange(par, "url")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.min("url").alias("lo"))
+        .orderBy("pid")
+        .collect()
     )
-    # persist so the count job and the write job see the SAME range
-    # boundaries (range partitioning samples; recomputation could re-sample)
-    ranged.persist()
-    counts = ranged.groupBy("pid").count().orderBy("pid").collect()
-    offsets: dict[int, int] = {}
+    # nonempty slices in url order; slice i covers [lo_i, lo_{i+1})
+    slices = [r for r in slice_rows if r["count"] > 0]
+    bounds = [r["lo"] for r in slices[1:]]  # first slice needs no lower bound
     acc = 0
     bucket_meta = []
-    for row in counts:
-        pid = row["pid"]
-        offsets[pid] = acc
+    for i, row in enumerate(slices):
         bucket_meta.append(
             {
-                "pid": pid,
-                "bucket": pid * n_buckets // par,
+                "pid": i,
+                "bucket": i * n_buckets // par,
                 "count": row["count"],
                 "offset": acc,
             }
         )
         acc += row["count"]
     offset_df = spark.createDataFrame(
-        [(p, o) for p, o in offsets.items()], ["pid", "offset"]
+        [(m["pid"], m["offset"], m["bucket"]) for m in bucket_meta]
+        or [(0, 0, 0)],
+        ["pid", "offset", "bucket"],
     )
+    if bounds:
+        sid = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds]),
+            F.lit(0),
+            lambda acc_, b: acc_ + F.when(F.col("url") >= b, 1).otherwise(0),
+        )
+    else:
+        sid = F.lit(0)
     w = Window.partitionBy("pid").orderBy("url")
     indexed = (
-        ranged.withColumn("rank_in_pid", F.row_number().over(w) - 1)
+        pages.withColumn("pid", sid)
+        .withColumn("rank_in_pid", F.row_number().over(w) - 1)
         .join(F.broadcast(offset_df), "pid")
         .withColumn("doc_id", F.col("offset") + F.col("rank_in_pid"))
-        .withColumn(
-            "bucket",
-            (F.col("pid") * F.lit(n_buckets) / F.lit(par)).cast("int"),
-        )
         .drop("rank_in_pid", "offset", "pid")
     )
-    return indexed, bucket_meta, ranged
+    return indexed, bucket_meta
 
 
 def _read_lineage(index_dir: str) -> dict[int, dict]:
@@ -300,14 +322,13 @@ def build_index(
         # index needs travel through the shuffle (html, once validated,
         # stays behind -- at web scale it dominates the bytes).
         pages = pages.select("url", "text", "lang")
-        indexed, bucket_meta, ranged = _assign_doc_ids(spark, pages, n_buckets)
+        indexed, bucket_meta = _assign_doc_ids(spark, pages, n_buckets)
         (
             indexed.select("doc_id", "url", "lang", "text", "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(str(pages_indexed_dir))
         )
-        ranged.unpersist()
         manifest = {
             "n_buckets": n_buckets,
             "buckets": bucket_meta,

@@ -127,10 +127,9 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     # ranged doc-id assignment (same machinery as the batch build's phase A:
     # range-partition by url, rank per slice, add offsets) -- arbitrarily
     # large micro-batches never funnel through one partition
-    indexed, bucket_meta, ranged = _assign_doc_ids(spark, fresh, 1)
+    indexed, bucket_meta = _assign_doc_ids(spark, fresh, 1)
     n_docs = sum(m["count"] for m in bucket_meta)
     if n_docs == 0:
-        ranged.unpersist()
         _write_state(index_dir, state)
         return 0
     pages = indexed.withColumn(
@@ -175,7 +174,6 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .parquet(str(tpart))
     )
     rows.unpersist()
-    ranged.unpersist()
     _fold_terms(spark, index_dir, tpart)
     # stats from running totals -- no job over the (ever-growing) index
     state = {

@@ -329,6 +329,11 @@ class WandEngine:
         if not pos_terms:
             return self._fallback.search_local(query, k)
         idfs = self._idfs(pos_terms)
+        if not idfs:
+            # no positive query term exists in the corpus (df = 0 for all):
+            # nothing can score -- and an EMPTY literal map would not even
+            # analyze (map()[term] is void-typed)
+            return []
         # an excluded term's idf only gates the drop decision (total > 0
         # <=> tf > 0 and idf > 0); the oracle's containment df is >= 1
         # whenever any doc matches, so any positive constant is faithful
@@ -412,6 +417,7 @@ class WandEngine:
                 for x in (F.lit(t), F.lit(float(v)))
             ]
         )
+        seg_ub_persisted = None
         try:
             # phase 0: per-seg upper bound, computed with CURRENT global
             # stats from the stats-independent block metadata (max_tf,
@@ -442,16 +448,19 @@ class WandEngine:
                 .groupBy("seg")
                 .agg(F.sum("tub").alias("seg_ub"))
             )
-            top_segs = [
-                r["seg"]
-                for r in seg_ub.orderBy(F.desc("seg_ub"), F.asc("seg"))
+            # phase 1: the top-ub segments are selected JVM-side (distributed
+            # TakeOrdered + broadcast semi-join) and scored in the SAME job
+            # as the selection -- one driver round-trip, no py4j isin list.
+            # (Folding the former seg-ub collect into phase 1 was a fixed
+            # ~1 job of per-query overhead.)
+            seg_ub = seg_ub_persisted = seg_ub.persist()
+            top = (
+                seg_ub.orderBy(F.desc("seg_ub"), F.asc("seg"))
                 .limit(self.phase1_segs)
-                .collect()
-            ]
-            if not top_segs:
-                return []
+                .select("seg")
+            )
             p1 = (
-                score(sblocks.filter(F.col("seg").isin(top_segs)))
+                score(sblocks.join(F.broadcast(top), "seg", "leftsemi"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -460,17 +469,23 @@ class WandEngine:
             theta = results[k - 1][1] if len(results) >= k else 0.0
 
             # phase 2: remaining segments that could still beat theta
-            rest = seg_ub.filter(
-                (~F.col("seg").isin(top_segs)) & (F.col("seg_ub") >= theta)
-            ).select("seg")
+            # (anti-join against the same deterministic top selection --
+            # seg_ub is persisted, so the cutoff is identical across jobs)
+            rest = (
+                seg_ub.join(top, "seg", "leftanti")
+                .filter(F.col("seg_ub") >= theta)
+                .select("seg")
+            )
             p2 = (
-                score(sblocks.join(rest, "seg", "leftsemi"))
+                score(sblocks.join(F.broadcast(rest), "seg", "leftsemi"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
             )
             results += [(int(r["doc_id"]), float(r["score"])) for r in p2]
         finally:
+            if seg_ub_persisted is not None:
+                seg_ub_persisted.unpersist()
             if sblocks is not blocks:
                 sblocks.unpersist()
             blocks.unpersist()
