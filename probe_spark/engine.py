@@ -48,6 +48,13 @@ def _is_disjunctive_bag(plan: QueryPlan) -> bool:
     for t in walk_terms(plan.ast):
         if t.exact or t.excluded or t.required:
             return False
+        # multi-keyword terms (compound splits, e.g. "deadline" ->
+        # dead+line) sum INSIDE the Term first, then node totals add --
+        # the flat keyword sum here is the same value but a different f64
+        # association (observed flipping the last ulp at 100k docs), so
+        # those route to the lane scorer which mirrors the tree exactly
+        if len(t.lowercase_keywords) > 1:
+            return False
         all_kws.extend(t.lowercase_keywords)
     # a keyword repeated across Term nodes contributes once per node to the
     # expression score (e.g. "repository OR repositori" where the exception
@@ -477,8 +484,10 @@ class SearchEngine:
                 (F.lit(idfs.get(term, 0.0)) * tf_part).alias("score"),
             ).filter(F.col("score") > 0.0)
             if getattr(self, "_boost_coverage", False):
+                # cov = 1 for a matched single-term query => 1 + 1^EXP * MULT
                 scored = scored.withColumn(
-                    "score", F.col("score") * F.lit(3.0)  # cov=1 => 1+1^1.5*2
+                    "score",
+                    F.col("score") * F.lit(1.0 + oracle.COVERAGE_BOOST_MULT),
                 )
             return scored
         arr = (
@@ -505,7 +514,13 @@ class SearchEngine:
                 F.lit(1.0),
             )
             scored = scored.withColumn(
-                "score", F.col("score") * (F.lit(1.0) + F.pow(cov, 1.5) * 2.0)
+                "score",
+                F.col("score")
+                * (
+                    F.lit(1.0)
+                    + F.pow(cov, F.lit(oracle.COVERAGE_BOOST_EXP))
+                    * F.lit(oracle.COVERAGE_BOOST_MULT)
+                ),
             )
         return scored.drop("_matched")
 
@@ -570,11 +585,18 @@ class SearchEngine:
                     ast, term_indices, lanes, dl, avgdl, idfs, params
                 )
                 if boost:
+                    from probe_spark.oracle import (
+                        COVERAGE_BOOST_EXP,
+                        COVERAGE_BOOST_MULT,
+                    )
+
                     matched = np.zeros(len(pdf), dtype=np.int64)
                     for lane in lanes.values():
                         matched += lane > 0
                     cov = np.minimum(matched / float(n_terms), 1.0) if n_terms else 0.0
-                    scores = scores * (1.0 + cov**1.5 * 2.0)
+                    scores = scores * (
+                        1.0 + cov**COVERAGE_BOOST_EXP * COVERAGE_BOOST_MULT
+                    )
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].to_numpy(np.int64)[keep],

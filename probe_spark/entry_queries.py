@@ -1078,7 +1078,7 @@ def ivf_topk(
     qn = vnorm.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vn").alias("qn")
     )
-    return (
+    result = (
         ed.join(cand.select("vec_id"), "vec_id", "leftsemi")
         .join(F.broadcast(qd), "i")
         .groupBy("vec_id")
@@ -1092,6 +1092,13 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(topk)
     )
+    # materialize the (tiny, <= topk) answer so the caches backing the
+    # iterative quantizer can be released -- returning the lazy plan would
+    # leak ed/sims persisted partitions on every call in a long session
+    rows = result.collect()
+    ed.unpersist()
+    sims.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,23 +31,58 @@ def estimate_tokens(text: str) -> int:
     return max(1, len(text.encode("utf-8")) // 4)
 
 
+def precise_token_counter():
+    """text -> token count via tiktoken p50k_base (the reference's precise
+    pass, search_tokens.rs:333-430) when the library is installed, else
+    None -- estimate-only mode (this sandbox ships no tiktoken; the
+    reference itself runs the estimate as its fast path)."""
+    try:  # pragma: no cover - tiktoken not installed in this environment
+        import tiktoken
+
+        enc = tiktoken.get_encoding("p50k_base")
+        return lambda s: len(enc.encode(s))
+    except Exception:
+        return None
+
+
+# switch from the bytes/4 estimate to the precise counter once the running
+# estimate crosses this fraction of the token budget (the reference's lazy
+# tiktoken threshold, search_limiter.rs:101-160)
+_PRECISE_THRESHOLD = 0.9
+
+
 def apply_limits(
     rows: list[dict],
     max_results: int | None = None,
     max_bytes: int | None = None,
     max_tokens: int | None = None,
     text_key: str = "url",
+    token_counter=None,
 ) -> LimitedResults:
-    """Running-total budgets over ranked rows (search_limiter.rs:22-226)."""
+    """Running-total budgets over ranked rows (search_limiter.rs:22-226).
+
+    ``token_counter`` (text -> int) overrides the precise counter; by
+    default tiktoken is used when installed.  Tokens are counted with the
+    cheap estimate until the running total reaches 90% of ``max_tokens``,
+    then precisely -- the reference's lazy-precise discipline."""
     out: list[dict] = []
     total_bytes = 0
     total_tokens = 0
     skipped = 0
     applied = False
+    precise = None
+    if max_tokens is not None:
+        precise = token_counter or precise_token_counter()
     for row in rows:
         text = str(row.get(text_key, ""))
         nb = len(text.encode("utf-8"))
         nt = estimate_tokens(text)
+        if (
+            precise is not None
+            and max_tokens is not None
+            and total_tokens + nt >= _PRECISE_THRESHOLD * max_tokens
+        ):
+            nt = precise(text)
         if max_results is not None and len(out) >= max_results:
             skipped += 1
             applied = True

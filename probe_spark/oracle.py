@@ -218,6 +218,14 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
     return keep
 
 
+# result_ranking.rs:12 constants (boost = 1 + cov^EXP * MULT) -- the
+# SINGLE source for every host of the formula (scalar below, the SQL
+# column form in engine._score_disjunctive, the numpy form in
+# engine._score_general); change here, not in the hosts
+COVERAGE_BOOST_EXP = 1.5
+COVERAGE_BOOST_MULT = 2.0
+
+
 def coverage_boost(unique_matched: int, denominator: int) -> float:
     """result_ranking.rs:8-18 (calculate_coverage_boost).  NOTE: the
     reference divides by queries.len() -- the number of query STRINGS --
@@ -227,7 +235,7 @@ def coverage_boost(unique_matched: int, denominator: int) -> float:
         cov = 0.0
     else:
         cov = min(unique_matched / denominator, 1.0)
-    return 1.0 + cov**1.5 * 2.0
+    return 1.0 + cov**COVERAGE_BOOST_EXP * COVERAGE_BOOST_MULT
 
 
 def search(

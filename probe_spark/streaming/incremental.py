@@ -50,8 +50,25 @@ PAGES_SCHEMA = "url string, text string, lang string"
 def _read_state(index_dir: str) -> dict:
     p = Path(index_dir) / "stream_state.json"
     if p.exists():
-        return json.loads(p.read_text())
+        state = json.loads(p.read_text())
+        # a state file from an older layout (missing running totals) is
+        # NOT trusted -- treating next_doc_id alone as valid would restart
+        # sum_dl at 0 and collapse avgdl; bootstrap recomputes from lineage
+        if all(k in state for k in ("next_doc_id", "n_docs", "sum_dl")):
+            state.setdefault("folded", [])
+            return state
     return {}
+
+
+def _read_stream_lineage(index_dir: str) -> list[dict]:
+    """Stream-batch lineage rows (stream_*.json -- indexer._read_lineage
+    only reads the batch build's bucket_*.json)."""
+    p = Path(index_dir) / "lineage"
+    rows = []
+    if p.exists():
+        for f in sorted(p.glob("stream_*.json")):
+            rows.append(json.loads(f.read_text()))
+    return rows
 
 
 def _write_state(index_dir: str, state: dict) -> None:
@@ -63,14 +80,20 @@ def _write_state(index_dir: str, state: dict) -> None:
 
 def _bootstrap_totals(spark: SparkSession, index_dir: str) -> dict:
     """Running totals (next_doc_id, n_docs, sum_dl) for an index that has
-    no stream state yet: from the batch build's lineage when complete
-    (driver-side JSON, no jobs), else one catch-up scan of doc_lens."""
+    no (valid) stream state: from BOTH the batch build's lineage and any
+    prior stream batches' lineage (driver-side JSON, no jobs), else one
+    catch-up scan of doc_lens.  Prior stream buckets are deliberately NOT
+    marked folded -- the reconcile pass will roll them forward with a full
+    dictionary rebuild, healing whatever the lost state file knew."""
     out = Path(index_dir)
     lineage = _read_lineage(index_dir)
+    stream_rows = _read_stream_lineage(index_dir)
     if lineage and all("sum_dl" in r for r in lineage.values()):
         n = sum(r["n_docs"] for r in lineage.values())
         s = sum(r["sum_dl"] for r in lineage.values())
-        return {"next_doc_id": n, "n_docs": n, "sum_dl": s}
+        n += sum(r["n_docs"] for r in stream_rows)
+        s += sum(r["sum_dl"] for r in stream_rows)
+        return {"next_doc_id": n, "n_docs": n, "sum_dl": s, "folded": []}
     lens_dir = out / "doc_lens"
     if lens_dir.exists():  # pragma: no cover - legacy lineage
         row = (
@@ -86,8 +109,71 @@ def _bootstrap_totals(spark: SparkSession, index_dir: str) -> dict:
             "next_doc_id": int(row["m"]) + 1,
             "n_docs": int(row["n"]),
             "sum_dl": int(row["s"]),
+            "folded": [],
         }
-    return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0}
+    return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0, "folded": []}
+
+
+def _reconcile(spark: SparkSession, index_dir: str, state: dict) -> dict:
+    """Crash recovery at batch start: every stream lineage row not marked
+    folded in the state is either
+
+      * rolled BACK -- its pages_indexed bucket (the commit marker, written
+        after lineage) is missing, so the batch died mid-write: delete the
+        orphan postings/doc_lens/terms_partial dirs and the lineage row;
+        the retry re-ingests those pages cleanly; or
+      * rolled FORWARD -- tables are complete but the dictionary/stats fold
+        never happened (or happened without being recorded): rebuild the
+        term dictionary from ALL partials (full re-agg, idempotent -- never
+        an incremental add, so a half-applied fold cannot double-count) and
+        recompute totals from lineage.
+
+    No-op (no jobs) when everything is folded -- the normal case."""
+    import shutil
+
+    out = Path(index_dir)
+    folded = set(state.get("folded", []))
+    rows = _read_stream_lineage(index_dir)
+    pending = [r for r in rows if r["bucket"] not in folded]
+    if not pending:
+        return state
+    roll_forward = False
+    for r in pending:
+        b = r["bucket"]
+        if (out / "pages_indexed" / f"bucket={b}").exists():
+            roll_forward = True
+            folded.add(b)
+        else:  # roll back the un-committed bucket
+            for t in ("postings", "doc_lens", "terms_partial"):
+                shutil.rmtree(out / t / f"bucket={b}", ignore_errors=True)
+            (out / "lineage" / f"{b}.json").unlink(missing_ok=True)
+    if roll_forward:
+        src = spark.read.parquet(str(out / "terms_partial"))
+        folded_terms = src.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+        tmp = out / "terms_tmp"
+        folded_terms.write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(out / "terms", ignore_errors=True)
+        tmp.rename(out / "terms")
+    # totals from lineage (batch + surviving stream rows) are authoritative
+    lineage = _read_lineage(index_dir)
+    srows = _read_stream_lineage(index_dir)
+    n = sum(r["n_docs"] for r in lineage.values()) + sum(
+        r["n_docs"] for r in srows
+    )
+    s = sum(r["sum_dl"] for r in lineage.values()) + sum(
+        r["sum_dl"] for r in srows
+    )
+    state = {
+        "next_doc_id": n,
+        "n_docs": n,
+        "sum_dl": s,
+        "folded": sorted(folded),
+    }
+    write_stats(index_dir, n, (s / n) if n else 0.0)
+    _write_state(index_dir, state)
+    return state
 
 
 def _fold_terms(spark: SparkSession, index_dir: str, new_partial: Path) -> None:
@@ -112,11 +198,20 @@ def _fold_terms(spark: SparkSession, index_dir: str, new_partial: Path) -> None:
 
 
 def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -> int:
-    """Fold one micro-batch of pages into the index; returns docs added."""
+    """Fold one micro-batch of pages into the index; returns docs added.
+
+    Crash safety is two-phase: the lineage row is the PREPARE marker
+    (written after postings/doc_lens/terms_partial land), the
+    pages_indexed bucket is the COMMIT marker (written next; it is also
+    the url-dedup table, so an uncommitted batch is re-ingested rather
+    than silently skipped).  _reconcile at batch start rolls interrupted
+    batches back (no commit marker) or forward (committed but not folded
+    into terms/stats)."""
     from pyspark.sql import Observation
 
     out = Path(index_dir)
     state = _read_state(index_dir) or _bootstrap_totals(spark, index_dir)
+    state = _reconcile(spark, index_dir, state)
     base = int(state["next_doc_id"])
     fresh = batch_df.select("url", "text", "lang").dropDuplicates(["url"])
     if (out / "pages_indexed").exists():
@@ -147,13 +242,6 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .write.mode("overwrite")
         .parquet(str(out / "postings" / f"bucket={bucket}"))
     )
-    (
-        rows.filter(F.col("term").isNull())
-        .select("doc_id", "url", "lang", "text")
-        .coalesce(2)
-        .write.mode("overwrite")
-        .parquet(str(out / "pages_indexed" / f"bucket={bucket}"))
-    )
     obs = Observation()
     (
         rows.filter(F.col("term").isNull())
@@ -173,24 +261,12 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .write.mode("overwrite")
         .parquet(str(tpart))
     )
-    rows.unpersist()
-    _fold_terms(spark, index_dir, tpart)
-    # stats from running totals -- no job over the (ever-growing) index
-    state = {
-        "next_doc_id": base + n_docs,
-        "n_docs": int(state.get("n_docs", base)) + n_docs,
-        "sum_dl": int(state.get("sum_dl", 0)) + sum_dl,
-    }
-    write_stats(
-        index_dir,
-        state["n_docs"],
-        (state["sum_dl"] / state["n_docs"]) if state["n_docs"] else 0.0,
-    )
-    _write_state(index_dir, state)
-    # lineage row for the stream batch (same checkpoint table as builds)
+    # PREPARE marker: the lineage row commits the bucket's existence (and
+    # carries the totals) BEFORE the url-dedup table sees its pages -- a
+    # crash from here until the fold is healed by _reconcile
     lineage = out / "lineage"
     lineage.mkdir(exist_ok=True)
-    (lineage / f"stream_{epoch_id}_{base}.json").write_text(
+    (lineage / f"{bucket}.json").write_text(
         json.dumps(
             {
                 "bucket": bucket,
@@ -201,6 +277,30 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
             }
         )
     )
+    # COMMIT marker: pages_indexed is also the url-dedup table, so writing
+    # it LAST means an interrupted batch is re-ingested, never skipped
+    (
+        rows.filter(F.col("term").isNull())
+        .select("doc_id", "url", "lang", "text")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(str(out / "pages_indexed" / f"bucket={bucket}"))
+    )
+    rows.unpersist()
+    _fold_terms(spark, index_dir, tpart)
+    # stats from running totals -- no job over the (ever-growing) index
+    state = {
+        "next_doc_id": base + n_docs,
+        "n_docs": int(state.get("n_docs", base)) + n_docs,
+        "sum_dl": int(state.get("sum_dl", 0)) + sum_dl,
+        "folded": sorted(set(state.get("folded", [])) | {bucket}),
+    }
+    write_stats(
+        index_dir,
+        state["n_docs"],
+        (state["sum_dl"] / state["n_docs"]) if state["n_docs"] else 0.0,
+    )
+    _write_state(index_dir, state)
     return n_docs
 
 

@@ -138,12 +138,42 @@ class WandEngine:
         self._fallback = SearchEngine(spark, index_dir, params)
         # create the blocks reader once: spark.read.parquet re-lists files
         # and re-infers partitioning on every call (engine.py does the same
-        # for its tables) -- measurable fixed overhead per query
-        self._blocks_df = (
-            spark.read.parquet(self._blocks_path)
-            if (p / "blocks").exists()
-            else None
-        )
+        # for its tables) -- measurable fixed overhead per query.  The
+        # cached listing is invalidated by compaction fingerprint (below):
+        # a recompaction rmtree's blocks/ (stale listing -> missing files)
+        # and incremental compaction adds bucket dirs the listing wouldn't
+        # see, so queries after a compact_index in the same driver must
+        # re-list.
+        self._blocks_df = None
+        self._blocks_fp: tuple | None = None
+        self._refresh_blocks()
+
+    def _compaction_fingerprint(self) -> tuple | None:
+        """Cheap driver-side change marker for the blocks table: the
+        compaction checkpoint's (mtime_ns, size) plus the set of bucket
+        dirs.  One os.stat + one listdir per query -- no Spark jobs."""
+        import os
+
+        p = Path(self._blocks_path)
+        if not p.exists():
+            return None
+        state = Path(self.index_dir) / "lineage" / "compaction.json"
+        try:
+            st = os.stat(state)
+            marker = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            marker = None
+        return (marker, tuple(sorted(d.name for d in p.iterdir())))
+
+    def _refresh_blocks(self) -> None:
+        fp = self._compaction_fingerprint()
+        if fp != self._blocks_fp or self._blocks_df is None:
+            self._blocks_fp = fp
+            self._blocks_df = (
+                self.spark.read.parquet(self._blocks_path)
+                if fp is not None
+                else None
+            )
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         dfs = self._fallback.term_dfs(terms)
@@ -350,9 +380,10 @@ class WandEngine:
         }
         must_kws = () if disjunctive else tuple(sorted(_must_keywords(plan)))
 
+        self._refresh_blocks()
         if self._blocks_df is None:
-            # blocks were compacted after this engine was constructed
-            self._blocks_df = self.spark.read.parquet(self._blocks_path)
+            # no blocks table at all: nothing compacted yet
+            return self._fallback.search_local(query, k)
         blocks = self._blocks_df.filter(F.col("term").isin(pos_terms))
         if must_kws:
             # segment-level posting intersection: only segments containing

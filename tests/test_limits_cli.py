@@ -59,6 +59,28 @@ def test_formats():
         format_results(rs, "html")
 
 
+def test_precise_counter_engages_at_90pct():
+    # rows of 40-byte urls -> estimate 10 tokens each; budget 35 tokens.
+    # With a fake precise counter that says 1 token/row, the switch at
+    # >= 90% of budget (31.5) lets MORE rows through than estimate-only.
+    calls = []
+
+    def fake_precise(text):
+        calls.append(text)
+        return 1
+
+    rs = rows(8)
+    for r in rs:
+        r["url"] = "u" * 40
+    est_only = apply_limits(rs, max_tokens=35, token_counter=None)
+    precise = apply_limits(rs, max_tokens=35, token_counter=fake_precise)
+    assert len(est_only.results) == 3  # 10+10+10, 4th would exceed 35
+    assert len(precise.results) > len(est_only.results)
+    assert calls, "precise counter must engage past 90% of the budget"
+    # the first rows stay on the cheap estimate (laziness)
+    assert len(calls) < len(rs)
+
+
 def test_outline_format_groups_by_host():
     rs = [
         {"rank": 1, "doc_id": 1, "score": 2.0, "url": "https://a.example.com/x/1"},

@@ -126,3 +126,108 @@ def test_incremental_checkpoint_no_reprocess(spark, tmp_path):
 
     docs = spark.read.parquet(f"{ix}/pages_indexed")
     assert docs.count() == docs.select("url").distinct().count()
+
+
+def test_stream_crash_rollback_and_resume(spark, tmp_path):
+    """A batch that died after the lineage PREPARE marker but before the
+    pages_indexed COMMIT marker is rolled back by _reconcile, and the
+    retry re-ingests the pages cleanly (no orphan postings, no doc-id
+    collisions)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import ingest_batch
+
+    ix = str(tmp_path / "ix")
+    build_index(spark, pages_df(spark, 50).drop("html", "warc_ts"), ix, n_buckets=2)
+    wave = (
+        pages_df(spark, 80)
+        .drop("html", "warc_ts")
+        .join(pages_df(spark, 50).select("url"), "url", "leftanti")
+    )
+    # full ingest, then simulate the crash window by removing the COMMIT
+    # marker and the fold bookkeeping (state), leaving the PREPARE marker
+    assert ingest_batch(spark, wave, ix, epoch_id=0) == 30
+    out = Path(ix)
+    stream_buckets = [
+        d.name for d in (out / "pages_indexed").iterdir()
+        if "stream_" in d.name
+    ]
+    assert len(stream_buckets) == 1
+    shutil.rmtree(out / "pages_indexed" / stream_buckets[0])
+    (out / "stream_state.json").unlink()
+
+    # retry of the same batch: rollback erases the orphan bucket, then the
+    # batch re-ingests all 30 pages with ids starting at 50 again
+    assert ingest_batch(spark, wave, ix, epoch_id=1) == 30
+    docs = spark.read.parquet(f"{ix}/pages_indexed")
+    assert docs.count() == 80
+    assert docs.select("doc_id").distinct().count() == 80
+    post = spark.read.parquet(f"{ix}/postings")
+    assert post.select("doc_id").distinct().count() <= 80
+    # every posting doc_id has a doc-store row (no orphans)
+    orphans = (
+        post.select("doc_id").distinct()
+        .join(docs.select("doc_id"), "doc_id", "leftanti")
+        .count()
+    )
+    assert orphans == 0
+    # stats reflect exactly the union corpus
+    stats = spark.read.parquet(f"{ix}/stats").collect()[0]
+    assert stats["n_docs"] == 80
+
+
+def test_stream_crash_rollforward_heals_fold(spark, tmp_path):
+    """A batch that committed its pages but died before the dictionary /
+    stats fold is rolled FORWARD: terms and stats are rebuilt, the next
+    ingest proceeds with correct totals, and df values match a scratch
+    recount."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import _read_state, ingest_batch
+
+    ix = str(tmp_path / "ix")
+    build_index(spark, pages_df(spark, 50).drop("html", "warc_ts"), ix, n_buckets=2)
+    wave = (
+        pages_df(spark, 80)
+        .drop("html", "warc_ts")
+        .join(pages_df(spark, 50).select("url"), "url", "leftanti")
+    )
+    assert ingest_batch(spark, wave, ix, epoch_id=0) == 30
+    out = Path(ix)
+    # simulate: fold/state never ran (also covers a LEGACY state file
+    # missing the running totals -- it must not be trusted)
+    (out / "stream_state.json").write_text(json.dumps({"next_doc_id": 80}))
+
+    wave2 = (
+        pages_df(spark, 100)
+        .drop("html", "warc_ts")
+        .join(pages_df(spark, 80).select("url"), "url", "leftanti")
+    )
+    assert ingest_batch(spark, wave2, ix, epoch_id=1) == 20
+    stats = spark.read.parquet(f"{ix}/stats").collect()[0]
+    assert stats["n_docs"] == 100
+    # avgdl must equal the true mean over ALL docs (the legacy-state bug
+    # collapsed it by restarting sum_dl at 0)
+    lens = spark.read.parquet(f"{ix}/doc_lens")
+    true_avg = lens.agg(F.avg("doc_len")).collect()[0][0]
+    assert abs(stats["avgdl"] - true_avg) < 1e-9
+    # dictionary df equals a recount from postings for a sample term
+    post = spark.read.parquet(f"{ix}/postings")
+    sample = post.groupBy("term").count().orderBy(F.desc("count")).first()
+    dict_df = (
+        spark.read.parquet(f"{ix}/terms")
+        .filter(F.col("term") == sample["term"])
+        .collect()[0]["df"]
+    )
+    assert dict_df == sample["count"]
+    st = _read_state(ix)
+    assert st["next_doc_id"] == 100 and st["n_docs"] == 100
