@@ -338,15 +338,37 @@ class SearchEngine:
     def _query_dfs(self, plan: QueryPlan, cand: DataFrame) -> dict[str, int]:
         """Global df per query term: regular terms from the terms dictionary
         (driver cache / term-pruned parquet); rescue terms from the
-        candidate rows (their containment scan defines their df)."""
+        candidate rows (their containment scan defines their df).
+
+        PURELY-excluded rescue terms skip the df job: their idf only gates
+        the drop decision (a doc is dropped iff its excluded total > 0,
+        i.e. tf > 0 and idf > 0 -- oracle.score_expr), and kept docs have
+        tf = 0 for them, so ANY positive df yields identical results while
+        saving a full doc-store containment scan action (the same
+        observation the WAND engine applies to its synthetic exclusion
+        blocks)."""
         rescues = oracle.rescue_terms(plan)
         regular = [t for t in plan.term_indices if t not in rescues]
         out: dict[str, int] = {}
         if regular:
             out.update(self.term_dfs(regular))
-        if rescues:
+        pos_kws = {
+            kw
+            for t in walk_terms(plan.ast)
+            if not t.excluded
+            for kw in t.lowercase_keywords
+        } if plan.ast is not None else set()
+        excl_only = {
+            t
+            for t in rescues
+            if t in plan.excluded_terms and t not in pos_kws
+        }
+        for t in excl_only:
+            out[t] = 1
+        scored_rescues = sorted(rescues - excl_only)
+        if scored_rescues:
             rows = (
-                cand.filter(F.col("term").isin(sorted(rescues)))
+                cand.filter(F.col("term").isin(scored_rescues))
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .collect()
