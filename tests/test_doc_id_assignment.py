@@ -63,3 +63,44 @@ def test_skewed_input_one_hot_prefix(spark):
     got, _meta = _ids(spark, rows, n_buckets=4)
     assert [g[0] for g in got] == list(range(200))
     assert [g[1] for g in got] == sorted(r[0] for r in rows)
+
+
+def test_hot_term_salted_across_buckets(spark, tmp_path):
+    """SURVEY §4 skew handling: a head term's postings are B independent
+    sorted runs (buckets double as salt) -- no single partition owns a hot
+    term, and queries over it stay oracle-identical."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.indexer import build_index
+    from probe_spark.oracle import CorpusIndex, Doc
+    from probe_spark.oracle import search as oracle_search
+
+    # 400 docs, every one of them containing the hot term
+    rows = [
+        (
+            f"https://h{i % 7}.example.com/p{i:04d}",
+            f"boilerplate banner text shared page {i % 13} item{i}",
+            "en",
+        )
+        for i in range(400)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    ix = str(tmp_path / "hot_ix")
+    build_index(spark, pages, ix, n_buckets=4)
+
+    hot = (
+        spark.read.parquet(f"{ix}/postings")
+        .filter(F.col("term") == "boilerpl")
+    )
+    n_buckets_holding = hot.select("bucket").distinct().count()
+    assert hot.count() == 400
+    assert n_buckets_holding >= 3, "hot term must spread across buckets"
+
+    docs = sorted(rows, key=lambda r: r[0])
+    oidx = CorpusIndex.build(
+        [Doc(i, u, t, lang) for i, (u, t, lang) in enumerate(docs)]
+    )
+    eng = SearchEngine(spark, ix)
+    for q in ["boilerplate", "boilerplate AND banner", "+boilerplate -item5"]:
+        assert eng.search_local(q, 10) == oracle_search(oidx, q, k=10), q
