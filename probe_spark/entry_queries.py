@@ -878,25 +878,33 @@ vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vn FROM ed GROUP BY vec_id)
 """
 
 
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-band LSH ANN (the missing consumer of sim_lsh_buckets):
-    4 bands x 6 sign bits; candidates share >= 1 whole band signature with
-    the query (vec 0); exact cosine rerank top-5 within the candidates.
-    Collision prob for angle theta is 1-(1-(1-theta/pi)^6)^4 -- banding OR
-    trades recall for candidate count, and the verify stage makes returned
-    scores exact.  The bucket join's key multiplicity is a band bucket, so
-    candidate generation never goes quadratic at scale."""
-    emb = _emb(spark, sf_dir)
+def lsh_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 5,
+) -> DataFrame:
+    """Multi-band LSH ANN: 4 bands x 6 sign bits; candidates share >= 1
+    whole band signature with the query; exact cosine rerank within the
+    candidates.  Collision prob for angle theta is 1-(1-(1-theta/pi)^6)^4
+    -- banding OR trades recall for candidate count, and the verify stage
+    makes returned scores exact.  The bucket join's key multiplicity is a
+    band bucket, so candidate generation never goes quadratic at scale.
+    Recall on clustered data is pinned by tests/test_ivf_recall.py."""
     bands, ed, vnorm = _lsh_bands(emb)
-    qb = bands.filter(F.col("vec_id") == 0).select("bi", "bv")
+    qb = bands.filter(F.col("vec_id") == query_vec_id).select("bi", "bv")
     cand = (
-        bands.filter(F.col("vec_id") != 0)
+        bands.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(qb), ["bi", "bv"], "leftsemi")
         .select("vec_id")
         .distinct()
     )
-    qd = ed.filter(F.col("vec_id") == 0).select("i", F.col("v").alias("qv"))
-    qn = vnorm.filter(F.col("vec_id") == 0).select(F.col("vn").alias("qn"))
+    qd = ed.filter(F.col("vec_id") == query_vec_id).select(
+        "i", F.col("v").alias("qv")
+    )
+    qn = vnorm.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vn").alias("qn")
+    )
     return (
         ed.join(cand, "vec_id", "leftsemi")
         .join(F.broadcast(qd), "i")
@@ -909,8 +917,13 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(5)
+        .limit(topk)
     )
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: multi-band LSH ANN for vec 0, top-5 (see lsh_topk)."""
+    return lsh_topk(spark, _emb(spark, sf_dir))
 
 
 SIM_LSH_TOPK_SQL = f"""

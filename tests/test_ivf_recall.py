@@ -58,3 +58,22 @@ def test_ivf_probe_all_equals_brute_force(spark):
         ).collect()
     ]
     assert got == expected
+
+
+def test_lsh_recall_on_clustered_data(spark, clustered_emb):
+    """Multi-band LSH (4 bands x 6 bits): near neighbors on clustered data
+    (within-cluster cosine ~0.99 => per-bit agreement ~0.97, >=1-band
+    collision ~0.999) must be recalled; returned scores are exact cosines."""
+    from probe_spark.entry_queries import lsh_topk
+
+    df, V = clustered_emb
+    true10 = _brute_topk(V, 0, 10)
+    got = lsh_topk(spark, df, query_vec_id=0, topk=10).collect()
+    ids = [int(r["vec_id"]) for r in got]
+    recall = len(set(ids) & set(true10)) / 10
+    assert recall >= 0.8, f"recall {recall}"
+    # verify stage: every returned cos equals the exact brute-force cosine
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for r in got:
+        exact = float(n[int(r["vec_id"])] @ n[0])
+        assert abs(float(r["cos"]) - exact) < 1e-5
