@@ -188,3 +188,28 @@ def test_tokenize_udf_matches_oracle(spark, tiny_index, tiny_oracle):
         toks = tiny_oracle.tokens[i]
         exp = (len(toks), len(set(toks)))
         assert got.get(i, (0, 0)) == exp, f"doc {i} token stats mismatch"
+
+
+def test_wide_query_rank_identity(spark, tiny_index, tiny_oracle, engine):
+    """A 40-term mixed query (OR bag + AND + required + excluded) stays
+    oracle-identical -- exercises the pivot agg with many tf columns and
+    the validated path well below the 256-term limit."""
+    from probe_spark.oracle import search as oracle_search
+
+    words = [
+        "firewall", "whitelist", "deadlock", "timeout", "deadline", "retry",
+        "error", "handler", "process", "migration", "endpoint", "token",
+        "header", "download", "upload", "cache", "index", "shard", "replica",
+        "batch", "stream", "window", "merge", "sort", "join", "scan",
+        "vector", "matrix", "tensor", "graph", "queue", "stack", "heap",
+        "tree", "hash", "map", "set", "list",
+    ]
+    q_or = " ".join(words)  # implicit OR bag
+    q_mixed = (
+        "(" + " OR ".join(words[:6]) + ") AND (" + " OR ".join(words[6:12])
+        + ") +" + words[12] + " -" + words[13]
+    )
+    for q in (q_or, q_mixed):
+        got = engine.search_local(q, 10)
+        want = oracle_search(tiny_oracle, q, k=10)
+        assert got == want, q
