@@ -352,17 +352,7 @@ class SearchEngine:
         out: dict[str, int] = {}
         if regular:
             out.update(self.term_dfs(regular))
-        pos_kws = {
-            kw
-            for t in walk_terms(plan.ast)
-            if not t.excluded
-            for kw in t.lowercase_keywords
-        } if plan.ast is not None else set()
-        excl_only = {
-            t
-            for t in rescues
-            if t in plan.excluded_terms and t not in pos_kws
-        }
+        excl_only = self._excl_only_rescues(plan)
         for t in excl_only:
             out[t] = 1
         scored_rescues = sorted(rescues - excl_only)
@@ -375,6 +365,25 @@ class SearchEngine:
             )
             out.update({r["term"]: int(r["df"]) for r in rows})
         return out
+
+    @staticmethod
+    def _excl_only_rescues(plan: QueryPlan) -> set[str]:
+        """Rescue terms that are excluded and never positive -- the ones
+        whose df is substitutable (see _query_dfs)."""
+        rescues = oracle.rescue_terms(plan)
+        pos_kws = (
+            {
+                kw
+                for t in walk_terms(plan.ast)
+                if not t.excluded
+                for kw in t.lowercase_keywords
+            }
+            if plan.ast is not None
+            else set()
+        )
+        return {
+            t for t in rescues if t in plan.excluded_terms and t not in pos_kws
+        }
 
     # -- public API ----------------------------------------------------------
 
@@ -412,10 +421,13 @@ class SearchEngine:
             return self._ranked(hits)
 
         cand = self._candidate_rows(plan)
-        if oracle.rescue_terms(plan):
-            # rescue queries touch the doc-store text column; cache the
-            # candidate rows so the df-count action and the scoring action
-            # scan it once (evicted lazily on the next rescue query)
+        if oracle.rescue_terms(plan) - self._excl_only_rescues(plan):
+            # SCORED rescue queries run two actions over the doc-store text
+            # (the df-count and the scoring job); cache the candidate rows
+            # so they scan it once (evicted lazily on the next rescue
+            # query).  Purely-excluded rescues skip the df job entirely
+            # (df substituted in _query_dfs), so persisting would be pure
+            # overhead for their single action.
             if self._cached_cand is not None:
                 self._cached_cand.unpersist()
             cand = cand.persist()
