@@ -1261,6 +1261,77 @@ ORDER BY user_id, session_start
 # ---------------------------------------------------------------------------
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/val/test split (98/1/1) by
+    md5(doc_id) bucket -- the standard assignment for training corpora
+    (hashing the stable key means re-runs, resharding and incremental
+    appends never move a document across splits).  Pure column math; at
+    100 TB this is a map-only pass with a 3-group aggregate."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(split.alias("split"), "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+SAMPLE_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT doc_id,
+         CASE
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < 98 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < 99 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents)
+SELECT split, count(*)::BIGINT AS n,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM assigned GROUP BY split
+"""
+
+
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep the first K=20 docs (by doc_id) of
+    every source -- the standard domain-spam control in web pipelines (one
+    boilerplate farm can't dominate the training mix).  Window per source:
+    the shuffle key is the source, so skew is bounded by the cap itself
+    once AQE splits oversized partitions; output is the kept (source,
+    doc_id) pairs plus each source's total."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tot = Window.partitionBy("source")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("source_total", F.count(F.lit(1)).over(tot))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "source_total")
+    )
+
+
+SAMPLE_SOURCE_CAP_SQL = """
+SELECT source, doc_id, source_total
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY source)::BIGINT AS source_total
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex word-ish tokens."""
     docs = _docs(spark, sf_dir)
@@ -1468,6 +1539,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "events_window": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
+    "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_langid": (text_langid, LANGID_SQL),
