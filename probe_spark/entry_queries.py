@@ -403,25 +403,13 @@ FROM sig
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (60-bit, distinct-term weighted): per-bit majority vote over
-    term hashes; hash = first 15 hex chars of md5(term) as int."""
-    toks = _tokens(_docs(spark, sf_dir)).distinct()
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
-    bits = toks.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-    )
-    vote = bits.withColumn(
-        "v",
-        F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1),
-    )
-    bysum = vote.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    return bysum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    term hashes; hash = first 15 hex chars of md5(term) as int.  Computed in
+    ONE vectorized mapInPandas pass (numpy bit matrix, probe_spark.dedup) --
+    no 60-row-per-term explosion before a shuffle; the long-format
+    definition survives only in the oracle."""
+    from probe_spark.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -511,78 +499,49 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.5
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE near-dup pipeline (signatures alone don't dedup):
-    8 minhashes -> b=4 bands x r=2 rows -> candidate pairs share >= 1 band
-    bucket -> exact-Jaccard verify on the candidates only -> pairs with
-    jaccard >= 0.5.
+    """The COMPLETE near-dup pair pipeline with both scale guards
+    (probe_spark.dedup): exact-text collapse (lossless -- a mass-duplicate
+    flood contributes ONE row per band bucket), 8 minhashes -> 4 bands x 2
+    rows over the representatives, per-bucket cap (keep lowest doc_ids,
+    mirrored in the oracle), exact-Jaccard verify on candidates only, then
+    expansion back to document pairs (cross pairs inherit the rep verdict,
+    intra-group pairs are jaccard 1).  The join key is always a band bucket
+    of DISTINCT texts bounded by the cap -- never the corpus, never a
+    10^6-copy cluster."""
+    from probe_spark.dedup import minhash_pairs
 
-    Scale shape: candidate generation joins on band buckets (bounded
-    multiplicity -- a bucket holds near-identical docs, not the corpus),
-    never on raw shingles; verification touches only candidate pairs.
-    Recall is the standard LSH 1-(1-J^r)^b curve; both hosts compute the
-    SAME md5-derived signatures, so outputs are deterministic and
-    hash-comparable."""
-    sh = _shingles(_docs(spark, sf_dir))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(8)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))).alias(
-                f"b{i}"
-            )
-            for i in range(4)
-        ],
-    )
-    cand = None
-    for i in range(4):
-        p = (
-            bands.alias("x")
-            .join(bands.alias("y"), F.col(f"x.b{i}") == F.col(f"y.b{i}"))
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return minhash_pairs(_docs(spark, sf_dir))
 
 
-DEDUP_MINHASH_PAIRS_SQL = f"""
-WITH sh AS ({_SQL_SHINGLES}),
+def _sql_shingles_from(rel: str) -> str:
+    n = _SHINGLES_SPARK_N
+    return f"""SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n} + 2)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {rel}))"""
+
+
+def _sql_minhash_rep_pairs() -> str:
+    """CTE chain (memb -> repdocs -> ... -> reppairs) mirroring
+    dedup.minhash_rep_pairs over exact-collapsed representatives, including
+    the band-bucket cap."""
+    from probe_spark.dedup import BAND_BUCKET_CAP
+
+    kept = ",\n".join(
+        f"""k{i} AS (SELECT doc_id, b{i} FROM (
+  SELECT doc_id, b{i}, row_number() OVER (PARTITION BY b{i} ORDER BY doc_id) AS rn
+  FROM bands) WHERE rn <= {BAND_BUCKET_CAP})"""
+        for i in range(4)
+    )
+    cand = "\n  UNION\n".join(
+        f"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM k{i} x JOIN k{i} y
+    ON x.b{i} = y.b{i} AND x.doc_id < y.doc_id"""
+        for i in range(4)
+    )
+    return f"""memb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         FROM documents),
+repdocs AS (SELECT d.doc_id, d.text FROM documents d
+            JOIN memb m ON m.doc_id = d.doc_id WHERE m.rep = d.doc_id),
+sh AS ({_sql_shingles_from("repdocs")}),
 sig AS (SELECT doc_id,
         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
@@ -591,31 +550,37 @@ sig AS (SELECT doc_id,
         FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, md5(mh0 || mh1) AS b0, md5(mh2 || mh3) AS b1,
                  md5(mh4 || mh5) AS b2, md5(mh6 || mh7) AS b3 FROM sig),
+{kept},
 cand AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
-    ON x.b0 = y.b0 AND x.doc_id < y.doc_id
-  UNION
-  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
-    ON x.b1 = y.b1 AND x.doc_id < y.doc_id
-  UNION
-  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
-    ON x.b2 = y.b2 AND x.doc_id < y.doc_id
-  UNION
-  SELECT x.doc_id, y.doc_id FROM bands x JOIN bands y
-    ON x.b3 = y.b3 AND x.doc_id < y.doc_id),
+{cand}),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-          GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b,
-       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.n + sb.n - inter) >= 0.5
+          GROUP BY c.doc_a, c.doc_b),
+reppairs AS (SELECT doc_a, doc_b,
+                    round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+             WHERE inter / (sa.n + sb.n - inter) >= 0.5)"""
+
+
+# document-level pairs = rep pairs expanded through the exact-collapse map
+_SQL_MINHASH_PAIRS_BODY = f"""
+WITH {_sql_minhash_rep_pairs()}
+SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       greatest(ma.doc_id, mb.doc_id) AS doc_b, p.jaccard
+FROM reppairs p
+JOIN memb ma ON ma.rep = p.doc_a
+JOIN memb mb ON mb.rep = p.doc_b
+UNION ALL
+SELECT a.doc_id, b.doc_id, round(1.0, 6)
+FROM memb a JOIN memb b ON a.rep = b.rep AND a.doc_id < b.doc_id
 """
+
+DEDUP_MINHASH_PAIRS_SQL = _SQL_MINHASH_PAIRS_BODY
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,41 +593,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band matches exactly.  Output is therefore EXACTLY the set of
     pairs with hamming <= 3, and the DuckDB oracle checks the exhaustive
     all-pairs definition -- a stronger gate than mirroring the bands.
-    Scale shape: the join key is a band bucket (near-identical docs only),
-    never the corpus; the exhaustive form exists only in the oracle."""
-    sig = dedup_simhash(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"CAST((simhash >> {15 * i}) & 32767 AS INT)")
-                    for i in range(4)
-                ]
-            )
-        ).alias("bi", "bv"),
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["bi", "bv"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-    )
+
+    Scale guards (probe_spark.dedup, both LOSSLESS so the exhaustive oracle
+    still holds): docs with identical signatures collapse to one
+    representative before banding (a mass-duplicate flood is ONE band row),
+    and band buckets larger than the cap are re-split by a second pigeonhole
+    over the remaining 45 bits (4 sub-bands; <=3 differing bits touch at
+    most 3, so one sub-band always matches)."""
+    from probe_spark.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
 
 
 # exhaustive oracle: every pair with hamming <= 3 (see dedup_simhash_pairs
@@ -673,6 +613,126 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM siga a JOIN sigb b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution + end-to-end corpus dedup -- SQL-checked
+# (pairs are an intermediate; clusters/canonical docs are what a training
+#  pipeline actually consumes)
+# ---------------------------------------------------------------------------
+
+# recursive reachability closure: label L is reachable from node V; the
+# component id is min(L).  Mirrors dedup.connected_components exactly (both
+# compute min-reachable-id over the undirected pair graph).
+_SQL_CC = """
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM {pairs}
+          UNION ALL SELECT doc_b, doc_a FROM {pairs}),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM {nodes}
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution -- the consumer the pair operators feed:
+    connected components over the minhash near-dup pair edges
+    (dedup_minhash_pairs semantics), every document labeled with the min
+    doc_id of its component (singletons keep their own id).  Spark side is
+    min-label propagation (one shuffle per round, rounds = graph diameter
+    -- LSH dup clusters are clique-like, so 2-3 rounds; see
+    probe_spark.dedup.connected_components); the oracle computes the same
+    fixpoint with a recursive CTE."""
+    from probe_spark.dedup import connected_components, minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_pairs(docs)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    )
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_sql_minhash_rep_pairs()},
+pairs AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b
+  FROM reppairs p
+  JOIN memb ma ON ma.rep = p.doc_a
+  JOIN memb mb ON mb.rep = p.doc_b
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM memb a JOIN memb b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+{_SQL_CC.format(pairs="pairs", nodes="documents")}
+SELECT node AS doc_id, cluster_id::BIGINT AS cluster_id FROM cc
+"""
+
+# quality gate applied to the deduplicated corpus (pipeline_dedup_corpus):
+# document keeps only if it has enough tokens and enough lexical diversity
+_PIPE_MIN_TOKENS = 15
+_PIPE_MIN_TTR = 0.3
+
+
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus prep: raw docs -> exact dedup (md5 collapse) ->
+    banded minhash near-dup pairs over representatives (capped buckets) ->
+    connected-component clusters -> keep the canonical doc (min doc_id) per
+    cluster -> quality filter (>= 15 tokens, type-token ratio >= 0.3).
+    Output: one row per surviving document with
+    n_docs = how many raw documents it represents (exact + near dups) --
+    the operator a 100-TB training-data pipeline runs daily, chained from
+    the same guarded building blocks the pair entries verify."""
+    from probe_spark.dedup import (
+        _rep_docs,
+        connected_components,
+        exact_member_map,
+        minhash_rep_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    memb = exact_member_map(docs)
+    repd = _rep_docs(docs, memb)
+    rp = minhash_rep_pairs(repd)
+    cc = connected_components(
+        rp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        repd.select(F.col("doc_id").alias("node")),
+    )
+    gsz = memb.groupBy("rep").agg(F.count(F.lit(1)).alias("g"))
+    csz = (
+        cc.join(gsz, cc["node"] == gsz["rep"])
+        .groupBy("cluster_id")
+        .agg(F.sum("g").cast("long").alias("n_docs"))
+    )
+    kept = docs.join(csz, docs["doc_id"] == csz["cluster_id"])
+    w = F.split("text", " ")
+    n = F.size(w).cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    return (
+        kept.select(
+            "doc_id",
+            "n_docs",
+            F.size(w).cast("long").alias("n_tokens"),
+        )
+        .filter((F.col("n_tokens") >= _PIPE_MIN_TOKENS) & (ttr >= _PIPE_MIN_TTR))
+    )
+
+
+PIPELINE_DEDUP_SQL = f"""
+WITH RECURSIVE {_sql_minhash_rep_pairs()},
+{_SQL_CC.format(pairs="reppairs", nodes="repdocs")},
+gsz AS (SELECT rep, count(*)::BIGINT AS g FROM memb GROUP BY rep),
+csz AS (SELECT cc.cluster_id, sum(g.g)::BIGINT AS n_docs
+        FROM cc JOIN gsz g ON g.rep = cc.node GROUP BY cc.cluster_id)
+SELECT d.doc_id, c.n_docs,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens
+FROM documents d JOIN csz c ON c.cluster_id = d.doc_id
+WHERE len(string_split(d.text, ' ')) >= {_PIPE_MIN_TOKENS}
+  AND len(list_distinct(string_split(d.text, ' ')))
+      / len(string_split(d.text, ' '))::DOUBLE >= {_PIPE_MIN_TTR}
 """
 
 
@@ -946,11 +1006,17 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH band buckets -> candidate
     pairs (share >= 1 band) -> exact cosine verify >= 0.35.  The scale
     replacement for dedup_embed_cosine's exhaustive self-join: the pair
-    join runs on band buckets (bounded multiplicity), verification touches
-    candidates only.  Recall < 1 by design (the LSH curve), so the oracle
-    mirrors the banding rather than the exhaustive definition."""
+    join runs on band buckets capped at BAND_BUCKET_CAP lowest vec_ids
+    (probe_spark.dedup.capped_bands, mirrored in the oracle -- the residual
+    guard against a flood of near-identical embeddings saturating one
+    bucket), verification touches candidates only.  Recall < 1 by design
+    (the LSH curve), so the oracle mirrors the banding + cap rather than
+    the exhaustive definition."""
+    from probe_spark.dedup import capped_bands
+
     emb = _emb(spark, sf_dir)
     bands, ed, vnorm = _lsh_bands(emb)
+    bands = capped_bands(bands)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["bi", "bv"])
@@ -981,10 +1047,20 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_capped_bands() -> str:
+    from probe_spark.dedup import BAND_BUCKET_CAP
+
+    return f"""cbands AS (SELECT vec_id, bi, bv FROM (
+  SELECT vec_id, bi, bv,
+         row_number() OVER (PARTITION BY bi, bv ORDER BY vec_id) AS rn
+  FROM bands) WHERE rn <= {BAND_BUCKET_CAP})"""
+
+
 DEDUP_EMBED_LSH_SQL = f"""
 WITH {_SQL_LSH_BANDS},
+{_sql_capped_bands()},
 cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         FROM bands x JOIN bands y USING (bi, bv)
+         FROM cbands x JOIN cbands y USING (bi, bv)
          WHERE x.vec_id < y.vec_id),
 dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
          FROM cand c
@@ -1531,6 +1607,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "pipeline_dedup_corpus": (pipeline_dedup_corpus, PIPELINE_DEDUP_SQL),
     "dedup_embed_cosine": (dedup_embed_cosine, DEDUP_EMBED_COSINE_SQL),
     "dedup_embed_lsh": (dedup_embed_lsh, DEDUP_EMBED_LSH_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
