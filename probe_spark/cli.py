@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-tokens", type=int)
     s.add_argument("--wand", action="store_true", help="use the compacted block index")
     s.add_argument(
+        "--timeout",
+        type=float,
+        default=30.0,
+        help="seconds before the search's Spark jobs are cancelled "
+        "(reference cli.rs:88-90 default 30; 0 disables)",
+    )
+    s.add_argument(
         "--session",
         help="session id: drop docs already returned for this (session, "
         "query) and record the new ones (cache.rs S8 analog; cache table "
@@ -123,6 +130,9 @@ def main(argv: list[str] | None = None) -> int:
         from probe_spark.limits import apply_limits, format_results
 
         query = " AND ".join(args.query)
+        from probe_spark.watchdog import QueryTimeoutError, query_deadline
+
+        deadline_s = args.timeout if args.timeout and args.timeout > 0 else None
         if args.wand:
             if args.boost_coverage:
                 # the segment engine has no coverage-boost path; silently
@@ -135,22 +145,32 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             from probe_spark.wand import WandEngine
 
-            rows = [
-                r.asDict()
-                for r in WandEngine(spark, args.index)
-                .search(query, args.k, exact=args.exact)
-                .collect()
-            ]
+            try:
+                with query_deadline(spark, deadline_s):
+                    rows = [
+                        r.asDict()
+                        for r in WandEngine(spark, args.index)
+                        .search(query, args.k, exact=args.exact)
+                        .collect()
+                    ]
+            except QueryTimeoutError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 3
         else:
             from probe_spark.engine import SearchEngine
 
             eng = SearchEngine(spark, args.index)
-            rows = [
-                r.asDict()
-                for r in eng.search(
-                    query, args.k, args.exact, args.boost_coverage
-                ).collect()
-            ]
+            try:
+                with query_deadline(spark, deadline_s):
+                    rows = [
+                        r.asDict()
+                        for r in eng.search(
+                            query, args.k, args.exact, args.boost_coverage
+                        ).collect()
+                    ]
+            except QueryTimeoutError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 3
         if args.session:
             from probe_spark.session_cache import SessionCache
 

@@ -641,8 +641,18 @@ class SearchEngine:
         return wide.mapInPandas(score_batch, out_schema)
 
     def search_local(
-        self, query: str, k: int = 10, exact: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        timeout: float | None = None,
     ) -> list[tuple[int, float]]:
-        """Collect top-k as [(doc_id, score)] -- the oracle-comparable shape."""
-        rows = self.search(query, k, exact).collect()
+        """Collect top-k as [(doc_id, score)] -- the oracle-comparable shape.
+        ``timeout`` (seconds) cancels the query's Spark job group at the
+        deadline and raises QueryTimeoutError, leaving the session usable
+        (reference src/search/timeout.rs:1-43; probe_spark.watchdog)."""
+        from probe_spark.watchdog import query_deadline
+
+        with query_deadline(self.spark, timeout):
+            rows = self.search(query, k, exact).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]

@@ -334,6 +334,22 @@ class WandEngine:
         )
 
     def search_local(
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        timeout: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """``timeout`` (seconds) cancels the query's Spark job group at the
+        deadline and raises QueryTimeoutError (probe_spark.watchdog; the
+        deadline covers fallback paths too -- nested calls run inside the
+        same job group)."""
+        from probe_spark.watchdog import query_deadline
+
+        with query_deadline(self.spark, timeout):
+            return self._search_local_inner(query, k, exact)
+
+    def _search_local_inner(
         self, query: str, k: int = 10, exact: bool = False
     ) -> list[tuple[int, float]]:
         if exact:
