@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-tokens", type=int)
     s.add_argument("--wand", action="store_true", help="use the compacted block index")
     s.add_argument(
+        "--matches",
+        action="store_true",
+        help="add matched_keywords + per-keyword score_breakdown columns "
+        "(reference SearchResult, models.rs:34-88)",
+    )
+    s.add_argument(
         "--timeout",
         type=float,
         default=30.0,
@@ -134,15 +140,6 @@ def main(argv: list[str] | None = None) -> int:
 
         deadline_s = args.timeout if args.timeout and args.timeout > 0 else None
         if args.wand:
-            if args.boost_coverage:
-                # the segment engine has no coverage-boost path; silently
-                # dropping the flag would return unboosted scores
-                print(
-                    "error: --boost-coverage is not supported with --wand "
-                    "(use the flat engine)",
-                    file=sys.stderr,
-                )
-                return 2
             from probe_spark.wand import WandEngine
 
             try:
@@ -150,7 +147,13 @@ def main(argv: list[str] | None = None) -> int:
                     rows = [
                         r.asDict()
                         for r in WandEngine(spark, args.index)
-                        .search(query, args.k, exact=args.exact)
+                        .search(
+                            query,
+                            args.k,
+                            exact=args.exact,
+                            with_matches=args.matches,
+                            boost_coverage=args.boost_coverage,
+                        )
                         .collect()
                     ]
             except QueryTimeoutError as e:
@@ -165,7 +168,11 @@ def main(argv: list[str] | None = None) -> int:
                     rows = [
                         r.asDict()
                         for r in eng.search(
-                            query, args.k, args.exact, args.boost_coverage
+                            query,
+                            args.k,
+                            args.exact,
+                            args.boost_coverage,
+                            with_matches=args.matches,
                         ).collect()
                     ]
             except QueryTimeoutError as e:

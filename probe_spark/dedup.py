@@ -414,6 +414,68 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def lsh_band_signatures(
+    emb: DataFrame, n_planes: int = 24, r: int = 6, dim: int = 64
+) -> DataFrame:
+    """(vec_id, bi, bv) hyperplane-LSH band values in ONE vectorized
+    mapInPandas pass: the whole Arrow batch of embeddings is projected onto
+    all ``n_planes`` deterministic integer hyperplanes with a single numpy
+    matmul (w[p,i] = (i*31 + p*17) % 7 - 3, the same weights as the
+    long-format SQL oracle), then sign bits fold into bands of ``r`` bits.
+    Replaces the posexplode -> plane-join -> groupBy pipeline (64 rows +
+    one shuffle per vector) with a map-only projection -- the projection is
+    embarrassingly parallel; only the band agg that FOLLOWS it needs a
+    shuffle.  The long form survives only in the SQL oracle."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("bi", IntegerType()),
+            StructField("bv", LongType()),
+        ]
+    )
+    n_bands = n_planes // r
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.arange(n_planes)
+        I = np.arange(dim)
+        W = ((I[None, :] * 31 + P[:, None] * 17) % 7 - 3).astype(np.float64)
+        shifts = 1 << (P % r)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vals = ((E @ W.T) > 0).astype(np.int64) * shifts
+            bvm = np.stack(
+                [
+                    vals[:, b * r : (b + 1) * r].sum(axis=1)
+                    for b in range(n_bands)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), n_bands
+                    ),
+                    "bi": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "bv": bvm.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
 def capped_bands(bands: DataFrame, id_col: str = "vec_id", cap: int | None = None) -> DataFrame:
     """Keep the ``cap`` lowest ids per (bi, bv) band bucket — the lossy
     residual flood guard for operators whose oracle mirrors the banding."""

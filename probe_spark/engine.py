@@ -73,6 +73,19 @@ def _is_disjunctive_bag(plan: QueryPlan) -> bool:
     return only_or(plan.ast)
 
 
+def _empty_matches(hits: DataFrame) -> DataFrame:
+    """Typed empty rich-result columns for paths with no positive keyword
+    postings (universal / stopword-only / only-excluded queries)."""
+    return hits.withColumn(
+        "matched_keywords", F.array().cast("array<string>")
+    ).withColumn(
+        "score_breakdown",
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<double>")
+        ),
+    )
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -393,12 +406,19 @@ class SearchEngine:
         k: int = 10,
         exact: bool = False,
         boost_coverage: bool = False,
+        with_matches: bool = False,
     ) -> DataFrame:
         """Top-k results as a DataFrame (rank, doc_id, url, score).
-        boost_coverage applies the R7 coverage boost (see oracle.py)."""
+        boost_coverage applies the R7 coverage boost (see oracle.py).
+        with_matches adds the reference's rich-result columns
+        (models.rs:34-88): matched_keywords (query keywords present in the
+        doc, sorted) and score_breakdown (keyword -> its BM25 contribution,
+        6dp) -- hydrated for the top-k rows only, one extra postings lookup
+        bounded by k."""
         plan = elastic.create_query_plan(query, exact)
         self._boost_coverage = boost_coverage
         fdocs = self._filtered_docs(plan)
+        extra = ("matched_keywords", "score_breakdown") if with_matches else ()
 
         if plan.is_universal_query:
             docs = fdocs if fdocs is not None else self._docs()
@@ -408,7 +428,7 @@ class SearchEngine:
                 .orderBy(F.asc("doc_id"))
                 .limit(k)
             )
-            return self._ranked(hits)
+            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         if not plan.term_indices:
             # all keywords were stop words: no-match path (FIXTURES q18)
@@ -418,7 +438,7 @@ class SearchEngine:
                 .withColumn("score", F.lit(0.0))
                 .limit(0)
             )
-            return self._ranked(hits)
+            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         cand = self._candidate_rows(plan)
         if oracle.rescue_terms(plan) - self._excl_only_rescues(plan):
@@ -444,7 +464,7 @@ class SearchEngine:
                 .orderBy(F.asc("doc_id"))
                 .limit(k)
             )
-            return self._ranked(hits)
+            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         # global df BEFORE field filters narrow the candidate set -- stats
         # are corpus-wide (SURVEY.md SS7.0), filters only restrict results
@@ -466,14 +486,74 @@ class SearchEngine:
             .select("doc_id", "url", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
-        return self._ranked(hits)
+        if with_matches:
+            hits = self._hydrate_matches(hits, cand, idfs)
+        return self._ranked(hits, extra)
 
-    def _ranked(self, hits: DataFrame) -> DataFrame:
+    def _ranked(self, hits: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         from pyspark.sql.window import Window
 
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return hits.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "url", "score"
+            "rank", "doc_id", "url", "score", *extra
+        )
+
+    def _hydrate_matches(
+        self, hits: DataFrame, cand: DataFrame, idfs: dict[str, float]
+    ) -> DataFrame:
+        """Rich-result columns for the top-k rows (reference SearchResult,
+        models.rs:34-88): matched_keywords = sorted query keywords with a
+        posting for the doc; score_breakdown = keyword -> idf * tf_part
+        (6dp).  One bounded lookup: candidate rows are semi-joined to the
+        <= k hit doc_ids before aggregating, so the hydration cost tracks
+        k, not the corpus."""
+        p = self.params
+        tf = F.col("tf").cast("double")
+        tf_part = (tf * F.lit(p.k1 + 1.0)) / (
+            tf
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
+            )
+        )
+        if idfs:
+            idf_map = F.create_map(
+                *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
+            )
+            contrib = F.coalesce(idf_map[F.col("term")], F.lit(0.0)) * tf_part
+        else:  # empty literal map would be void-typed and fail analysis
+            contrib = F.lit(0.0)
+        mk = (
+            cand.join(hits.select("doc_id"), "doc_id", "leftsemi")
+            .select("doc_id", "term", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("term", "c"))).alias("e")
+            )
+            .select(
+                "doc_id",
+                F.transform("e", lambda s: s["term"]).alias("matched_keywords"),
+                F.map_from_entries(
+                    F.transform(
+                        "e", lambda s: F.struct(s["term"], F.round(s["c"], 6))
+                    )
+                ).alias("score_breakdown"),
+            )
+        )
+        joined = hits.join(mk, "doc_id", "left")
+        return joined.withColumn(
+            "matched_keywords",
+            F.coalesce("matched_keywords", F.array().cast("array<string>")),
+        ).withColumn(
+            "score_breakdown",
+            F.coalesce(
+                "score_breakdown",
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<double>")
+                ),
+            ),
         )
 
     def _score_disjunctive(

@@ -887,34 +887,18 @@ def _lsh_bands(emb: DataFrame, n_planes: int = 24, r: int = 6):
     """(bands, ed, vnorm) for multi-band hyperplane LSH: ``n_planes``
     deterministic integer hyperplanes (same weight formula as
     sim_lsh_buckets), grouped into bands of ``r`` sign bits.  ``bands`` is
-    (vec_id, bi, bv); ``ed`` the exploded (vec_id, i, v) doubles; ``vnorm``
+    (vec_id, bi, bv) computed by ONE vectorized numpy matmul per Arrow
+    batch (dedup.lsh_band_signatures -- map-only, no 64-rows-per-vector
+    explode before a shuffle; the long-format projection survives only in
+    the SQL oracle); ``ed`` the exploded (vec_id, i, v) doubles; ``vnorm``
     per-vector L2 norms -- shared by the ANN query path (sim_lsh_topk) and
     the near-dup pair path (dedup_embed_lsh)."""
-    spark = emb.sparkSession
-    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
-    pw = planes.crossJoin(dims).withColumn(
-        "w", ((F.col("i") * 31 + F.col("p") * 17) % 7 - 3).cast("double")
-    )
+    from probe_spark.dedup import lsh_band_signatures
+
+    bands = lsh_band_signatures(emb, n_planes=n_planes, r=r)
     ed = (
         emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
         .select("vec_id", "i", F.col("v").cast("double").alias("v"))
-    )
-    proj = (
-        ed.join(F.broadcast(pw), "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
-    )
-    bands = (
-        proj.withColumn("bi", F.floor(F.col("p") / r).cast("int"))
-        .withColumn(
-            "bit",
-            F.when(F.col("s") > 0, F.expr(f"shiftleft(1, p % {r})")).otherwise(
-                F.lit(0)
-            ),
-        )
-        .groupBy("vec_id", "bi")
-        .agg(F.sum("bit").cast("long").alias("bv"))
     )
     vnorm = ed.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")

@@ -76,7 +76,7 @@ TOKENS_SCHEMA = StructType(
 )
 
 
-def _make_tokenize_partition(tokenizer: str = "probe"):
+def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = True):
     """Factory for the tokenize mapInPandas fn.  ``tokenizer``:
 
       * "probe"  -- the full shared textkit pipeline (text ++ url tokens),
@@ -86,7 +86,12 @@ def _make_tokenize_partition(tokenizer: str = "probe"):
         entries, so the DuckDB oracle can exercise the index build + query
         machinery (postings/terms/stats/blocks) end-to-end while the
         tokenizer itself is verified by its own parity suite.
-    """
+
+    ``emit_doc_payload=False`` nulls out url/lang/text in the doc row:
+    the batch build wrote the doc store in phase A, so echoing the text
+    through Arrow and into the phase-B cache would only burn bandwidth
+    (the streaming path keeps the payload -- it writes pages_indexed from
+    this same pass)."""
 
     def fn(iterator):
         import pandas as pd
@@ -122,9 +127,9 @@ def _make_tokenize_partition(tokenizer: str = "probe"):
                 dl = len(toks)
                 # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
                 out["doc_id"].append(doc_id)
-                out["url"].append(url)
-                out["lang"].append(lang)
-                out["text"].append(text)
+                out["url"].append(url if emit_doc_payload else None)
+                out["lang"].append(lang if emit_doc_payload else None)
+                out["text"].append(text if emit_doc_payload else None)
                 out["doc_len"].append(dl)
                 out["term"].append(None)
                 out["tf"].append(0)
@@ -445,17 +450,192 @@ def build_index(
         if b in fail_buckets:
             raise RuntimeError(f"injected failure after bucket {b}")
 
+    def _empty_lineage(b: int) -> None:
+        _append_lineage(
+            index_dir,
+            {
+                "bucket": b, "n_docs": 0, "n_postings": 0, "sum_dl": 0,
+                "bytes_in": 0, "bytes_out": 0, "wall_ms": 0,
+                "finished_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+
+    def _build_buckets_batch(todo: list[int]) -> None:
+        """All pending buckets in ONE job set (tokenize+postings, doc_lens,
+        terms_partial, metrics = 4 jobs total) instead of 3 jobs PER bucket
+        through a thread pool: per-bucket job barriers cost idle cores at
+        every bucket tail, and the loss grows with core count (the round-2
+        scaling residual).  Buckets stay the partition key -- writes use
+        dynamic partition overwrite into the same bucket=i layout, so
+        resume granularity (skip committed buckets, redo the rest) and the
+        reader layout are unchanged; lineage for the whole wave commits
+        after its writes land, mirroring a single Iceberg commit."""
+        t0 = time.time()
+        existing = [
+            b for b in todo if (pages_indexed_dir / f"bucket={b}").exists()
+        ]
+        for b in todo:
+            if b not in existing:  # empty url range (tiny inputs)
+                _empty_lineage(b)
+        if not existing:
+            return
+        par = spark.sparkContext.defaultParallelism
+        in_bytes = {
+            b: _dir_bytes(pages_indexed_dir / f"bucket={b}") for b in existing
+        }
+        total_bytes = sum(in_bytes.values())
+        # data-proportional tasks (~64 MB input text each) with a floor of
+        # 2x cores so small inputs still use the whole machine
+        n_tasks = max(par * 2, int(total_bytes // (64 << 20)))
+        # bucket is recovered from doc_id via the manifest's offsets (docs
+        # were assigned contiguous id ranges per bucket in phase A) -- the
+        # tokenize UDF schema stays bucket-free and shared with the
+        # incremental/streaming paths
+        starts: dict[int, int] = {}
+        for m in manifest["buckets"]:
+            starts[m["bucket"]] = min(
+                starts.get(m["bucket"], m["offset"]), m["offset"]
+            )
+        blist = sorted(starts.items())
+        bounds = [s for _b, s in blist[1:]]
+        bids = [b for b, _s in blist]
+        if bounds:
+            idx = F.aggregate(
+                F.array(*[F.lit(s) for s in bounds]),
+                F.lit(0),
+                lambda a, s: a + F.when(F.col("doc_id") >= s, 1).otherwise(0),
+            )
+            bucket_col = F.element_at(
+                F.array(*[F.lit(b) for b in bids]), idx + 1
+            )
+        else:
+            bucket_col = F.lit(bids[0] if bids else 0)
+        srcs = [str(pages_indexed_dir / f"bucket={b}") for b in existing]
+        rows = (
+            spark.read.parquet(*srcs)
+            .select("doc_id", "url", "lang", "text")
+            .repartition(n_tasks)
+            .mapInPandas(
+                _make_tokenize_partition(tokenizer, emit_doc_payload=False),
+                TOKENS_SCHEMA,
+            )
+            .drop("url", "lang", "text")
+            .withColumn("bucket", bucket_col)
+        )
+        rows.persist()
+        postings_root = out / "postings"
+        lens_root = out / "doc_lens"
+        tpart_root_ = out / "terms_partial"
+        # postings first: materializes the cache at full parallelism.
+        # Hash-repartition by (bucket, term) keeps a term's postings in one
+        # file per bucket; sortWithinPartitions gives tight row-group term
+        # ranges for query-time pruning (rows group by bucket first, so
+        # each bucket's file is term-sorted).  Task count tracks cores AND
+        # data so no stage underfills the machine.
+        (
+            rows.filter(F.col("term").isNotNull())
+            .select("bucket", "term", "doc_id", "tf", "doc_len")
+            .repartition(
+                max(2, par, int(total_bytes // (256 << 20))),
+                "bucket",
+                "term",
+            )
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(str(postings_root))
+        )
+
+        # the remaining jobs are small and all read the now-materialized
+        # cache: submit them from driver threads so their stages interleave
+        # (sequential submission would serialize three short, narrow jobs)
+        per: dict[int, dict] = {}
+
+        def _write_lens() -> None:
+            (
+                rows.filter(F.col("term").isNull())
+                .select("bucket", "doc_id", "doc_len", "tri_bloom")
+                .repartition(max(2, par // 2), "bucket", "doc_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(str(lens_root))
+            )
+
+        def _write_tpart() -> None:
+            (
+                rows.filter(F.col("term").isNotNull())
+                .groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(str(tpart_root_))
+            )
+
+        def _metrics() -> None:
+            # per-bucket build metrics in one pass over the cache
+            # (replaces the per-bucket write Observations)
+            for r in (
+                rows.groupBy("bucket")
+                .agg(
+                    F.count(F.when(F.col("term").isNull(), 1)).alias("n_docs"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("term").isNull(), F.col("doc_len"))
+                        ),
+                        F.lit(0),
+                    ).alias("sum_dl"),
+                    F.count(F.when(F.col("term").isNotNull(), 1)).alias(
+                        "n_postings"
+                    ),
+                )
+                .collect()
+            ):
+                per[r["bucket"]] = r
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [
+                ex.submit(f) for f in (_write_lens, _write_tpart, _metrics)
+            ]
+            for fu in futs:
+                fu.result()
+        rows.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+        for b in existing:
+            r = per.get(b)
+            share = in_bytes[b] / total_bytes if total_bytes else 0.0
+            _append_lineage(
+                index_dir,
+                {
+                    "bucket": b,
+                    "n_docs": int(r["n_docs"]) if r else 0,
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                    "sum_dl": int(r["sum_dl"]) if r else 0,
+                    "bytes_in": in_bytes[b],
+                    "bytes_out": _dir_bytes(postings_root / f"bucket={b}")
+                    + _dir_bytes(lens_root / f"bucket={b}"),
+                    # wall attributed by input share so the lineage sum
+                    # equals the real wave wall (per-bucket walls from the
+                    # old concurrent pool double-counted overlap)
+                    "wall_ms": int(wall_ms * share),
+                    "finished_ts": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+            )
+
     todo = [b for b in range(n_buckets) if b not in done]
     if fail_buckets:
-        # deterministic failure injection needs sequential order
+        # deterministic failure injection needs sequential order (and the
+        # per-bucket commit granularity the kill-resume suite exercises)
         for b in todo:
             _build_bucket(b)
     elif todo:
-        from concurrent.futures import ThreadPoolExecutor
-
-        workers = min(len(todo), 4)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(_build_bucket, todo))
+        _build_buckets_batch(todo)
 
     # Phase C: finalize global aggregates (idempotent overwrite).  The term
     # dictionary re-aggregates the per-bucket partials (vocab-sized input,

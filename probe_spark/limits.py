@@ -180,8 +180,11 @@ def format_results(
         ]
         return "\n".join(lines)
     if fmt == "text":
-        return "\n".join(
-            f"{r.get('rank'):>4}  {r.get('score'):>12.6f}  {r.get('url')}"
-            for r in rows
-        )
+        def line(r: dict) -> str:
+            s = f"{r.get('rank'):>4}  {r.get('score'):>12.6f}  {r.get('url')}"
+            if r.get("matched_keywords"):
+                s += "  [" + " ".join(r["matched_keywords"]) + "]"
+            return s
+
+        return "\n".join(line(r) for r in rows)
     raise ValueError(f"unknown format: {fmt}")

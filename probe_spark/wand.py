@@ -69,19 +69,20 @@ def idf_map_expr(idfs: dict[str, float]):
 
 
 def _wand_supported(plan) -> bool:
-    """Queries the segment engine can serve.  Excluded terms ARE served
-    (their containment rows are fetched from the flat engine's rescue path
-    and re-encoded as synthetic blocks -- see search_local); quoted exact
-    terms and field filters still fall back (they need doc-store columns
-    in the scoring result itself)."""
-    rescue = oracle.rescue_terms(plan)
+    """Queries the segment engine can serve.  Excluded AND positive rescue
+    (quoted exact) terms are served: their containment rows come from the
+    flat engine's rescue path and are re-encoded as synthetic blocks (see
+    search_local), with containment df driving their idf.  Field filters
+    are served by semi-joining the scored docs against the filtered doc
+    set (filters only REMOVE docs, so segment upper-bound pruning stays
+    sound).  Remaining fallbacks: universal / stopword-only queries and
+    only-excluded queries (score-0 doc-store scans -- no blocks involved
+    at all)."""
     return bool(
         plan.ast is not None
-        and not plan.filters
         and not plan.is_universal_query
         and not plan.has_only_excluded_terms
         and plan.term_indices
-        and rescue <= plan.excluded_terms
     )
 
 
@@ -185,13 +186,16 @@ class WandEngine:
         self,
         blocks: DataFrame,
         idfs: dict[str, float],
-        k: int,
+        k: int | None,
         term_pos: dict[str, int],
+        boost: bool = False,
+        n_terms: int = 0,
     ) -> DataFrame:
         """Per-seg dense scoring: decode blocks, accumulate BM25 into a
         seg-local array, emit the seg's top-k (score desc, doc_id asc).
         Terms accumulate in AST keyword order (term_pos) so double sums
-        match the oracle bit-for-bit."""
+        match the oracle bit-for-bit.  ``boost`` applies the R7 coverage
+        boost (matched-term count per doc rides the same decode pass)."""
         params = self.params
         avgdl = self.avgdl
 
@@ -207,6 +211,7 @@ class WandEngine:
             seg = int(pdf["seg"].iloc[0])
             base = seg << SEG_BITS
             acc = np.zeros(SEG_SIZE, dtype=np.float64)
+            nmatch = np.zeros(SEG_SIZE, dtype=np.int64) if boost else None
             for term, docs, tfs, dls in zip(
                 pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
             ):
@@ -219,14 +224,25 @@ class WandEngine:
                 tp = (t * (params.k1 + 1.0)) / (
                     t + params.k1 * (1.0 - params.b + params.b * (l / avgdl))
                 )
-                acc[(d - base).astype(np.int64)] += idf * tp
+                idx = (d - base).astype(np.int64)
+                acc[idx] += idf * tp
+                if boost:
+                    nmatch[idx] += 1
+            if boost and n_terms:
+                from probe_spark.oracle import (
+                    COVERAGE_BOOST_EXP,
+                    COVERAGE_BOOST_MULT,
+                )
+
+                cov = np.minimum(nmatch / float(n_terms), 1.0)
+                acc = acc * (1.0 + cov**COVERAGE_BOOST_EXP * COVERAGE_BOOST_MULT)
             nz = np.flatnonzero(acc)
             if len(nz) == 0:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float64"}
                 )
             scores = acc[nz]
-            if len(nz) > k:
+            if k is not None and len(nz) > k:
                 # top-k by (score desc, doc_id asc): doc ids in nz are
                 # ascending, stable lexsort on -score keeps that order
                 order = np.argsort(-scores, kind="stable")[:k]
@@ -241,9 +257,11 @@ class WandEngine:
         self,
         blocks: DataFrame,
         idfs: dict[str, float],
-        k: int,
+        k: int | None,
         plan,
         must_kws: tuple[str, ...],
+        boost: bool = False,
+        n_terms: int = 0,
     ) -> DataFrame:
         """Per-seg boolean scoring: decode blocks into dense per-term tf
         lanes, intersect the must-keyword lanes to get candidates, then
@@ -298,11 +316,24 @@ class WandEngine:
             keep, scores = eval_and_score(
                 ast, term_indices, sub, dl_lane[cand], avgdl, idfs, params
             )
+            if boost and n_terms:
+                from probe_spark.oracle import (
+                    COVERAGE_BOOST_EXP,
+                    COVERAGE_BOOST_MULT,
+                )
+
+                matched = np.zeros(len(cand), dtype=np.int64)
+                for lane in sub.values():
+                    matched += lane > 0
+                cov = np.minimum(matched / float(n_terms), 1.0)
+                scores = scores * (
+                    1.0 + cov**COVERAGE_BOOST_EXP * COVERAGE_BOOST_MULT
+                )
             ids = (cand[keep] + base).astype(np.int64)
             sc = scores[keep]
             if len(ids) == 0:
                 return empty
-            if len(ids) > k:
+            if k is not None and len(ids) > k:
                 # top-k by (score desc, doc_id asc): lexsort's last key is
                 # primary, ids break score ties ascending
                 order = np.lexsort((ids, -sc))[:k]
@@ -311,12 +342,29 @@ class WandEngine:
 
         return blocks.groupBy("seg").applyInPandas(score_group, _SCORE_SCHEMA)
 
-    def search(self, query: str, k: int = 10, exact: bool = False) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        with_matches: bool = False,
+        boost_coverage: bool = False,
+    ) -> DataFrame:
         """Top-k as a ranked DataFrame (rank, doc_id, url, score) -- same
         shape as SearchEngine.search, urls hydrated from the doc store.
-        ``exact`` is forwarded to search_local (which falls back to the flat
-        engine's containment-rescue path for whole-query exact terms)."""
-        pairs = self.search_local(query, k, exact=exact)
+        ``exact``/``boost_coverage`` are served in-segment (synthetic
+        rescue blocks / boosted bounds).  ``with_matches`` routes through
+        the flat engine (rank-identical by the differential suite) to
+        hydrate matched_keywords/score_breakdown."""
+        if with_matches:
+            return self._fallback.search(
+                query,
+                k,
+                exact=exact,
+                boost_coverage=boost_coverage,
+                with_matches=True,
+            )
+        pairs = self.search_local(query, k, exact=exact, boost_coverage=boost_coverage)
         from pyspark.sql import Row
 
         hits = self.spark.createDataFrame(
@@ -339,23 +387,27 @@ class WandEngine:
         k: int = 10,
         exact: bool = False,
         timeout: float | None = None,
+        boost_coverage: bool = False,
     ) -> list[tuple[int, float]]:
         """``timeout`` (seconds) cancels the query's Spark job group at the
         deadline and raises QueryTimeoutError (probe_spark.watchdog; the
         deadline covers fallback paths too -- nested calls run inside the
-        same job group)."""
+        same job group).  ``boost_coverage`` applies the R7 coverage boost
+        in-segment (upper bounds are scaled by the max boost factor so
+        pruning stays sound)."""
         from probe_spark.watchdog import query_deadline
 
         with query_deadline(self.spark, timeout):
-            return self._search_local_inner(query, k, exact)
+            return self._search_local_inner(query, k, exact, boost_coverage)
 
     def _search_local_inner(
-        self, query: str, k: int = 10, exact: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        boost_coverage: bool = False,
     ) -> list[tuple[int, float]]:
-        if exact:
-            # whole-query exact terms need the containment rescue
-            return self._fallback.search_local(query, k, exact=True)
-        plan = elastic.create_query_plan(query)
+        plan = elastic.create_query_plan(query, exact)
         excl = sorted(plan.excluded_terms)
         pos_kws = {
             kw
@@ -366,19 +418,38 @@ class WandEngine:
         if not _wand_supported(plan) or (set(excl) & pos_kws):
             # a keyword both excluded and positive mixes containment-rescue
             # df with dictionary df -- the flat engine owns that corner
-            return self._fallback.search_local(query, k)
+            return self._fallback.search_local(query, k, exact=exact)
         disjunctive = _is_disjunctive_bag(plan)
         terms = list(plan.term_indices)
         if not terms:
             return []
         pos_terms = [t for t in terms if t not in plan.excluded_terms]
         if not pos_terms:
-            return self._fallback.search_local(query, k)
-        idfs = self._idfs(pos_terms)
+            return self._fallback.search_local(query, k, exact=exact)
+        rescues = oracle.rescue_terms(plan)
+        dict_terms = [t for t in pos_terms if t not in rescues]
+        pos_rescues = sorted(t for t in pos_terms if t in rescues)
+        idfs = self._idfs(dict_terms) if dict_terms else {}
+        rescue_rows = None
+        if pos_rescues:
+            # positive rescue (quoted exact) terms: containment rows from
+            # the flat engine's rescue path (token postings ∪ substring
+            # scan, tf = max); their df is the containment count -- same
+            # semantics as SearchEngine._query_dfs
+            rescue_rows = self._fallback._term_rows(plan, pos_rescues).persist()
+            for r in (
+                rescue_rows.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            ):
+                if int(r["df"]) > 0:
+                    idfs[r["term"]] = oracle.idf(self.n_docs, int(r["df"]))
         if not idfs:
             # no positive query term exists in the corpus (df = 0 for all):
             # nothing can score -- and an EMPTY literal map would not even
             # analyze (map()[term] is void-typed)
+            if rescue_rows is not None:
+                rescue_rows.unpersist()
             return []
         # an excluded term's idf only gates the drop decision (total > 0
         # <=> tf > 0 and idf > 0); the oracle's containment df is >= 1
@@ -399,8 +470,34 @@ class WandEngine:
         self._refresh_blocks()
         if self._blocks_df is None:
             # no blocks table at all: nothing compacted yet
-            return self._fallback.search_local(query, k)
-        blocks = self._blocks_df.filter(F.col("term").isin(pos_terms))
+            if rescue_rows is not None:
+                rescue_rows.unpersist()
+            return self._fallback.search_local(query, k, exact=exact)
+        blocks = (
+            self._blocks_df.filter(F.col("term").isin(dict_terms))
+            if dict_terms
+            else None
+        )
+        if rescue_rows is not None:
+            # synthetic blocks for positive rescue terms join the scoring
+            # set BEFORE must-filtering and upper bounds, so segment
+            # pruning accounts for them.  Dictionary blocks for these
+            # terms are excluded above -- _term_rows already unioned token
+            # postings in (max tf), a second copy would double-count.
+            from probe_spark.compaction import BLOCKS_SCHEMA, encode_posting_group
+
+            rblocks = (
+                rescue_rows.withColumn(
+                    "seg", F.shiftright(F.col("doc_id"), SEG_BITS)
+                )
+                .groupBy("term", "seg")
+                .applyInPandas(encode_posting_group, BLOCKS_SCHEMA)
+            )
+            blocks = (
+                rblocks
+                if blocks is None
+                else blocks.unionByName(rblocks, allowMissingColumns=True)
+            )
         if must_kws:
             # segment-level posting intersection: only segments containing
             # EVERY must keyword can hold a scoring doc
@@ -439,10 +536,32 @@ class WandEngine:
                 excl_blocks, allowMissingColumns=True
             ).persist()
 
+        # field filters (lang:/url:/ext:): semi-join the scored docs
+        # against the filtered doc set.  Filters only REMOVE docs, so the
+        # unfiltered upper bounds still dominate every survivor and theta
+        # (computed from filtered phase-1 scores) stays a valid lower bound
+        # on the filtered k-th score -- pruning remains sound.  df/idf stay
+        # corpus-wide, matching the flat engine (stats before filters).
+        fdocs = self._fallback._filtered_docs(plan)
+        n_query_terms = len(plan.term_indices)
+        # with a field filter the in-segment top-k truncation must be
+        # skipped (it would keep unfiltered docs and drop survivors); the
+        # final TakeOrdered still reduces map-side, so each partition
+        # forwards only k rows
+        seg_k = None if fdocs is not None else k
+
         def score(bdf: DataFrame) -> DataFrame:
             if disjunctive:
-                return self._score_segs(bdf, idfs, k, term_pos)
-            return self._score_segs_bool(bdf, idfs, k, plan, must_kws)
+                s = self._score_segs(
+                    bdf, idfs, seg_k, term_pos, boost_coverage, n_query_terms
+                )
+            else:
+                s = self._score_segs_bool(
+                    bdf, idfs, seg_k, plan, must_kws, boost_coverage, n_query_terms
+                )
+            if fdocs is not None:
+                s = s.join(fdocs.select("doc_id"), "doc_id", "leftsemi")
+            return s
 
         # a keyword can appear in SEVERAL Term nodes (exception dual-emit,
         # e.g. "repository OR repositori" where both Terms carry
@@ -495,6 +614,15 @@ class WandEngine:
                 .groupBy("seg")
                 .agg(F.sum("tub").alias("seg_ub"))
             )
+            if boost_coverage:
+                # scored docs carry up to a (1 + MULT) coverage boost
+                # (cov <= 1, exp >= 0): scale the bounds so theta (a
+                # BOOSTED score) never prunes a segment that could still
+                # beat it after boosting
+                seg_ub = seg_ub.withColumn(
+                    "seg_ub",
+                    F.col("seg_ub") * F.lit(1.0 + oracle.COVERAGE_BOOST_MULT),
+                )
             # phase 1: the top-ub segments are selected JVM-side (distributed
             # TakeOrdered + broadcast semi-join) and scored in the SAME job
             # as the selection -- one driver round-trip, no py4j isin list.
@@ -536,5 +664,7 @@ class WandEngine:
             if sblocks is not blocks:
                 sblocks.unpersist()
             blocks.unpersist()
+            if rescue_rows is not None:
+                rescue_rows.unpersist()
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]

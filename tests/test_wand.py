@@ -144,17 +144,101 @@ def test_wand_engine_differential_random_queries(spark, compacted, tiny_oracle):
                 assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (label, q, gd)
 
 
-def test_wand_fallback_for_rescue_and_filters(spark, compacted, tiny_oracle):
-    """Quoted exact terms, field filters, and only-excluded queries route
-    to the general engine."""
+RESCUE_FILTER_QUERIES = [
+    '"parseJSONToHTML5"',        # positive quoted exact term (q10)
+    '"error handling" retry',    # quoted phrase + token term (q11)
+    "lang:de firewall",          # field filter (q20)
+    "lang:de +firewall whitelist",  # filter + required boolean
+]
+
+
+@pytest.mark.parametrize("query", RESCUE_FILTER_QUERIES)
+def test_wand_rescue_and_filters_served_in_segment(
+    spark, compacted, tiny_oracle, monkeypatch, query
+):
+    """Quoted exact terms (synthetic rescue blocks with containment df) and
+    field filters (scored-doc semi-join, bounds unchanged) are served IN
+    the segment engine -- the flat-engine fallback must NOT be taken, and
+    results stay rank- and score-identical to the oracle."""
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+
+    def _no_fallback(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("query fell back to the flat engine")
+
+    monkeypatch.setattr(eng._fallback, "search_local", _no_fallback)
+    got = eng.search_local(query, k=10)
+    expected = oracle_search(tiny_oracle, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], query
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
+
+
+def test_wand_whole_query_exact_served_in_segment(
+    spark, compacted, tiny_oracle, monkeypatch
+):
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+    monkeypatch.setattr(
+        eng._fallback,
+        "search_local",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("fell back")),
+    )
+    got = eng.search_local("error handling", k=10, exact=True)
+    expected = oracle_search(tiny_oracle, "error handling", k=10, exact=True)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_wand_boost_coverage_identity(spark, compacted, tiny_oracle):
+    """--boost-coverage in the segment engine: upper bounds scale by the
+    max boost factor so pruning stays sound; scores match the oracle."""
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+    for q in ("firewall whitelist token", "error handling retry"):
+        got = eng.search_local(q, k=10, boost_coverage=True)
+        expected = oracle_search(tiny_oracle, q, k=10, boost_coverage=True)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
+
+
+def test_wand_only_excluded_still_falls_back_correctly(
+    spark, compacted, tiny_oracle
+):
+    """Only-excluded queries are score-0 doc-store scans -- no blocks
+    involved; the flat path serves them identically."""
     from probe_spark.wand import WandEngine
 
     path, _ = compacted
     eng = WandEngine(spark, path)
-    for q in ('"parseJSONToHTML5"', "lang:de firewall", "-deprecated"):
+    got = eng.search_local("-deprecated", k=10)
+    expected = oracle_search(tiny_oracle, "-deprecated", k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_wand_full_reference_query_set(spark, compacted, tiny_oracle):
+    """All 25 reference queries (FIXTURES.md §3) through the segment
+    engine: rank identity with the oracle regardless of serving path."""
+    from tests.test_spark_engine import QUERIES
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+    for qid in sorted(QUERIES):
+        q = QUERIES[qid]
         got = eng.search_local(q, k=10)
         expected = oracle_search(tiny_oracle, q, k=10)
-        assert [d for d, _ in got] == [d for d, _ in expected], q
+        assert [d for d, _ in got] == [d for d, _ in expected], (qid, q)
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (qid, gd)
 
 
 EXCLUDED_QUERIES = [
