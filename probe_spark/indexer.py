@@ -328,18 +328,24 @@ def build_index(
         # stays behind -- at web scale it dominates the bytes).
         pages = pages.select("url", "text", "lang")
         indexed, bucket_meta = _assign_doc_ids(spark, pages, n_buckets)
-        (
-            indexed.select("doc_id", "url", "lang", "text", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(str(pages_indexed_dir))
-        )
         manifest = {
             "n_buckets": n_buckets,
             "buckets": bucket_meta,
             "tokenizer": tokenizer,
             "created_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        # NOTE: overlapping this write with phase B (persisting `indexed`
+        # and tokenizing from the cache while a driver thread writes the
+        # doc store) was A/B-measured at 32 cores and LOST by ~20 s per
+        # 150k-doc build: the extra materialization + memory-bandwidth
+        # contention on the tokenize critical path outweigh the serialized
+        # write it saves.  Phase A stays synchronous.
+        (
+            indexed.select("doc_id", "url", "lang", "text", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(str(pages_indexed_dir))
+        )
         manifest_path.write_text(json.dumps(manifest, indent=1))
 
     done = set(_read_lineage(index_dir)) if resume else set()
@@ -484,8 +490,8 @@ def build_index(
             b: _dir_bytes(pages_indexed_dir / f"bucket={b}") for b in existing
         }
         total_bytes = sum(in_bytes.values())
-        # data-proportional tasks (~64 MB input text each) with a floor of
-        # 2x cores so small inputs still use the whole machine
+        # data-proportional tasks (~64 MB input text each) with a floor
+        # of 2x cores so small inputs still use the whole machine
         n_tasks = max(par * 2, int(total_bytes // (64 << 20)))
         # bucket is recovered from doc_id via the manifest's offsets (docs
         # were assigned contiguous id ranges per bucket in phase A) -- the

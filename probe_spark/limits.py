@@ -32,17 +32,14 @@ def estimate_tokens(text: str) -> int:
 
 
 def precise_token_counter():
-    """text -> token count via tiktoken p50k_base (the reference's precise
-    pass, search_tokens.rs:333-430) when the library is installed, else
-    None -- estimate-only mode (this sandbox ships no tiktoken; the
-    reference itself runs the estimate as its fast path)."""
-    try:  # pragma: no cover - tiktoken not installed in this environment
-        import tiktoken
+    """text -> token count: the reference's precise pass
+    (search_tokens.rs:333-430).  Resolution order (probe_spark.bpe):
+    tiktoken p50k_base when installed -> the pure-Python byte-level BPE
+    over a merges file named by PROBE_SPARK_BPE_MERGES (the public
+    vocab.bpe) -> None, estimate-only (the reference's own fast path)."""
+    from probe_spark.bpe import resolve_counter
 
-        enc = tiktoken.get_encoding("p50k_base")
-        return lambda s: len(enc.encode(s))
-    except Exception:
-        return None
+    return resolve_counter()
 
 
 # switch from the bytes/4 estimate to the precise counter once the running

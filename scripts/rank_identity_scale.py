@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""One-off large-scale rank-identity run (BASELINE.md evidence).
+
+Builds the synthetic fixture corpus at N docs, compacts it, and checks the
+25 reference queries (FIXTURES.md §3) through BOTH engines against the
+pure-Python oracle -- doc ids must match exactly and scores to the last
+ulp.  Usage:
+
+    python scripts/rank_identity_scale.py [n_docs] [n_buckets]
+
+Prints one JSON line with build/compact/oracle/query timings and the
+per-engine pass counts; exit 0 only on 25/25 + 25/25.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = {
+    "q01": "firewall", "q02": "deadlock", "q03": "error handling",
+    "q04": "error AND handling", "q05": "timeout OR deadline",
+    "q06": "+firewall whitelist", "q07": "+error +handler",
+    "q08": "process -deprecated", "q09": "-deprecated",
+    "q10": '"parseJSONToHTML5"', "q11": '"error handling" retry',
+    "q12": "(timeout OR deadline) AND retry", "q13": "parseJSONToHTML5",
+    "q14": "codeblock", "q15": "hashmap lookup", "q16": "whitelist",
+    "q17": "OAuth2Provider", "q18": "the and for", "q19": "processing",
+    "q20": "lang:de firewall", "q21": '+retry -"error handling"',
+    "q22": "repository OR repositori", "q23": "migrate endpoint meta",
+    "q24": "data AND (base OR store) -leak", "q25": "snake_case_token",
+}
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import oracle_corpus, pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.oracle import search as oracle_search
+    from probe_spark.session import get_spark
+    from probe_spark.wand import WandEngine
+
+    tmp = tempfile.mkdtemp(prefix="probe_scaleid_", dir="/dev/shm")
+    out: dict = {"n_docs": n_docs, "n_buckets": n_buckets}
+    spark = get_spark("rank_identity_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        ix = f"{tmp}/ix"
+        t0 = time.time()
+        metrics = build_index(
+            spark, pages_df(spark, n_docs), ix, n_buckets=n_buckets
+        )
+        out["build_sec"] = round(time.time() - t0, 1)
+        out["n_postings"] = metrics["n_postings"]
+        t0 = time.time()
+        compact_index(spark, ix)
+        out["compact_sec"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        oracle_ix = oracle_corpus(n_docs)
+        out["oracle_build_sec"] = round(time.time() - t0, 1)
+
+        flat = SearchEngine(spark, ix)
+        wand = WandEngine(spark, ix)
+        results = {"engine": 0, "wand": 0}
+        mismatches = []
+        t0 = time.time()
+        for qid in sorted(QUERIES):
+            q = QUERIES[qid]
+            expected = oracle_search(oracle_ix, q, k=10)
+            for label, eng in (("engine", flat), ("wand", wand)):
+                got = eng.search_local(q, k=10)
+                ok = [d for d, _ in got] == [d for d, _ in expected] and all(
+                    gs == es for (_, gs), (_, es) in zip(got, expected)
+                )
+                if ok:
+                    results[label] += 1
+                else:
+                    mismatches.append((qid, label, got[:3], expected[:3]))
+        out["queries_sec"] = round(time.time() - t0, 1)
+        out["engine_pass"] = results["engine"]
+        out["wand_pass"] = results["wand"]
+        out["mismatches"] = [
+            {"qid": m[0], "path": m[1]} for m in mismatches[:5]
+        ]
+        print(json.dumps(out))
+        if mismatches:
+            for m in mismatches[:5]:
+                print("MISMATCH", m, file=sys.stderr)
+            sys.exit(1)
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

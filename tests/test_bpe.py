@@ -1,0 +1,102 @@
+"""Byte-level BPE tokenizer (probe_spark.bpe): merge-order, byte-fallback,
+pre-tokenizer, merges-file loading, and the limits.py wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from probe_spark.bpe import BPETokenizer, _bytes_to_unicode
+
+
+def test_bytes_to_unicode_is_reversible_and_total():
+    m = _bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256  # injective
+    assert m[ord("a")] == "a"  # printable bytes map to themselves
+
+
+def test_no_merges_counts_bytes():
+    t = BPETokenizer([])
+    assert t.count("abc") == 3
+    assert t.count("") == 0
+    # a 2-byte utf-8 char with no merges is 2 byte-symbols
+    assert t.count("é") == 2
+
+
+def test_merge_order_lowest_rank_first():
+    # "low": with merges [(l,o),(lo,w)] -> "lo" then "low" = 1 token;
+    # with the reversed priority [(o,w),(l,o)] -> "l","ow" = 2 tokens
+    assert BPETokenizer([("l", "o"), ("lo", "w")]).count("low") == 1
+    assert BPETokenizer([("o", "w"), ("l", "o")]).count("low") == 2
+
+
+def test_merge_applies_to_every_occurrence():
+    t = BPETokenizer([("a", "b")])
+    # "ababab" -> ab ab ab
+    assert t.count("ababab") == 3
+
+
+def test_pretokenizer_gpt2_semantics():
+    t = BPETokenizer([])
+    # leading spaces attach to the following word; contractions split
+    assert t.pretokenize("hello world") == ["hello", " world"]
+    assert t.pretokenize("it's fine") == ["it", "'s", " fine"]
+    assert t.pretokenize("a  b") == ["a", " ", " b"]
+    assert t.pretokenize("x42 9") == ["x", "42", " 9"]
+    assert t.pretokenize("a,b!") == ["a", ",", "b", "!"]
+
+
+def test_space_prefix_merging():
+    # GPT-2 style: " low" is its own chunk; the space byte maps to 'Ġ'
+    g = _bytes_to_unicode()[ord(" ")]
+    t = BPETokenizer([(g, "l"), (g + "l", "o"), (g + "lo", "w")])
+    assert t.count("low low") == 3 + 1  # "low" unmerged (3), " low" merged (1)
+
+
+def test_merges_file_roundtrip(tmp_path):
+    p = tmp_path / "vocab.bpe"
+    p.write_text("#version: 0.2\nl o\nlo w\n", encoding="utf-8")
+    t = BPETokenizer.from_merges_file(str(p))
+    assert t.count("low") == 1
+    assert t.count("wol") == 3
+
+
+def test_limits_wiring_via_env(tmp_path, monkeypatch):
+    from probe_spark.limits import precise_token_counter
+
+    p = tmp_path / "vocab.bpe"
+    p.write_text("l o\nlo w\n", encoding="utf-8")
+    monkeypatch.setenv("PROBE_SPARK_BPE_MERGES", str(p))
+    counter = precise_token_counter()
+    assert counter is not None
+    assert counter("low") == 1
+    monkeypatch.delenv("PROBE_SPARK_BPE_MERGES")
+    # without tiktoken or a merges file: estimate-only mode
+    assert precise_token_counter() is None
+
+
+def test_apply_limits_uses_bpe_counter(tmp_path, monkeypatch):
+    """The 90%-threshold lazy-precise pass runs the REAL counter."""
+    from probe_spark.limits import apply_limits
+
+    p = tmp_path / "vocab.bpe"
+    # merge every pair of 'aa' so 'aaaa...' collapses fast: bytes/4
+    # estimate says N/4 tokens, precise says fewer -- rows survive that
+    # the estimate alone would have dropped
+    p.write_text("a a\naa aa\naaaa aaaa\n", encoding="utf-8")
+    monkeypatch.setenv("PROBE_SPARK_BPE_MERGES", str(p))
+    rows = [{"url": "a" * 32} for _ in range(4)]
+    # precise: each row is 32 'a' = ceil via merges -> 8x 'aaaa'? no:
+    # merges collapse to 'aaaaaaaa'-less depth; compute expected directly
+    from probe_spark.bpe import BPETokenizer
+
+    per = BPETokenizer.from_merges_file(str(p)).count("a" * 32)
+    est = max(1, 32 // 4)
+    assert per == 4 and est == 8
+    # budget 17: estimate-only admits 2 rows (8+8, third would hit 24);
+    # the lazy-precise pass engages at >= 90% of budget and re-counts rows
+    # 2-4 at the true 4 tokens, admitting a third (8+4+4=16 <= 17)
+    out = apply_limits(rows, max_tokens=17)
+    assert len(out.results) == 3
+    est_only = apply_limits(rows, max_tokens=17, token_counter=lambda s: est)
+    assert len(est_only.results) < len(out.results)
