@@ -415,7 +415,7 @@ def simhash_pairs(
 
 
 def lsh_band_signatures(
-    emb: DataFrame, n_planes: int = 24, r: int = 6, dim: int = 64
+    emb: DataFrame, n_planes: int = 24, r: int = 6
 ) -> DataFrame:
     """(vec_id, bi, bv) hyperplane-LSH band values in ONE vectorized
     mapInPandas pass: the whole Arrow batch of embeddings is projected onto
@@ -447,14 +447,21 @@ def lsh_band_signatures(
         import pandas as pd
 
         P = np.arange(n_planes)
-        I = np.arange(dim)
-        W = ((I[None, :] * 31 + P[:, None] * 17) % 7 - 3).astype(np.float64)
         shifts = 1 << (P % r)
+        w_cache: dict[int, np.ndarray] = {}
         for pdf in batches:
             n = len(pdf)
             if not n:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dim = E.shape[1]  # dimension-agnostic, like the long-form oracle
+            W = w_cache.get(dim)
+            if W is None:
+                I = np.arange(dim)
+                W = ((I[None, :] * 31 + P[:, None] * 17) % 7 - 3).astype(
+                    np.float64
+                )
+                w_cache[dim] = W
             vals = ((E @ W.T) > 0).astype(np.int64) * shifts
             bvm = np.stack(
                 [
