@@ -50,6 +50,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-tokens", type=int)
     s.add_argument("--wand", action="store_true", help="use the compacted block index")
     s.add_argument(
+        "--reranker",
+        default="bm25",
+        choices=[
+            "bm25", "hybrid", "hybrid2", "tfidf",
+            "ms-marco-tinybert", "ms-marco-minilm-l6", "ms-marco-minilm-l12",
+        ],
+        help="ranking algorithm (reference cli.rs:35-37).  The reference's "
+        "non-BERT selectors all execute the same BM25 rank_documents path "
+        "(result_ranking.rs:138-145 routes only ms-marco-* differently), "
+        "so bm25/hybrid/hybrid2/tfidf are aliases here too; ms-marco-* "
+        "requires the BERT feature (torch), absent in this build",
+    )
+    s.add_argument(
         "--matches",
         action="store_true",
         help="add matched_keywords + per-keyword score_breakdown columns "
@@ -136,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
         from probe_spark.limits import apply_limits, format_results
 
         query = " AND ".join(args.query)
+        if args.reranker.startswith("ms-marco"):
+            # the reference errors the same way when built without the
+            # bert-reranker feature
+            print(
+                f"error: reranker '{args.reranker}' requires the BERT "
+                "feature (torch is not available in this build)",
+                file=sys.stderr,
+            )
+            return 2
         from probe_spark.watchdog import QueryTimeoutError, query_deadline
 
         deadline_s = args.timeout if args.timeout and args.timeout > 0 else None
