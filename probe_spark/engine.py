@@ -73,6 +73,24 @@ def _is_disjunctive_bag(plan: QueryPlan) -> bool:
     return only_or(plan.ast)
 
 
+def _read_stats(stats_dir) -> tuple[int, float]:
+    """(n_docs, avgdl) from the singleton stats table via pyarrow -- one
+    tiny file read, no Spark job per engine construction."""
+    import pyarrow.parquet as pq
+
+    from pathlib import Path as _P
+
+    files = sorted(_P(stats_dir).glob("*.parquet")) or sorted(
+        _P(stats_dir).rglob("*.parquet")
+    )
+    for f in files:  # Spark writers may emit empty part files
+        t = pq.read_table(str(f))
+        if t.num_rows:
+            d = t.to_pydict()
+            return int(d["n_docs"][0]), float(d["avgdl"][0])
+    raise FileNotFoundError(f"no stats rows under {stats_dir}")
+
+
 def _empty_matches(hits: DataFrame) -> DataFrame:
     """Typed empty rich-result columns for paths with no positive keyword
     postings (universal / stopword-only / only-excluded queries)."""
@@ -103,9 +121,9 @@ class SearchEngine:
         self.params = params
         self.bloom_min_docs = bloom_min_docs
         p = Path(self.index_dir)
-        row = spark.read.parquet(str(p / "stats")).collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        # singleton stats come straight from the parquet file driver-side
+        # (pyarrow): constructing an engine should not cost a Spark job
+        self.n_docs, self.avgdl = _read_stats(p / "stats")
         self._postings_path = str(p / "postings")
         # the doc store IS the ingest snapshot (text is written once at
         # build time); doc_len lives in the slim doc_lens table and is

@@ -131,9 +131,9 @@ class WandEngine:
         self.params = params
         self.phase1_segs = phase1_segs
         p = Path(self.index_dir)
-        row = spark.read.parquet(str(p / "stats")).collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        from probe_spark.engine import _read_stats
+
+        self.n_docs, self.avgdl = _read_stats(p / "stats")
         self._blocks_path = str(p / "blocks")
         self._terms_path = str(p / "terms")
         self._fallback = SearchEngine(spark, index_dir, params)
