@@ -30,11 +30,13 @@ from functools import lru_cache
 
 # GPT-2/p50k pre-tokenizer pattern.  The canonical pattern uses \p{L}/\p{N}
 # (regex module classes); with the stdlib ``re`` the equivalents below use
-# unicode-aware \w minus digits/underscore for letters and \d for numbers --
-# identical on the pattern's own test corpus (ASCII + latin text), and the
-# closest stdlib expressible form otherwise.
+# unicode-aware \w minus digits/underscore for letters and \d for numbers.
+# p50k's punctuation class is [^\s\p{L}\p{N}], which INCLUDES '_' -- the
+# stdlib [^\s\w] alone would drop underscores (they are in \w), so '_' is
+# added to the punctuation alternative explicitly.  Closest stdlib
+# expressible form of the canonical pattern.
 _PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 
@@ -74,12 +76,15 @@ class BPETokenizer:
     @classmethod
     def from_merges_file(cls, path: str) -> "BPETokenizer":
         """Load a public ``vocab.bpe`` merges file (one 'a b' pair per
-        line; '#version' header skipped)."""
+        line).  Only the ``#version`` header line is skipped: real merge
+        lines can legitimately start with '#' (e.g. the merge producing
+        '##'), so a blanket '#' filter would silently drop valid merges
+        and diverge from tiktoken on '#'-heavy text."""
         merges: list[tuple[str, str]] = []
         with open(path, encoding="utf-8") as f:
             for line in f:
                 line = line.rstrip("\n")
-                if not line or line.startswith("#"):
+                if not line or line.startswith("#version"):
                     continue
                 a, _, b = line.partition(" ")
                 merges.append((a, b))

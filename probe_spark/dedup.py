@@ -69,7 +69,12 @@ def connected_components(
     covering ``nodes`` (column node).  Returns (node, cluster_id) where
     cluster_id = min node id in the component; isolated nodes get their own
     id.  Min-label propagation, one shuffle per round, O(diameter) rounds
-    (see module docstring for why that is small for dedup graphs)."""
+    (see module docstring for why that is small for dedup graphs).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (a silent unconverged return would be *wrong* labels -- plausible for
+    pathological long near-dup chains at scale, and would diverge from the
+    exhaustive oracle with no error signal)."""
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
@@ -80,6 +85,7 @@ def connected_components(
     labels = nodes.select(
         F.col("node").cast("long").alias("node"), F.col("node").cast("long").alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         # candidate labels flowing across edges: neighbour u offers its
         # current label to v for every edge (u, v)
@@ -101,7 +107,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; component diameter exceeds the budget. Re-run with a "
+            "larger max_iter (rounds are O(diameter); each is one shuffle)."
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -524,7 +524,9 @@ class SearchEngine:
         posting for the doc; score_breakdown = keyword -> idf * tf_part
         (6dp).  One bounded lookup: candidate rows are semi-joined to the
         <= k hit doc_ids before aggregating, so the hydration cost tracks
-        k, not the corpus."""
+        k, not the corpus.  When the engine applies a coverage boost (R7)
+        the per-term entries are rescaled by score/sum(raw contributions)
+        so the breakdown always sums to the REPORTED score."""
         p = self.params
         tf = F.col("tf").cast("double")
         tf_part = (tf * F.lit(p.k1 + 1.0)) / (
@@ -550,17 +552,22 @@ class SearchEngine:
             .agg(
                 F.array_sort(F.collect_list(F.struct("term", "c"))).alias("e")
             )
-            .select(
-                "doc_id",
-                F.transform("e", lambda s: s["term"]).alias("matched_keywords"),
-                F.map_from_entries(
-                    F.transform(
-                        "e", lambda s: F.struct(s["term"], F.round(s["c"], 6))
-                    )
-                ).alias("score_breakdown"),
-            )
         )
         joined = hits.join(mk, "doc_id", "left")
+        # rescale contributions to the reported score (identity when no
+        # coverage boost; with boost, each entry carries its share of the
+        # multiplier so the map still sums to `score`)
+        rawsum = F.aggregate("e", F.lit(0.0), lambda acc, s: acc + s["c"])
+        factor = F.when(rawsum > 0.0, F.col("score") / rawsum).otherwise(F.lit(1.0))
+        joined = joined.select(
+            *[c for c in joined.columns if c != "e"],
+            F.transform("e", lambda s: s["term"]).alias("matched_keywords"),
+            F.map_from_entries(
+                F.transform(
+                    "e", lambda s: F.struct(s["term"], F.round(s["c"] * factor, 6))
+                )
+            ).alias("score_breakdown"),
+        )
         return joined.withColumn(
             "matched_keywords",
             F.coalesce("matched_keywords", F.array().cast("array<string>")),

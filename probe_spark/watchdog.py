@@ -58,11 +58,12 @@ def query_deadline(spark, seconds: float | None, label: str = "probe-query"):
     t = threading.Thread(target=reaper, name=f"watchdog-{group}", daemon=True)
     t.start()
     try:
+        # If the enclosed collect completes normally, the results are whole
+        # even when the deadline fired in the race window just afterwards --
+        # return them rather than discarding successful work (the cancel was
+        # a no-op in that case).  Timeout is only raised when the collect
+        # itself was aborted by our reaper.
         yield
-        if expired.is_set():
-            raise QueryTimeoutError(
-                f"search timed out after {seconds:g}s (job group {group} cancelled)"
-            )
     except QueryTimeoutError:
         raise
     except Exception as e:

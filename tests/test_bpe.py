@@ -100,3 +100,23 @@ def test_apply_limits_uses_bpe_counter(tmp_path, monkeypatch):
     assert len(out.results) == 3
     est_only = apply_limits(rows, max_tokens=17, token_counter=lambda s: est)
     assert len(est_only.results) < len(out.results)
+
+
+def test_merges_file_keeps_hash_prefixed_merges(tmp_path):
+    """Real vocab.bpe merge lines can START with '#' (e.g. the merge that
+    produces '##'); only the '#version' header may be skipped."""
+    p = tmp_path / "vocab.bpe"
+    p.write_text("#version: 0.2\n# #\n## #\n", encoding="utf-8")
+    t = BPETokenizer.from_merges_file(str(p))
+    assert len(t.ranks) == 2
+    assert t.count("##") == 1
+    assert t.count("###") == 1  # '##'+'#' merged by the second rule
+
+
+def test_pretokenizer_keeps_underscores():
+    """p50k's punctuation class [^\\s\\p{L}\\p{N}] includes '_'; the stdlib
+    translation must not drop it (count('a_b') != count('ab'))."""
+    t = BPETokenizer([])
+    assert t.pretokenize("snake_case") == ["snake", "_", "case"]
+    assert t.pretokenize("a__b") == ["a", "__", "b"]
+    assert t.count("snake_case") == len("snake_case")

@@ -199,3 +199,16 @@ def test_capped_bands_keeps_lowest_ids(spark):
     kept = dedup.capped_bands(df, cap=3).collect()
     got = sorted((r["bi"], r["vec_id"]) for r in kept)
     assert got == [(0, 0), (0, 1), (0, 2), (1, 99)]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Silent unconverged labels would be WRONG answers; the budget being
+    exhausted must be loud (min-label propagation needs ~diameter rounds,
+    so a 6-path cannot finish in 2)."""
+    import pytest
+
+    n = 6
+    e_df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    n_df = spark.range(n).select(F.col("id").alias("node"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(e_df, n_df, max_iter=2)

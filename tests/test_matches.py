@@ -83,3 +83,20 @@ def test_wand_matches_route(spark, tiny_index):
         .collect()
     )
     assert rows and all(r["matched_keywords"] for r in rows)
+
+
+def test_breakdown_sums_to_score_with_coverage_boost(spark, tiny_index):
+    """With boost_coverage the reported score is scaled; the breakdown
+    entries must carry their share so the map still sums to `score`."""
+    from probe_spark.engine import SearchEngine
+
+    ix, _ = tiny_index
+    beng = SearchEngine(spark, ix)
+    rows = beng.search(
+        "firewall whitelist", k=8, boost_coverage=True, with_matches=True
+    ).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(
+            sum(r["score_breakdown"].values()), r["score"], abs_tol=5e-6
+        )
