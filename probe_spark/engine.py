@@ -6,10 +6,16 @@ Query lifecycle (replacing the reference's scan steps 3-9, SURVEY.md SS3.1):
   2. posting retrieval: filter the term-sorted postings parquet with
      ``term IN (...)`` -- parquet row-group stats prune non-matching row
      groups (the files are sorted by term at build time)
-  3. exact/excluded ("rescue") terms: case-insensitive containment scan of
-     the doc store (text+url), unioned with token postings -- mirrors the
-     exact-term rescue at file_processing.rs:1350-1358; only quoted/negated
-     terms pay this scan (the reference pays a full scan on EVERY query)
+  3. exact/excluded ("rescue") terms: case-insensitive containment match
+     against text+url, mirroring the exact-term rescue at
+     file_processing.rs:1350-1358 (``full_code_lower.contains(term)`` --
+     true SUBSTRING semantics).  Served from the trigram substring-index
+     lane (indexer.tri_rows, the public Zoekt/Code-Search design): the
+     rarest <=3 trigrams of the needle are intersected in the tri_postings
+     table and contains() verifies only those candidates -- O(trigram df)
+     per query.  Fallbacks, in order: trigram-bloom column prefilter
+     (legacy index layouts), full containment scan (tiny corpora / <3-char
+     needles).  The reference pays a full scan on EVERY query.
   4. boolean evaluation + expression scoring per doc: one shuffle
      (groupBy doc_id), then either
        - pure-Column fast path for disjunctive bags (no required/excluded/
@@ -120,7 +126,49 @@ class SearchEngine:
         self.index_dir = str(index_dir)
         self.params = params
         self.bloom_min_docs = bloom_min_docs
+        self._index_fp: tuple | None = None
+        self._reopen()
+
+    def _index_fingerprint(self) -> tuple:
+        """Cheap driver-side change marker for the whole index: lineage
+        file names (a stream/batch commit adds one) + stats file stats
+        (every ingest rewrites them).  One listdir + a few os.stat per
+        query, no Spark jobs -- the price of a cached engine staying fresh
+        under incremental ingest."""
         p = Path(self.index_dir)
+        lin = p / "lineage"
+        names = (
+            tuple(sorted(f.name for f in lin.glob("*.json")))
+            if lin.exists()
+            else ()
+        )
+        sp = p / "stats"
+        stat_m = (
+            tuple(
+                sorted(
+                    (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                    for f in sp.glob("*.parquet")
+                )
+            )
+            if sp.exists()
+            else ()
+        )
+        return (names, stat_m)
+
+    def check_refresh(self) -> bool:
+        """Reopen readers + caches iff the index changed on disk since the
+        last query (incremental ingest / compaction).  Returns True when a
+        refresh happened.  Called at the top of search()."""
+        fp = self._index_fingerprint()
+        if fp == self._index_fp:
+            return False
+        self._reopen()
+        return True
+
+    def _reopen(self) -> None:
+        spark = self.spark
+        p = Path(self.index_dir)
+        self._index_fp = self._index_fingerprint()
         # singleton stats come straight from the parquet file driver-side
         # (pyarrow): constructing an engine should not cost a Spark job
         self.n_docs, self.avgdl = _read_stats(p / "stats")
@@ -150,7 +198,30 @@ class SearchEngine:
         # parquet read, memoized per term.
         self._df_cache: dict[str, int] = {}
         self._bloom_cache: dict[str, list[int] | None] = {}
+        self._tri_cand_cache: dict[str, object] = {}
+        self._tri_df_cache: dict[str, int] = {}
         self._full_dict = False
+        # trigram substring-index lane (indexer.tri_rows): serves the
+        # containment rescue in O(trigram df) instead of an O(corpus)
+        # bloom/doc scan.  Enabled only when it COVERS the corpus: every
+        # postings bucket must have a tri bucket (a pre-tri-lane index
+        # that later received tri-writing stream deltas would otherwise
+        # silently miss containment matches in the old buckets).
+        self._tri_post_df = None
+        self._tri_terms_df = None
+        self._full_tri_dict = False
+        tri_root, post_root = p / "tri_postings", p / "postings"
+        if (
+            tri_root.exists()
+            and (p / "tri_terms").exists()
+            and post_root.exists()
+        ):
+            post_buckets = {d.name for d in post_root.glob("bucket=*")}
+            tri_buckets = {d.name for d in tri_root.glob("bucket=*")}
+            if post_buckets and post_buckets <= tri_buckets:
+                self._tri_post_df = spark.read.parquet(str(tri_root))
+                self._tri_terms_df = spark.read.parquet(str(p / "tri_terms"))
+                self._tri_terms_path = p / "tri_terms"
         # guard the whole-dictionary preload by VOCABULARY size, not doc
         # count (web vocab at 1M docs can be tens of millions of terms);
         # row counts come from parquet footers -- driver-side, no job
@@ -276,6 +347,96 @@ class SearchEngine:
         self._bloom_cache[needle] = out
         return out
 
+    # intersect at most this many (rarest) trigrams of a rescue needle --
+    # each additional list narrows candidates but adds read volume; the
+    # rarest 3 almost always shrink the set to near-truth (Zoekt uses the
+    # same heuristic)
+    _TRI_INTERSECT = 3
+
+    def _tri_dfs(self, tris: list[str]) -> dict[str, int]:
+        """Per-trigram df from the tri dictionary: lazy whole-dictionary
+        driver preload when small (first rescue query pays one tiny job),
+        pruned parquet lookups memoized per trigram otherwise."""
+        if not self._full_tri_dict and not self._tri_df_cache:
+            if self._vocab_rows(self._tri_terms_path) <= 2_000_000:
+                pdf = self._tri_terms_df.select("tri", "df").toPandas()
+                self._tri_df_cache = dict(
+                    zip(pdf["tri"], (int(x) for x in pdf["df"]))
+                )
+                self._full_tri_dict = True
+        out = {t: self._tri_df_cache[t] for t in tris if t in self._tri_df_cache}
+        missing = [t for t in tris if t not in out]
+        if missing and not self._full_tri_dict:
+            rows = (
+                self._tri_terms_df.filter(F.col("tri").isin(missing))
+                .select("tri", "df")
+                .collect()
+            )
+            for r in rows:
+                out[r["tri"]] = int(r["df"])
+            for t in missing:
+                self._tri_df_cache[t] = out.setdefault(t, 0)
+        else:
+            for t in missing:  # full dict: absence means df 0
+                out[t] = 0
+        return out
+
+    def _tri_candidate_ids(self, needle: str):
+        """Substring-index candidates for a rescue needle: doc_ids whose
+        haystack holds the needle's RAREST <=3 trigrams (a SUPERSET of the
+        true containment matches -- trigrams present but non-contiguous are
+        possible, so callers still verify contains()).  Returns a list of
+        ids (IN-pushdown into the doc-store read), a lazy DataFrame when
+        the candidate set exceeds the IN cap, [] when some trigram has df 0
+        (no doc can contain the needle), or None when the lane is absent
+        or the needle is shorter than one trigram.  Cost is O(sum of the
+        selected trigram dfs) -- never O(corpus)."""
+        if self._tri_post_df is None or len(needle) < 3:
+            return None
+        if needle in self._tri_cand_cache:
+            return self._tri_cand_cache[needle]
+        tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+        dfs = self._tri_dfs(tris)
+        if any(dfs[t] == 0 for t in tris):
+            out: list[int] | DataFrame = []
+        else:
+            sel = sorted(tris, key=lambda t: dfs[t])[: self._TRI_INTERSECT]
+            post = self._tri_post_df.filter(F.col("tri").isin(sel))
+            if len(sel) == 1:
+                cand_df = post.select("doc_id")
+            else:
+                # (tri, doc_id) rows are distinct (array_distinct at build),
+                # so count(*) == len(sel) <=> the doc holds ALL selected
+                cand_df = (
+                    post.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .filter(F.col("c") == len(sel))
+                    .select("doc_id")
+                )
+            if min(dfs[t] for t in sel) > self._BLOOM_ISIN_CAP:
+                # provably too many candidates for an IN pushdown: hand
+                # back the lazy frame (caller semi-joins) without collecting
+                out = cand_df
+            else:
+                rows = cand_df.limit(self._BLOOM_ISIN_CAP + 1).collect()
+                if len(rows) > self._BLOOM_ISIN_CAP:
+                    out = cand_df
+                else:
+                    out = [int(r["doc_id"]) for r in rows]
+        if len(self._tri_cand_cache) > 1000:  # bound driver memory
+            self._tri_cand_cache.clear()
+        self._tri_cand_cache[needle] = out
+        return out
+
+    def _rescue_candidates(self, needle: str):
+        """Best available containment prefilter for a rescue needle:
+        trigram postings lane first (index-served, O(df)), trigram bloom
+        second (columnar O(corpus) superset), else None (full scan)."""
+        ids = self._tri_candidate_ids(needle)
+        if ids is not None:
+            return ids
+        return self._bloom_candidate_ids(needle)
+
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
         containment rescue for exact/excluded terms."""
@@ -301,7 +462,7 @@ class SearchEngine:
         scans = []
         for t in rescues:
             base = docs
-            ids = self._bloom_candidate_ids(t)
+            ids = self._rescue_candidates(t)
             if isinstance(ids, DataFrame):
                 base = docs.join(ids, "doc_id", "leftsemi")
             elif ids is not None:
@@ -433,6 +594,7 @@ class SearchEngine:
         doc, sorted) and score_breakdown (keyword -> its BM25 contribution,
         6dp) -- hydrated for the top-k rows only, one extra postings lookup
         bounded by k."""
+        self.check_refresh()
         plan = elastic.create_query_plan(query, exact)
         self._boost_coverage = boost_coverage
         fdocs = self._filtered_docs(plan)

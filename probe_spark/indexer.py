@@ -154,6 +154,30 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
 _tokenize_partition = _make_tokenize_partition("probe")
 
 
+def tri_rows(pages: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, tri) -- the DISTINCT character trigrams of each doc's
+    lowercased ``text + "\\n" + url`` haystack (exactly the string the
+    containment rescue tests, oracle.doc_term_freqs / the reference's
+    ``full_code_lower.contains(term)`` at file_processing.rs:1353-1358).
+
+    This is the substring-index lane (the public Zoekt / Google Code
+    Search trigram design): a rescue needle can only occur in docs whose
+    haystack holds ALL of the needle's trigrams, so query time intersects
+    the rarest few trigram posting lists and verifies containment on that
+    candidate set only -- O(trigram df) per query instead of the O(corpus)
+    bloom-column scan.  Pure JVM expressions (whole-stage codegen): no
+    Python in the build hot path."""
+    s = F.lower(F.concat_ws("\n", F.col("text"), F.col("url")))
+    n = F.length(s) - F.lit(2)
+    tris = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, 3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return pages.select("doc_id", F.explode(tris).alias("tri"), *keep)
+
+
 def _assign_doc_ids(
     spark: SparkSession, pages: DataFrame, n_buckets: int
 ) -> tuple[DataFrame, list[dict]]:
@@ -307,7 +331,7 @@ def build_index(
 
         for stale in (
             "lineage", "postings", "doc_lens", "docs", "terms_partial",
-            "terms", "stats", "blocks",
+            "terms", "stats", "blocks", "tri_postings", "tri_terms",
         ):
             shutil.rmtree(out / stale, ignore_errors=True)
         (out / "stream_state.json").unlink(missing_ok=True)
@@ -422,6 +446,15 @@ def build_index(
             )
         )
         lens_b.coalesce(2).write.mode("overwrite").parquet(str(lens_dir))
+        # trigram substring-index lane for this bucket (rescue serving);
+        # sorted by tri for row-group pruning at query time
+        (
+            tri_rows(bucket_pages)
+            .repartition(max(2, par // 2), "tri")
+            .sortWithinPartitions("tri", "doc_id")
+            .write.mode("overwrite")
+            .parquet(str(out / "tri_postings" / f"bucket={b}"))
+        )
         # per-bucket term partials from the cached tokenization: the final
         # dictionary re-aggregates these (vocab-sized) instead of scanning
         # the full postings table again
@@ -580,6 +613,32 @@ def build_index(
                 .parquet(str(tpart_root_))
             )
 
+        def _write_tri() -> None:
+            # trigram substring-index lane (rescue serving, see tri_rows).
+            # Reads the doc store again -- the tokenize cache deliberately
+            # carries no text (emit_doc_payload=False), and this job is
+            # pure JVM codegen over a columnar read, so re-reading text is
+            # cheaper than echoing it through Arrow.  basePath keeps the
+            # bucket partition column for dynamic-partition overwrite.
+            src = (
+                spark.read.option("basePath", str(pages_indexed_dir))
+                .parquet(*srcs)
+                .select("doc_id", "url", "text", "bucket")
+            )
+            (
+                tri_rows(src, keep=("bucket",))
+                .repartition(
+                    max(2, par, int(total_bytes // (128 << 20))),
+                    "bucket",
+                    "tri",
+                )
+                .sortWithinPartitions("bucket", "tri", "doc_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(str(out / "tri_postings"))
+            )
+
         def _metrics() -> None:
             # per-bucket build metrics in one pass over the cache
             # (replaces the per-bucket write Observations)
@@ -603,9 +662,10 @@ def build_index(
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             futs = [
-                ex.submit(f) for f in (_write_lens, _write_tpart, _metrics)
+                ex.submit(f)
+                for f in (_write_lens, _write_tpart, _write_tri, _metrics)
             ]
             for fu in futs:
                 fu.result()
@@ -658,6 +718,20 @@ def build_index(
     else:
         terms = spark.createDataFrame([], terms_schema)
     terms.write.mode("overwrite").parquet(str(out / "terms"))
+
+    # trigram dictionary (tri, df): the driver-cached rarest-trigram
+    # selector for rescue serving.  Input is the slim (doc_id, tri) lane;
+    # vocab is charset-bounded (tiny vs the corpus), one agg job.
+    tri_root = out / "tri_postings"
+    if tri_root.exists() and any(tri_root.iterdir()):
+        (
+            spark.read.parquet(str(tri_root))
+            .groupBy("tri")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(str(out / "tri_terms"))
+        )
 
     lineage = _read_lineage(index_dir)
     if lineage and all("sum_dl" in r for r in lineage.values()):

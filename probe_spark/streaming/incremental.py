@@ -41,6 +41,7 @@ from probe_spark.indexer import (
     _assign_doc_ids,
     _read_lineage,
     _tokenize_partition,
+    tri_rows,
     write_stats,
 )
 
@@ -144,7 +145,7 @@ def _reconcile(spark: SparkSession, index_dir: str, state: dict) -> dict:
             roll_forward = True
             folded.add(b)
         else:  # roll back the un-committed bucket
-            for t in ("postings", "doc_lens", "terms_partial"):
+            for t in ("postings", "doc_lens", "terms_partial", "tri_postings"):
                 shutil.rmtree(out / t / f"bucket={b}", ignore_errors=True)
             (out / "lineage" / f"{b}.json").unlink(missing_ok=True)
     if roll_forward:
@@ -156,6 +157,7 @@ def _reconcile(spark: SparkSession, index_dir: str, state: dict) -> dict:
         folded_terms.write.mode("overwrite").parquet(str(tmp))
         shutil.rmtree(out / "terms", ignore_errors=True)
         tmp.rename(out / "terms")
+        _rebuild_tri_terms(spark, index_dir)
     # totals from lineage (batch + surviving stream rows) are authoritative
     lineage = _read_lineage(index_dir)
     srows = _read_stream_lineage(index_dir)
@@ -195,6 +197,51 @@ def _fold_terms(spark: SparkSession, index_dir: str, new_partial: Path) -> None:
     folded.write.mode("overwrite").parquet(str(tmp))
     shutil.rmtree(terms_dir, ignore_errors=True)
     tmp.rename(terms_dir)
+
+
+def _rebuild_tri_terms(spark: SparkSession, index_dir: str) -> None:
+    """Idempotent tri-dictionary rebuild from the full tri_postings lane
+    (slim doc_id+tri input; used by crash recovery and as the healing
+    fold when tri_terms is absent)."""
+    out = Path(index_dir)
+    tri_root = out / "tri_postings"
+    if not (tri_root.exists() and any(tri_root.iterdir())):
+        return
+    folded = (
+        spark.read.parquet(str(tri_root))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tmp = out / "tri_terms_tmp"
+    folded.coalesce(4).write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(out / "tri_terms", ignore_errors=True)
+    tmp.rename(out / "tri_terms")
+
+
+def _fold_tri_terms(spark: SparkSession, index_dir: str, delta_bucket: Path) -> None:
+    """Incremental tri-dictionary fold: current tri_terms + the NEW
+    bucket's counts only (mirrors _fold_terms); full rebuild when
+    tri_terms is missing (e.g. first delta on a pre-tri-lane index)."""
+    out = Path(index_dir)
+    t_dir = out / "tri_terms"
+    if not (t_dir.exists() and any(t_dir.iterdir())):
+        _rebuild_tri_terms(spark, index_dir)
+        return
+    delta = (
+        spark.read.parquet(str(delta_bucket))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    folded = (
+        spark.read.parquet(str(t_dir))
+        .unionByName(delta)
+        .groupBy("tri")
+        .agg(F.sum("df").alias("df"))
+    )
+    tmp = out / "tri_terms_tmp"
+    folded.coalesce(4).write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(t_dir, ignore_errors=True)
+    tmp.rename(t_dir)
 
 
 def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -> int:
@@ -252,6 +299,15 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .parquet(str(out / "doc_lens" / f"bucket={bucket}"))
     )
     sum_dl = int(obs.get["sum_dl"])
+    # trigram substring-index lane for the delta (rescue serving; same
+    # JVM-side extraction as the batch build, see indexer.tri_rows)
+    tri_delta = out / "tri_postings" / f"bucket={bucket}"
+    (
+        tri_rows(pages)
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("overwrite")
+        .parquet(str(tri_delta))
+    )
     tpart = out / "terms_partial" / f"bucket={bucket}"
     (
         rows.filter(F.col("term").isNotNull())
@@ -288,6 +344,7 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     )
     rows.unpersist()
     _fold_terms(spark, index_dir, tpart)
+    _fold_tri_terms(spark, index_dir, tri_delta)
     # stats from running totals -- no job over the (ever-growing) index
     state = {
         "next_doc_id": base + n_docs,

@@ -167,6 +167,13 @@ class WandEngine:
         return (marker, tuple(sorted(d.name for d in p.iterdir())))
 
     def _refresh_blocks(self) -> None:
+        # the flat fallback owns the index-level fingerprint (stats +
+        # lineage): when an incremental ingest landed since the last query,
+        # its readers/caches reopen and our snapshotted corpus stats must
+        # follow (otherwise idf/avgdl would be stale vs a fresh engine)
+        if self._fallback.check_refresh():
+            self.n_docs = self._fallback.n_docs
+            self.avgdl = self._fallback.avgdl
         fp = self._compaction_fingerprint()
         if fp != self._blocks_fp or self._blocks_df is None:
             self._blocks_fp = fp
@@ -407,6 +414,10 @@ class WandEngine:
         exact: bool = False,
         boost_coverage: bool = False,
     ) -> list[tuple[int, float]]:
+        # refresh FIRST: idfs below snapshot n_docs/df, so a stale view
+        # here would survive into scoring even though the blocks listing
+        # itself refreshes later
+        self._refresh_blocks()
         plan = elastic.create_query_plan(query, exact)
         excl = sorted(plan.excluded_terms)
         pos_kws = {

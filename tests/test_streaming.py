@@ -231,3 +231,62 @@ def test_stream_crash_rollforward_heals_fold(spark, tmp_path):
     assert dict_df == sample["count"]
     st = _read_state(ix)
     assert st["next_doc_id"] == 100 and st["n_docs"] == 100
+
+
+def test_cached_engines_see_incremental_delta(spark, tmp_path):
+    """Freshness without reconstruction (index fingerprint refresh): a
+    WandEngine and a flat SearchEngine CONSTRUCTED BEFORE an incremental
+    delta + incremental compaction must serve post-delta queries with
+    results identical to freshly built engines -- stats, dictionary
+    caches, file listings and tri lane all refresh from the on-disk
+    change marker at the next query."""
+    import pytest as _pytest
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import start_incremental_index
+    from probe_spark.wand import WandEngine
+
+    ix = str(tmp_path / "ix")
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    base = pages_df(spark, 120).drop("html", "warc_ts")
+    build_index(spark, base, ix, n_buckets=2)
+    compact_index(spark, ix)
+
+    # engines cached BEFORE the delta lands
+    flat = SearchEngine(spark, ix)
+    wand = WandEngine(spark, ix, phase1_segs=1)
+    flat.search("firewall", k=5).collect()  # warm their caches
+    wand.search_local("firewall", k=5)
+
+    wave = (
+        pages_df(spark, 170)
+        .drop("html", "warc_ts")
+        .join(base.select("url"), "url", "leftanti")
+    )
+    wave.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "w"))
+    q = start_incremental_index(spark, f"{stream_dir}/w", ix, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    compact_index(spark, ix, resume=True)
+
+    docs_rows = spark.read.parquet(f"{ix}/pages_indexed").collect()
+    oracle_ix = CorpusIndex.build(
+        [Doc(r["doc_id"], r["url"], r["text"], r["lang"]) for r in docs_rows]
+    )
+    assert oracle_ix.n_docs == 170
+    for query in ("firewall", "+retry process", '"firewall whitelist"'):
+        expected = oracle_search(oracle_ix, query, k=10)
+        got_flat = [
+            (r["doc_id"], r["score"])
+            for r in flat.search(query, k=10).collect()
+        ]
+        got_wand = wand.search_local(query, k=10)
+        assert [d for d, _ in got_flat] == [d for d, _ in expected], query
+        assert [d for d, _ in got_wand] == [d for d, _ in expected], query
+        for (gd, gs), (_, es) in zip(got_flat, expected):
+            assert gs == _pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
+        for (gd, gs), (_, es) in zip(got_wand, expected):
+            assert gs == _pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)

@@ -4,6 +4,7 @@ integration for quoted/negated terms."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -115,3 +116,88 @@ def test_bloom_candidate_ids_refutes_absent_term(spark, tiny_index):
     # below the size gate the prefilter stays out of the way
     gated = SearchEngine(spark, path)  # default bloom_min_docs
     assert gated._bloom_candidate_ids("zzqqxxnowhere") is None
+
+
+# ---------------------------------------------------------------------------
+# Trigram postings lane (tri_postings / tri_terms, indexer.tri_rows)
+# ---------------------------------------------------------------------------
+
+
+def _py_tris(text, url):
+    hay = (text or "").lower() + "\n" + (url or "").lower()
+    return {hay[i : i + 3] for i in range(max(0, len(hay) - 2))}
+
+
+def test_tri_rows_matches_python_reference(spark):
+    from probe_spark.indexer import tri_rows
+
+    rows = [
+        (0, "https://A.example/x", "Hello Wörld"),
+        (1, "https://b.example/y", ""),
+        (2, "https://c.example/z", "ab"),  # text shorter than a trigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {}
+    for r in tri_rows(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["tri"])
+    for doc_id, url, text in rows:
+        assert got.get(doc_id, set()) == _py_tris(text, url), doc_id
+
+
+def test_tri_lane_enabled_and_candidates_superset(spark, tiny_index):
+    from probe_spark.engine import SearchEngine
+
+    ix, _ = tiny_index
+    eng = SearchEngine(spark, ix)
+    assert eng._tri_post_df is not None  # built indexes carry the lane
+    needle = "firewall whitel"
+    ids = eng._tri_candidate_ids(needle)
+    assert isinstance(ids, list) and ids
+    # every TRUE containment match must be in the candidate set
+    truth = {
+        int(r["doc_id"])
+        for r in eng._docs()
+        .filter(
+            F.lower(F.col("text")).contains(needle)
+            | F.lower(F.col("url")).contains(needle)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert truth and truth <= set(ids)
+
+
+def test_tri_lane_refutes_absent_needles(spark, tiny_index):
+    from probe_spark.engine import SearchEngine
+
+    ix, _ = tiny_index
+    eng = SearchEngine(spark, ix)
+    assert eng._tri_candidate_ids("zqxjkvvqzz") == []
+    # and the refutation feeds the rescue path: excluded impossible term
+    # behaves like a plain query
+    a = eng.search("firewall", k=5).collect()
+    b = eng.search('firewall -"zqxjkvvqzz"', k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_tri_lane_coverage_guard(spark, tiny_index, tmp_path):
+    """A tri_postings lane that does not cover every postings bucket must
+    disable itself (fallback keeps answers exact)."""
+    import shutil as sh
+
+    from probe_spark.engine import SearchEngine
+
+    ix, _ = tiny_index
+    clone = tmp_path / "partial_tri"
+    sh.copytree(ix, clone)
+    buckets = sorted((clone / "tri_postings").glob("bucket=*"))
+    sh.rmtree(buckets[0])
+    eng = SearchEngine(spark, str(clone))
+    assert eng._tri_post_df is None
+    full = SearchEngine(spark, ix)
+    q = '"firewall whitelist"'
+    assert [
+        (r["doc_id"], r["score"]) for r in eng.search(q, k=5).collect()
+    ] == [(r["doc_id"], r["score"]) for r in full.search(q, k=5).collect()]
