@@ -43,8 +43,10 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     _ensure_shipped(spark)
     key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
-    if (ix / "stats").exists() and not (ix / "doc_lens").exists():
-        # stale cache from the pre-doc_lens layout: rebuild
+    if (ix / "stats").exists() and not (
+        (ix / "doc_lens").exists() and (ix / "tri_postings").exists()
+    ):
+        # stale cache from a pre-doc_lens or pre-tri-lane layout: rebuild
         import shutil
 
         shutil.rmtree(ix, ignore_errors=True)
@@ -75,6 +77,12 @@ def _documents_simple_index(spark: SparkSession, sf_dir: str) -> str:
     _ensure_shipped(spark)
     key = hashlib.md5(f"{sf_dir}:simple".encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
+    if (ix / "stats").exists() and not (ix / "tri_postings").exists():
+        # stale cache from the pre-tri-lane layout: rebuild so the exact
+        # entry exercises the trigram rescue lane
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
     if not (ix / "stats").exists():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
@@ -154,6 +162,40 @@ def probe_index_wand_bool_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search("+spark +join -window", k=50))
 
 
+def probe_index_exact_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-exact query '"spark join"' through the index: the phrase is
+    no token, so the engine serves it from the TRIGRAM SUBSTRING LANE
+    (tri_postings rarest-trigram intersection -> containment verify on
+    candidates only; engine.py step 3) with rescue tf=1 and df = the
+    containment count.  DuckDB oracle recomputes the same containment BM25
+    from raw text (EXACT_SQL) -- this puts the tri lane under the driver's
+    hard gate."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search('"spark join"', k=50))
+
+
+def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--files-only through the index (reference cli.rs:23-26): ALL docs
+    matching 'spark join' (implicit OR), no ranking, doc_id order.  DuckDB
+    oracle = distinct docs holding either token."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return (
+        eng.files_only("spark join")
+        .select(
+            F.regexp_extract("url", r"(\d+)", 1).cast("long").alias("doc_id")
+        )
+        .orderBy(F.asc("doc_id"))
+    )
+
+
 def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: elastic-query BM25 top-10 through the distributed inverted
     index with the FULL probe tokenizer (rank-identity vs the pure-Python
@@ -229,7 +271,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_wand_simple"] = _shipped(probe_index_wand_simple)
     out["probe_index_bool_simple"] = _shipped(probe_index_bool_simple)
     out["probe_index_wand_bool_simple"] = _shipped(probe_index_wand_bool_simple)
+    out["probe_index_exact_simple"] = _shipped(probe_index_exact_simple)
+    out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     return out
+
+
+# containment-rescue BM25 for the quoted phrase (tf = 1 when the lowercased
+# text holds the phrase; the doc:// urls cannot): same formulas as the
+# engine's rescue path, straight from raw text.  Docs with empty text have
+# no dl row, and cannot contain the phrase, so the dl inner join is lossless.
+EXACT_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL AND text <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+       WHERE term <> '' GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE
+              / (SELECT count(*) FROM documents) AS avgdl),
+m AS (SELECT d.doc_id, dl.dl FROM documents d JOIN dl USING (doc_id)
+      WHERE position('spark join' IN lower(d.text)) > 0),
+df AS (SELECT count(*)::BIGINT AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+            * (1 * (1.2 + 1))
+            / (1 + 1.2 * (1 - 0.75 + 0.75 * m.dl / st.avgdl)), 6) AS score
+FROM m CROSS JOIN df CROSS JOIN st
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+FILES_ONLY_SQL = """
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term IN ('spark', 'join')
+ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -245,4 +320,6 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_wand_simple"] = R1_SQL
     out["probe_index_bool_simple"] = R2_SQL
     out["probe_index_wand_bool_simple"] = R2_SQL
+    out["probe_index_exact_simple"] = EXACT_SQL
+    out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     return out

@@ -8,8 +8,10 @@ local[$SPARK_GRAFT_CPUS]:
      synthetic fixture corpus at local[8] vs local[N] -- throughput at both
      plus efficiency = (t8/tN)/(N/8).  Disable with PROBE_BENCH_SCALING=0.
   2. inverted-index build over the sf documents table (docs/sec).
-  3. query latency: headline elastic queries through the engine (median of
-     3 runs each) + representative pipeline operators.
+  3. query latency: headline elastic queries + pipeline operators, as
+     MIN over 3 serialized sweeps, with per-sweep values and adjacent
+     single-thread steal probes recorded so a degraded host window is
+     distinguishable from a real regression in the artifact itself.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total query sec>, "unit": "sec",
@@ -21,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import statistics
+
 import sys
 import tempfile
 import time
@@ -68,6 +70,75 @@ def _cpu_ceiling(lo: int, hi: int) -> float:
             pool.map(_burn, range(2 * n))
         rates[n] = 2 * n / (time.time() - t0)
     return (rates[hi] / rates[lo]) / (hi / lo)
+
+
+def _steal_probe_ms() -> float:
+    """Single-thread fixed-work walltime (ms): a cheap window-quality
+    marker recorded ADJACENT to each timed block.  On this shared host the
+    CPU ceiling swings 0.4-1.0x between minutes; recording the probe next
+    to the measurement makes a degraded window distinguishable from a real
+    regression from the artifact alone."""
+    t0 = time.time()
+    x = 0
+    for i in range(5 * 10**6):
+        x += i * i
+    return (time.time() - t0) * 1000.0
+
+
+def _io_write_worker(args):
+    """One writer: K parquet files of ~8 MB each onto the shared scratch
+    (pyarrow only -- no Spark, no JVM), returns bytes written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path, wid, k = args
+    import numpy as np
+
+    rng = np.random.default_rng(wid)
+    # random payload defeats parquet compression so bytes written ~= bytes
+    # on the wire -- a compressible table would measure the codec, not IO
+    col = rng.integers(0, 2**62, size=1_000_000, dtype=np.int64)
+    table = pa.table({"v": pa.array(col)})
+    total = 0
+    for i in range(k):
+        f = f"{path}/w{wid}_{i}.parquet"
+        pq.write_table(table, f, compression="none")
+        total += os.path.getsize(f)
+    return total
+
+
+def _io_ceiling(lo: int, hi: int, tmp: str) -> dict:
+    """Write-bandwidth scaling of the bench scratch from lo to hi parallel
+    parquet writers (the IO analog of _cpu_ceiling): aggregate MB/s at
+    both levels + efficiency.  This is the missing half of the scaling
+    story -- the index build is tokenize (CPU) + parquet writes (IO), and
+    a shared write path that stops scaling past lo writers bounds the
+    build's achievable efficiency the same way CPU steal does.  Real
+    clusters give every executor its own disk; this box shares one."""
+    import multiprocessing as mp
+
+    d = f"{tmp}/io_probe"
+    os.makedirs(d, exist_ok=True)
+    out = {}
+    try:
+        for n in (lo, hi):
+            jobs = [(d, w, 2) for w in range(n)]
+            with mp.Pool(n) as pool:
+                t0 = time.time()
+                totals = pool.map(_io_write_worker, jobs)
+            sec = time.time() - t0
+            out[n] = sum(totals) / sec / (1 << 20)
+            for f in os.listdir(d):
+                os.unlink(f"{d}/{f}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "io_write_mb_s_lo": round(out[lo], 1),
+        "io_write_mb_s_hi": round(out[hi], 1),
+        "host_io_ceiling_efficiency": round(
+            (out[hi] / out[lo]) / (hi / lo), 3
+        ),
+    }
 
 
 def _fresh_spark(cores: int | str):
@@ -172,6 +243,7 @@ def main() -> None:
     # that ceiling (a real N->4N executor cluster has no such ceiling).
     if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
         ceil0 = _cpu_ceiling(8, cpus)
+        io_ceil = _io_ceiling(8, cpus, tmp)
         t_lo, t_hi, kt_lo, kt_hi = _scaling_min_of_interleaved(cpus, tmp)
         ceil1 = _cpu_ceiling(8, cpus)
         ceiling = max(ceil0, ceil1)
@@ -201,6 +273,9 @@ def main() -> None:
             "tokenize_kernel_sec_lo": round(kt_lo, 2),
             "tokenize_kernel_sec_hi": round(kt_hi, 2),
             "tokenize_kernel_efficiency": round(k_eff, 3),
+            # write-path ceiling of the same scratch the build writes to
+            # (no Spark): bounds the non-kernel (write) half of the build
+            **io_ceil,
         }
 
     from probe_spark.engine import SearchEngine
@@ -228,7 +303,13 @@ def main() -> None:
         "bytes_out": metrics["bytes_out"],
     }
 
-    # 3. query latency (median of 3 per query, warm engine)
+    # 3. query latency: MIN-OF-3 SERIALIZED SWEEPS over the whole query
+    # set, each sweep bracketed by a single-thread steal probe.  The r3
+    # artifact could not distinguish a degraded host window from a real
+    # regression (every query slowed uniformly); recording per-sweep
+    # values + adjacent window probes makes that call decidable from the
+    # JSON alone.  Min (not median) is the right window statistic on a
+    # box whose ceiling only ever degrades the number.
     eng = SearchEngine(spark, f"{tmp}/ix")
     # warm-up: codegen/JIT for both the postings path and the doc-store
     # text-scan path (first string-contains scan pays a one-time JIT cost)
@@ -236,24 +317,7 @@ def main() -> None:
     eng.search_local('"warmup phrase"', 10)
     # warm the general boolean path too (pivot agg + lane scorer codegen)
     eng.search_local("+spark merge", 10)
-    queries: dict[str, float] = {}
-    all_ts: list[float] = []
-    for name, q in HEADLINE.items():
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            eng.search_local(q, 10)
-            ts.append(time.time() - t0)
-        queries[name] = round(statistics.median(ts), 3)
-        all_ts.extend(ts)
-    all_ts.sort()
-    result["latency"] = {
-        "p50": round(all_ts[len(all_ts) // 2], 3),
-        "p99": round(all_ts[min(len(all_ts) - 1, int(len(all_ts) * 0.99))], 3),
-        "n_samples": len(all_ts),
-    }
 
-    # pipeline operators (single run each)
     from probe_spark.entry_queries import (
         dedup_minhash,
         r1_bm25_topk,
@@ -261,20 +325,52 @@ def main() -> None:
         text_quality,
     )
 
-    for name, fn in [
+    OPS = [
         ("op_bm25_simple", r1_bm25_topk),
         ("op_dedup_minhash", dedup_minhash),
         ("op_sim_cosine", sim_cosine_topk),
         ("op_text_quality", text_quality),
-    ]:
-        ts = []
-        for _ in range(2):  # min-of-2: single shots are window-noise
+    ]
+    N_SWEEPS = int(os.environ.get("PROBE_BENCH_SWEEPS", "3"))
+    sweeps: list[dict[str, float]] = []
+    probes: list[float] = [round(_steal_probe_ms(), 1)]
+    all_ts: list[float] = []
+    for _ in range(N_SWEEPS):
+        sweep: dict[str, float] = {}
+        for name, q in HEADLINE.items():
+            t0 = time.time()
+            eng.search_local(q, 10)
+            dt = time.time() - t0
+            sweep[name] = dt
+            all_ts.append(dt)
+        for name, fn in OPS:
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            ts.append(time.time() - t0)
-        queries[name] = round(min(ts), 3)
-
+            sweep[name] = time.time() - t0
+        sweeps.append(sweep)
+        probes.append(round(_steal_probe_ms(), 1))
+    queries = {
+        name: round(min(s[name] for s in sweeps), 3) for name in sweeps[0]
+    }
+    all_ts.sort()
+    result["latency"] = {
+        "p50": round(all_ts[len(all_ts) // 2], 3),
+        "p99": round(all_ts[min(len(all_ts) - 1, int(len(all_ts) * 0.99))], 3),
+        "n_samples": len(all_ts),
+    }
     result["queries"] = queries
+    result["query_sweeps"] = [
+        {k: round(v, 3) for k, v in s.items()} for s in sweeps
+    ]
+    # window evidence adjacent to the query block: per-sweep single-thread
+    # probe walltimes (ms; spread > ~1.5x == degraded/unstable window) --
+    # see BASELINE.md for how to read these
+    result["window"] = {
+        "steal_probe_ms": probes,
+        "probe_spread": round(max(probes) / min(probes), 2)
+        if min(probes) > 0
+        else None,
+    }
     result["value"] = round(sum(queries.values()), 3)
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)

@@ -41,9 +41,39 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--exact", action="store_true")
     s.add_argument("--boost-coverage", action="store_true")
     s.add_argument(
+        "-l", "--files-only", action="store_true",
+        help="skip ranking and output unique matching urls "
+        "(reference cli.rs:23-26, search_runner.rs:699-735)",
+    )
+    s.add_argument(
+        "-n", "--exclude-filenames", action="store_true",
+        help="drop url-token-only credit from matching (reference "
+        "cli.rs:31-33, issue #527 analog); tf for scoring keeps the full "
+        "index value exactly as the reference's ranking does",
+    )
+    s.add_argument(
+        "-s", "--frequency", dest="frequency", action="store_true",
+        default=True,
+        help="frequency-based search with stemming+stopwords (default on; "
+        "the reference accepts the flag and IGNORES it in its live path -- "
+        "search_runner.rs:237 destructures it as `frequency_search: _` -- "
+        "so this flag is accepted for CLI parity and has no effect; use "
+        "--exact for non-tokenized search)",
+    )
+    s.add_argument(
+        "--dry-run", action="store_true",
+        help="compact output: file names/ids only, no content "
+        "(reference cli.rs:76-78, results_formatter.rs:17-29)",
+    )
+    s.add_argument(
         "--format",
         default="text",
-        choices=["text", "json", "markdown", "xml", "outline", "color"],
+        choices=[
+            "text", "json", "markdown", "xml", "outline", "outline-xml",
+            "color", "terminal",
+        ],
+        help="8-format parity with reference cli.rs:81 (plain==text here; "
+        "terminal = decorated human output, outline-xml = grouped XML)",
     )
     s.add_argument("--max-results", type=int)
     s.add_argument("--max-bytes", type=int)
@@ -113,10 +143,32 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--invert", action="store_true")
     g.add_argument("--limit", type=int, default=20)
     g.add_argument(
-        "--context", type=int, default=0, metavar="N",
-        help="print matching text lines with N lines of context (grep.rs "
-        "-A/-B analog within each doc)",
+        "--context", "-C", type=int, default=0, metavar="N",
+        help="print matching text lines with N lines of context both "
+        "sides (grep.rs -C analog within each doc)",
     )
+    g.add_argument(
+        "--after-context", "-A", type=int, default=None, metavar="N",
+        help="lines AFTER each match (grep.rs:19-21; overrides --context "
+        "on that side)",
+    )
+    g.add_argument(
+        "--before-context", "-B", type=int, default=None, metavar="N",
+        help="lines BEFORE each match (grep.rs:22-24; overrides --context "
+        "on that side)",
+    )
+    g.add_argument(
+        "--color", action="store_true",
+        help="highlight regex matches in printed lines (ANSI, grep.rs "
+        "color output analog)",
+    )
+
+    cfg = sub.add_parser(
+        "config",
+        help="print the effective engine configuration (the `probe "
+        "config` subcommand analog, main.rs routing / cli.rs:104-460)",
+    )
+    cfg.add_argument("--index", help="optionally include index stats/manifest")
 
     args = ap.parse_args(argv)
 
@@ -126,6 +178,46 @@ def main(argv: list[str] | None = None) -> int:
         ok, err = validate_query(args.query)
         print(json.dumps({"ok": ok, "error": err}))
         return 0 if ok else 1
+
+    if args.cmd == "config":  # driver-side, no Spark session
+        from probe_spark import dedup, trigram, watchdog
+        from probe_spark.config import DEFAULT_BM25
+        from probe_spark.engine import SearchEngine
+
+        out: dict = {
+            "bm25": {"k1": DEFAULT_BM25.k1, "b": DEFAULT_BM25.b},
+            "query": {
+                "max_terms": 256,
+                "default_timeout_s": watchdog.DEFAULT_TIMEOUT_S,
+                "default_reranker": "bm25",
+            },
+            "rescue": {
+                "tri_intersect": SearchEngine._TRI_INTERSECT,
+                "isin_pushdown_cap": SearchEngine._BLOOM_ISIN_CAP,
+                "bloom_min_docs_default": 50_000,
+                "bloom_bytes": trigram.BLOOM_BYTES,
+            },
+            "dedup": {"band_bucket_cap": dedup.BAND_BUCKET_CAP},
+        }
+        if args.index:
+            from pathlib import Path
+
+            p = Path(args.index)
+            man = p / "manifest.json"
+            if man.exists():
+                out["manifest"] = json.loads(man.read_text())
+            try:
+                from probe_spark.engine import _read_stats
+
+                n_docs, avgdl = _read_stats(p / "stats")
+                out["stats"] = {"n_docs": n_docs, "avgdl": avgdl}
+            except Exception:
+                pass
+            out["tables"] = sorted(
+                d.name for d in p.iterdir() if d.is_dir()
+            )
+        print(json.dumps(out, indent=1))
+        return 0
 
     from probe_spark.session import get_spark
 
@@ -161,6 +253,34 @@ def main(argv: list[str] | None = None) -> int:
         from probe_spark.watchdog import QueryTimeoutError, query_deadline
 
         deadline_s = args.timeout if args.timeout and args.timeout > 0 else None
+        if args.files_only:
+            from probe_spark.engine import SearchEngine
+
+            eng = SearchEngine(spark, args.index)
+            try:
+                with query_deadline(spark, deadline_s):
+                    rows = [
+                        r.asDict()
+                        for r in eng.files_only(
+                            query,
+                            exact=args.exact,
+                            exclude_filenames=args.exclude_filenames,
+                        ).collect()
+                    ]
+            except QueryTimeoutError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 3
+            if args.max_results is not None:
+                rows = rows[: args.max_results]
+            if args.format == "json":
+                print(json.dumps({"files": [r["url"] for r in rows]}))
+            else:
+                seen = set()
+                for r in rows:  # unique urls, doc_id order
+                    if r["url"] not in seen:
+                        seen.add(r["url"])
+                        print(r["url"])
+            return 0
         if args.wand:
             from probe_spark.wand import WandEngine
 
@@ -175,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
                             exact=args.exact,
                             with_matches=args.matches,
                             boost_coverage=args.boost_coverage,
+                            exclude_filenames=args.exclude_filenames,
                         )
                         .collect()
                     ]
@@ -195,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
                             args.exact,
                             args.boost_coverage,
                             with_matches=args.matches,
+                            exclude_filenames=args.exclude_filenames,
                         ).collect()
                     ]
             except QueryTimeoutError as e:
@@ -218,6 +340,18 @@ def main(argv: list[str] | None = None) -> int:
             max_bytes=args.max_bytes,
             max_tokens=args.max_tokens,
         )
+        if args.dry_run:
+            # compact names-only output (results_formatter.rs:17-29); page
+            # granularity has no line ranges, so each hit is one line
+            print(f"Found {len(limited.results)} results:")
+            for r in limited.results:
+                print(f"{r['rank']}. {r['url']} (score {r['score']:.4f})")
+            if limited.limits_applied:
+                print(
+                    f"# skipped {limited.skipped} results (limits)",
+                    file=sys.stderr,
+                )
+            return 0
         hl = None
         if args.format == "color":
             from probe_spark import elastic
@@ -297,12 +431,23 @@ def main(argv: list[str] | None = None) -> int:
         m = docs.filter(F.col("text").rlike(args.pattern))
         if args.invert:
             m = docs.join(m.select("doc_id"), "doc_id", "leftanti")
+        # asymmetric context (grep.rs:13-29): -A/-B override -C per side
+        before = args.before_context if args.before_context is not None else args.context
+        after = args.after_context if args.after_context is not None else args.context
         if args.count:
             print(m.count())
-        elif args.context > 0 and not args.invert:
+        elif (before > 0 or after > 0 or args.color) and not args.invert:
             import re as _re
 
             pat = _re.compile(args.pattern)
+
+            def _hl(line: str) -> str:
+                if not args.color:
+                    return line
+                return pat.sub(
+                    lambda mo: f"\x1b[1;31m{mo.group(0)}\x1b[0m", line
+                )
+
             rows = (
                 m.select("doc_id", "url", "text")
                 .orderBy("doc_id")
@@ -325,12 +470,13 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 shown: set[int] = set()
                 for i in hit_ix:
-                    for j in range(max(0, i - args.context),
-                                   min(len(lines), i + args.context + 1)):
+                    for j in range(max(0, i - before),
+                                   min(len(lines), i + after + 1)):
                         shown.add(j)
                 for j in sorted(shown):
                     mark = ":" if j in hit_ix else "-"
-                    print(f"{j + 1}{mark} {lines[j]}")
+                    out_line = _hl(lines[j]) if j in hit_ix else lines[j]
+                    print(f"{j + 1}{mark} {out_line}")
         else:
             for r in m.select("doc_id", "url").orderBy("doc_id").limit(args.limit).collect():
                 print(r["doc_id"], r["url"])

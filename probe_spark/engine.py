@@ -446,11 +446,19 @@ class SearchEngine:
         """(term, doc_id, tf, doc_len) rows for the GIVEN terms only, with
         the containment rescue applied to those that are rescue terms
         (lets WandEngine fetch just the excluded-term rows)."""
-        post = (
-            self._postings_df
-            .filter(F.col("term").isin(list(terms)))
-            .select("term", "doc_id", "tf", "doc_len")
-        )
+        ex_fn = getattr(self, "_exclude_fn", False)
+        post = self._postings_df.filter(F.col("term").isin(list(terms)))
+        if ex_fn:
+            # -n: drop url-token-only matches (tf_url = url-token share of
+            # tf, written at build time); the surviving rows keep the FULL
+            # tf for scoring (see search() docstring)
+            if "tf_url" not in self._postings_df.columns:
+                raise ValueError(
+                    "exclude_filenames needs the tf_url postings column; "
+                    "this index predates it -- rebuild with build_index()"
+                )
+            post = post.filter((F.col("tf") - F.col("tf_url")) > 0)
+        post = post.select("term", "doc_id", "tf", "doc_len")
         rescues = sorted(t for t in oracle.rescue_terms(plan) if t in terms)
         if not rescues:
             return post
@@ -476,8 +484,13 @@ class SearchEngine:
                         "doc_id IN (%s)" % ",".join(map(str, ids))
                     )
                 )
+            hay_hit = (
+                F.col("_t").contains(t)
+                if ex_fn  # -n: containment rescue checks TEXT only
+                else (F.col("_t").contains(t) | F.col("_u").contains(t))
+            )
             scans.append(
-                base.filter(F.col("_t").contains(t) | F.col("_u").contains(t))
+                base.filter(hay_hit)
                 .select(
                     F.lit(t).alias("term"),
                     "doc_id",
@@ -586,8 +599,14 @@ class SearchEngine:
         exact: bool = False,
         boost_coverage: bool = False,
         with_matches: bool = False,
+        exclude_filenames: bool = False,
     ) -> DataFrame:
         """Top-k results as a DataFrame (rank, doc_id, url, score).
+        exclude_filenames (reference -n, cli.rs:31-33 / issue #527): a term
+        only matches a doc when it appears in the TEXT -- url-token-only
+        credit is dropped from matching (tf for scoring keeps the full
+        index value, mirroring the reference whose ranking tokenization is
+        unconditionally filename-inclusive, file_processing.rs:1337).
         boost_coverage applies the R7 coverage boost (see oracle.py).
         with_matches adds the reference's rich-result columns
         (models.rs:34-88): matched_keywords (query keywords present in the
@@ -597,28 +616,79 @@ class SearchEngine:
         self.check_refresh()
         plan = elastic.create_query_plan(query, exact)
         self._boost_coverage = boost_coverage
-        fdocs = self._filtered_docs(plan)
+        self._exclude_fn = exclude_filenames
         extra = ("matched_keywords", "score_breakdown") if with_matches else ()
+        scored, cand, idfs, zero_score = self._match_frames(plan)
+
+        if zero_score:
+            # universal / stopword-only / only-excluded: score-0 docs in
+            # doc_id order
+            hits = scored.orderBy(F.asc("doc_id")).limit(k)
+            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
+
+        hits = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if with_matches:
+            hits = self._hydrate_matches(hits, cand, idfs)
+        return self._ranked(hits, extra)
+
+    def files_only(
+        self, query: str, exact: bool = False, exclude_filenames: bool = False
+    ) -> DataFrame:
+        """All matching docs as (doc_id, url) in doc_id order, NO ranking
+        -- the reference's --files-only mode skips AST/ranking and emits
+        unique files (search_runner.rs:699-735, cli.rs:24-26).  Unlimited
+        by design (the reference returns every candidate file); CLI-level
+        --max-results still applies downstream."""
+        self.check_refresh()
+        plan = elastic.create_query_plan(query, exact)
+        self._exclude_fn = exclude_filenames
+        try:
+            scored, _cand, _idfs, zero_score = self._match_frames(plan)
+        finally:
+            self._exclude_fn = False
+        out = scored.select("doc_id")
+        if zero_score:
+            out = scored.select("doc_id", "url")
+        else:
+            out = out.join(self._docs().select("doc_id", "url"), "doc_id", "left")
+        return out.select("doc_id", "url").orderBy(F.asc("doc_id"))
+
+    def _match_frames(
+        self, plan: QueryPlan
+    ) -> tuple[DataFrame, DataFrame | None, dict[str, float] | None, bool]:
+        """Shared match+score pipeline: returns (frame, cand, idfs,
+        zero_score).  zero_score=True frames are (doc_id, url, score=0)
+        doc sets (universal / stopword-only / only-excluded); otherwise
+        the frame is (doc_id, score) of ALL matching docs, unranked and
+        unlimited -- search() applies top-k, files_only() doesn't."""
+        fdocs = self._filtered_docs(plan)
 
         if plan.is_universal_query:
             docs = fdocs if fdocs is not None else self._docs()
-            hits = (
-                docs.select("doc_id", "url")
-                .withColumn("score", F.lit(0.0))
-                .orderBy(F.asc("doc_id"))
-                .limit(k)
+            return (
+                docs.select("doc_id", "url").withColumn("score", F.lit(0.0)),
+                None,
+                None,
+                True,
             )
-            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         if not plan.term_indices:
             # all keywords were stop words: no-match path (FIXTURES q18)
-            hits = (
+            return (
                 self._docs()
                 .select("doc_id", "url")
                 .withColumn("score", F.lit(0.0))
-                .limit(0)
+                .limit(0),
+                None,
+                None,
+                True,
             )
-            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         cand = self._candidate_rows(plan)
         if oracle.rescue_terms(plan) - self._excl_only_rescues(plan):
@@ -637,14 +707,14 @@ class SearchEngine:
             # everything NOT containing the excluded terms, score 0,
             # doc_id order (ranking.rs:239-245 + only-excluded fast path)
             docs = fdocs if fdocs is not None else self._docs()
-            hits = (
+            return (
                 docs.join(cand.select("doc_id").distinct(), "doc_id", "leftanti")
                 .select("doc_id", "url")
-                .withColumn("score", F.lit(0.0))
-                .orderBy(F.asc("doc_id"))
-                .limit(k)
+                .withColumn("score", F.lit(0.0)),
+                None,
+                None,
+                True,
             )
-            return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
         # global df BEFORE field filters narrow the candidate set -- stats
         # are corpus-wide (SURVEY.md SS7.0), filters only restrict results
@@ -658,17 +728,7 @@ class SearchEngine:
             scored = self._score_disjunctive(cand, plan, idfs)
         else:
             scored = self._score_general(cand, plan, idfs)
-
-        hits = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-        if with_matches:
-            hits = self._hydrate_matches(hits, cand, idfs)
-        return self._ranked(hits, extra)
+        return scored, cand, idfs, False
 
     def _ranked(self, hits: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         from pyspark.sql.window import Window
@@ -913,6 +973,7 @@ class SearchEngine:
         k: int = 10,
         exact: bool = False,
         timeout: float | None = None,
+        exclude_filenames: bool = False,
     ) -> list[tuple[int, float]]:
         """Collect top-k as [(doc_id, score)] -- the oracle-comparable shape.
         ``timeout`` (seconds) cancels the query's Spark job group at the
@@ -921,5 +982,7 @@ class SearchEngine:
         from probe_spark.watchdog import query_deadline
 
         with query_deadline(self.spark, timeout):
-            rows = self.search(query, k, exact).collect()
+            rows = self.search(
+                query, k, exact, exclude_filenames=exclude_filenames
+            ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]

@@ -847,25 +847,15 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (8 deterministic integer hyperplanes):
     bucket = 8 sign bits; the scale path for ANN (bucket-join instead of
     brute force)."""
+    from probe_spark.dedup import lsh_band_signatures
+
     emb = _emb(spark, sf_dir)
-    planes = spark.range(8).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
-    pw = planes.crossJoin(dims).withColumn(
-        "w", ((F.col("i") * 31 + F.col("p") * 17) % 7 - 3).cast("double")
-    )
-    ed = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i", "v"),
-    )
-    proj = (
-        ed.join(pw, "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("s"))
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
-        ).alias("bucket")
+    # ONE band of 8 sign bits == the 8-bit bucket: served by the same
+    # vectorized matmul as the ANN/pair paths (one numpy projection per
+    # Arrow batch, map-only) -- the 64-rows-per-vector posexplode +
+    # plane-table join survives only in the SQL oracle below
+    return lsh_band_signatures(emb, n_planes=8, r=8).select(
+        "vec_id", F.col("bv").alias("bucket")
     )
 
 

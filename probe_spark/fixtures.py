@@ -221,15 +221,24 @@ def pages_df(spark, n_docs: int):
     return ids.mapInPandas(gen, schema=schema)
 
 
-def oracle_corpus(n_docs: int):
+def oracle_corpus(n_docs: int, workers: int = 1):
     """The same corpus as an oracle CorpusIndex (doc_id = url sort rank,
-    FIXTURES.md SS1)."""
+    FIXTURES.md SS1).  ``workers > 1`` parallelizes both page generation
+    and oracle tokenization over a fork Pool (same kernels, more hosts) --
+    used by the large identity runs, where the single-threaded oracle
+    build, not the engine, was the bottleneck."""
     from probe_spark.oracle import CorpusIndex, Doc
 
-    pages = make_pages(n_docs)
+    if workers > 1 and n_docs >= 10_000:
+        from multiprocessing import get_context
+
+        with get_context("fork").Pool(workers) as pool:
+            pages = pool.map(make_page, range(n_docs), chunksize=2048)
+    else:
+        pages = make_pages(n_docs)
     by_url = sorted(pages, key=lambda p: p.url)
     docs = [
         Doc(doc_id=i, url=p.url, text=p.text, lang=p.lang)
         for i, p in enumerate(by_url)
     ]
-    return CorpusIndex.build(docs)
+    return CorpusIndex.build(docs, workers=workers)

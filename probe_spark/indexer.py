@@ -71,6 +71,10 @@ TOKENS_SCHEMA = StructType(
         StructField("doc_len", LongType()),
         StructField("term", StringType()),
         StructField("tf", IntegerType()),
+        # url-token share of tf (T11 append): lets -n/--exclude-filenames
+        # drop url-only matches at query time (engine._term_rows); mostly 0
+        # so it RLE-compresses to ~nothing
+        StructField("tf_url", IntegerType()),
         StructField("tri_bloom", BinaryType()),
     ]
 )
@@ -96,15 +100,19 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
     def fn(iterator):
         import pandas as pd
 
-        from probe_spark.textkit import preprocess_text_with_url
+        from probe_spark.textkit import tokenize
         from probe_spark.trigram import doc_bloom
 
         if tokenizer == "simple":
             def _toks(text, url):
-                return [t for t in (text or "").split(" ") if t]
+                # single-space split of text only: no url tokens
+                return [t for t in (text or "").split(" ") if t], []
         else:
             def _toks(text, url):
-                return preprocess_text_with_url(text or "", url or "")
+                # preprocess_text_with_url = tokenize(text) ++ tokenize(url)
+                # (T11); the parts are kept separate so tf_url can record
+                # the url-token share per term
+                return tokenize(text or ""), tokenize(url or "")
 
         for pdf in iterator:
             out = {
@@ -115,16 +123,21 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                 "doc_len": [],
                 "term": [],
                 "tf": [],
+                "tf_url": [],
                 "tri_bloom": [],
             }
             for doc_id, url, lang, text in zip(
                 pdf["doc_id"], pdf["url"], pdf["lang"], pdf["text"]
             ):
-                toks = _toks(text, url)
+                text_toks, url_toks = _toks(text, url)
                 counts: dict[str, int] = {}
-                for t in toks:
+                for t in text_toks:
                     counts[t] = counts.get(t, 0) + 1
-                dl = len(toks)
+                url_counts: dict[str, int] = {}
+                for t in url_toks:
+                    url_counts[t] = url_counts.get(t, 0) + 1
+                    counts[t] = counts.get(t, 0) + 1
+                dl = len(text_toks) + len(url_toks)
                 # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
                 out["doc_id"].append(doc_id)
                 out["url"].append(url if emit_doc_payload else None)
@@ -133,6 +146,7 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                 out["doc_len"].append(dl)
                 out["term"].append(None)
                 out["tf"].append(0)
+                out["tf_url"].append(0)
                 out["tri_bloom"].append(doc_bloom(text, url))
                 # posting rows
                 for t, c in counts.items():
@@ -143,6 +157,7 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                     out["doc_len"].append(dl)
                     out["term"].append(t)
                     out["tf"].append(c)
+                    out["tf_url"].append(url_counts.get(t, 0))
                     out["tri_bloom"].append(None)
             yield pd.DataFrame(out)
 
@@ -424,7 +439,7 @@ def build_index(
         obs_p = Observation()
         postings_b = (
             rows.filter(F.col("term").isNotNull())
-            .select("term", "doc_id", "tf", "doc_len")
+            .select("term", "doc_id", "tf", "tf_url", "doc_len")
             .observe(obs_p, F.count(F.lit(1)).alias("n"))
             # postings bytes track input text bytes (~1 posting row per
             # ~10 input bytes, heavily compressed); size the term-hash
@@ -573,7 +588,7 @@ def build_index(
         # data so no stage underfills the machine.
         (
             rows.filter(F.col("term").isNotNull())
-            .select("bucket", "term", "doc_id", "tf", "doc_len")
+            .select("bucket", "term", "doc_id", "tf", "tf_url", "doc_len")
             .repartition(
                 max(2, par, int(total_bytes // (256 << 20))),
                 "bucket",

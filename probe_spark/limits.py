@@ -102,12 +102,54 @@ def format_results(
     rows: list[dict], fmt: str = "text", terms: list[str] | None = None
 ) -> str:
     """S7 output formatters: text / json / markdown / xml / outline /
-    color (full web-engine mapping of the reference's set,
-    search_output.rs).  ``outline`` groups hits under their host -- the web
-    analog of the reference grouping matches under their file's structural
-    parents (search_output.rs:2658+).  ``color`` is the ANSI-highlighted
-    text variant (search_output.rs:234-281); pass ``terms`` to highlight
-    query-term occurrences inside urls."""
+    outline-xml / color / terminal (full web-engine mapping of the
+    reference's 8-format set, cli.rs:81, search_output.rs).  ``outline``
+    groups hits under their host -- the web analog of the reference
+    grouping matches under their file's structural parents
+    (search_output.rs:2658+); ``outline-xml`` is its XML rendering.
+    ``color`` is the ANSI-highlighted text variant
+    (search_output.rs:234-281); pass ``terms`` to highlight query-term
+    occurrences inside urls.  ``terminal`` is the decorated human format
+    (header box + per-hit lines, results_formatter.rs:10-29)."""
+    if fmt == "terminal":
+        bold, cyan, reset = "\x1b[1m", "\x1b[36m", "\x1b[0m"
+        bar = "─" * 49
+        lines = [
+            f"{cyan}╭{bar}╮{reset}",
+            f"{cyan}│{reset} {bold}Found {len(rows)} results{reset} {cyan}│{reset}",
+            f"{cyan}╰{bar}╯{reset}",
+            "",
+        ]
+        for r in rows:
+            lines.append(
+                f"{bold}{r.get('rank'):>4}{reset}  "
+                f"{r.get('score'):>12.6f}  {r.get('url')}"
+            )
+        return "\n".join(lines)
+    if fmt == "outline-xml":
+        from urllib.parse import urlparse
+        from xml.sax.saxutils import escape
+
+        groups: dict[str, list[dict]] = {}
+        for r in rows:
+            host = urlparse(str(r.get("url"))).netloc or "(no host)"
+            groups.setdefault(host, []).append(r)
+        lines = ["<outline>"]
+        for host in sorted(groups):
+            lines.append(f'  <host name="{escape(host)}">')
+            for r in groups[host]:
+                path = urlparse(str(r.get("url"))).path or "/"
+                lines.append(
+                    '    <result rank="{rank}" score="{score:.6f}">{p}'
+                    "</result>".format(
+                        rank=r.get("rank"),
+                        score=r.get("score"),
+                        p=escape(path),
+                    )
+                )
+            lines.append("  </host>")
+        lines.append("</outline>")
+        return "\n".join(lines)
     if fmt == "outline":
         from urllib.parse import urlparse
 

@@ -55,19 +55,60 @@ class CorpusIndex:
     n_docs: int
     avgdl: float
     df: dict[str, int]  # term -> number of docs containing it
+    # text-only token sets per doc: the -n/--exclude-filenames match view
+    # (url-token credit dropped from MATCHING; tf for scoring stays full,
+    # mirroring the reference whose ranking tokenization is unconditionally
+    # filename-inclusive -- see engine.SearchEngine.search docstring)
+    text_token_sets: list[frozenset[str]] = None  # type: ignore[assignment]
 
     @classmethod
-    def build(cls, docs: list[Doc]) -> "CorpusIndex":
+    def build(cls, docs: list[Doc], workers: int = 1) -> "CorpusIndex":
+        """``workers > 1`` tokenizes doc chunks in a fork Pool -- the SAME
+        shared textkit kernel, just more hosts of it (a numpy re-tokenizer
+        would risk oracle/engine divergence; process parallelism cannot).
+        Large identity runs (scripts/rank_identity_scale.py) pass
+        workers=cpu_count; tests keep the default in-process path."""
         docs = sorted(docs, key=lambda d: d.doc_id)
-        tokens = [textkit.preprocess_text_with_url(d.text, d.url) for d in docs]
-        doc_lens = [len(t) for t in tokens]
-        df: dict[str, int] = {}
-        for toks in tokens:
-            for t in set(toks):
-                df[t] = df.get(t, 0) + 1
         n = len(docs)
+        if workers > 1 and n >= 10_000:
+            from multiprocessing import get_context
+
+            step = (n + workers * 4 - 1) // (workers * 4)
+            chunks = [docs[i : i + step] for i in range(0, n, step)]
+            with get_context("fork").Pool(workers) as pool:
+                parts = pool.map(_build_chunk, chunks)
+        else:
+            parts = [_build_chunk(docs)]
+        tokens: list[list[str]] = []
+        text_sets: list[frozenset[str]] = []
+        df: dict[str, int] = {}
+        for toks_c, sets_c, df_c in parts:
+            tokens.extend(toks_c)
+            text_sets.extend(sets_c)
+            for t, c in df_c.items():
+                df[t] = df.get(t, 0) + c
+        doc_lens = [len(t) for t in tokens]
         avgdl = (sum(doc_lens) / n) if n else 0.0
-        return cls(docs, tokens, doc_lens, n, avgdl, df)
+        return cls(docs, tokens, doc_lens, n, avgdl, df, text_sets)
+
+
+def _build_chunk(
+    docs_chunk: list[Doc],
+) -> tuple[list[list[str]], list[frozenset[str]], dict[str, int]]:
+    """Tokenize one chunk of docs (module-level for Pool picklability):
+    per-doc full tokens (text ++ url, T11), text-only token sets (the -n
+    match view), and a partial df counter."""
+    tokens: list[list[str]] = []
+    text_sets: list[frozenset[str]] = []
+    df: dict[str, int] = {}
+    for d in docs_chunk:
+        tt = textkit.tokenize(d.text)
+        toks = tt + textkit.tokenize(d.url)
+        tokens.append(toks)
+        text_sets.append(frozenset(tt))
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    return tokens, text_sets, df
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -133,29 +174,43 @@ def rescue_terms(plan: QueryPlan) -> frozenset[str]:
 
 
 def doc_term_freqs(
-    index: CorpusIndex, i: int, plan: QueryPlan
+    index: CorpusIndex, i: int, plan: QueryPlan, exclude_filenames: bool = False
 ) -> dict[str, int]:
     """Per-doc term frequencies for the query's terms, incl. the exact-term
-    substring rescue (file_processing.rs:1350-1358, tf=1 when rescued)."""
+    substring rescue (file_processing.rs:1350-1358, tf=1 when rescued).
+    exclude_filenames (-n): a term only MATCHES when present in the text
+    tokens / text haystack; the tf VALUE stays the full (url-inclusive)
+    count, mirroring the reference (see CorpusIndex.text_token_sets)."""
     toks = index.tokens[i]
     tf: dict[str, int] = {}
     for term in plan.term_indices:
         c = toks.count(term)
-        if c > 0:
+        if c > 0 and (
+            not exclude_filenames or term in index.text_token_sets[i]
+        ):
             tf[term] = c
     rescues = rescue_terms(plan)
     if rescues:
         d = index.docs[i]
-        hay = d.text.lower() + "\n" + d.url.lower()
+        hay = (
+            d.text.lower()
+            if exclude_filenames
+            else d.text.lower() + "\n" + d.url.lower()
+        )
         for term in rescues:
             if term not in tf and term in hay:
                 tf[term] = 1
     return tf
 
 
-def global_df(index: CorpusIndex, plan: QueryPlan) -> dict[str, int]:
+def global_df(
+    index: CorpusIndex, plan: QueryPlan, exclude_filenames: bool = False
+) -> dict[str, int]:
     """Global document frequencies for query terms; rescue terms (exact /
-    excluded) use a corpus containment-or-token count."""
+    excluded) use a corpus containment-or-token count.  Regular-term df
+    stays the index-time dictionary value under -n (global stats are an
+    index-time design decision, SURVEY.md SS7.0); only the rescue count
+    follows the -n match view for consistency with matching."""
     rescues = rescue_terms(plan)
     out: dict[str, int] = {}
     for term in plan.term_indices:
@@ -163,9 +218,17 @@ def global_df(index: CorpusIndex, plan: QueryPlan) -> dict[str, int]:
         if term in rescues:
             cnt = 0
             for i, d in enumerate(index.docs):
-                if term in index.tokens[i]:
-                    cnt += 1
-                elif term in (d.text.lower() + "\n" + d.url.lower()):
+                tok_hit = (
+                    term in index.text_token_sets[i]
+                    if exclude_filenames
+                    else term in index.tokens[i]
+                )
+                hay = (
+                    d.text.lower()
+                    if exclude_filenames
+                    else d.text.lower() + "\n" + d.url.lower()
+                )
+                if tok_hit or term in hay:
                     cnt += 1
             out[term] = cnt
         else:
@@ -245,11 +308,13 @@ def search(
     params: BM25Params = DEFAULT_BM25,
     exact: bool = False,
     boost_coverage: bool = False,
+    exclude_filenames: bool = False,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score), rank order (score desc, doc_id asc).
     boost_coverage multiplies BM25 by the R7 coverage boost with the query
     term count as denominator (node-type boost is identically 1.0 for web
-    pages, SURVEY.md R7)."""
+    pages, SURVEY.md R7).  exclude_filenames drops url-token-only credit
+    from matching (-n, see doc_term_freqs)."""
     plan = elastic.create_query_plan(query, exact)
     candidates = apply_filters(index, plan)
 
@@ -257,12 +322,12 @@ def search(
         # filters-only query matches everything that passed filters, score 0
         return [(index.docs[i].doc_id, 0.0) for i in candidates[:k]]
 
-    dfs = global_df(index, plan)
+    dfs = global_df(index, plan, exclude_filenames)
     idfs = {t: idf(index.n_docs, dfs.get(t, 0)) for t in plan.term_indices}
 
     scored: list[tuple[int, float]] = []
     for i in candidates:
-        tf = doc_term_freqs(index, i, plan)
+        tf = doc_term_freqs(index, i, plan, exclude_filenames)
         matched = frozenset(
             plan.term_indices[t] for t in tf if t in plan.term_indices
         )
@@ -279,6 +344,41 @@ def search(
 
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]
+
+
+def search_files_only(
+    index: CorpusIndex,
+    query: str,
+    exact: bool = False,
+    exclude_filenames: bool = False,
+) -> list[int]:
+    """ALL matching doc_ids in doc_id order, no ranking -- the reference's
+    --files-only mode (search_runner.rs:699-735 emits every candidate file
+    with no scores).  The match test is the same boolean evaluation the
+    ranked path uses."""
+    plan = elastic.create_query_plan(query, exact)
+    candidates = apply_filters(index, plan)
+    if plan.is_universal_query:
+        return [index.docs[i].doc_id for i in candidates]
+    if not plan.term_indices:
+        return []
+    dfs = global_df(index, plan, exclude_filenames)
+    idfs = {t: idf(index.n_docs, dfs.get(t, 0)) for t in plan.term_indices}
+    out: list[int] = []
+    for i in candidates:
+        tf = doc_term_freqs(index, i, plan, exclude_filenames)
+        matched = frozenset(
+            plan.term_indices[t] for t in tf if t in plan.term_indices
+        )
+        if not elastic.evaluate(plan.ast, matched, plan.term_indices):
+            continue
+        s = score_expr(
+            plan.ast, tf, index.doc_lens[i], index.avgdl, idfs, DEFAULT_BM25
+        )
+        if s is None:
+            continue
+        out.append(index.docs[i].doc_id)
+    return sorted(out)
 
 
 def rank_documents(

@@ -284,7 +284,7 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     bucket = f"stream_{epoch_id}_{base}"
     (
         rows.filter(F.col("term").isNotNull())
-        .select("term", "doc_id", "tf", "doc_len")
+        .select("term", "doc_id", "tf", "tf_url", "doc_len")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(str(out / "postings" / f"bucket={bucket}"))

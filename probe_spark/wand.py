@@ -356,20 +356,23 @@ class WandEngine:
         exact: bool = False,
         with_matches: bool = False,
         boost_coverage: bool = False,
+        exclude_filenames: bool = False,
     ) -> DataFrame:
         """Top-k as a ranked DataFrame (rank, doc_id, url, score) -- same
         shape as SearchEngine.search, urls hydrated from the doc store.
         ``exact``/``boost_coverage`` are served in-segment (synthetic
-        rescue blocks / boosted bounds).  ``with_matches`` routes through
-        the flat engine (rank-identical by the differential suite) to
-        hydrate matched_keywords/score_breakdown."""
-        if with_matches:
+        rescue blocks / boosted bounds).  ``with_matches`` and
+        ``exclude_filenames`` route through the flat engine (rank-identical
+        by the differential suite): block tf has no url split, so the -n
+        match view needs the flat postings."""
+        if with_matches or exclude_filenames:
             return self._fallback.search(
                 query,
                 k,
                 exact=exact,
                 boost_coverage=boost_coverage,
-                with_matches=True,
+                with_matches=with_matches,
+                exclude_filenames=exclude_filenames,
             )
         pairs = self.search_local(query, k, exact=exact, boost_coverage=boost_coverage)
         from pyspark.sql import Row
@@ -395,16 +398,22 @@ class WandEngine:
         exact: bool = False,
         timeout: float | None = None,
         boost_coverage: bool = False,
+        exclude_filenames: bool = False,
     ) -> list[tuple[int, float]]:
         """``timeout`` (seconds) cancels the query's Spark job group at the
         deadline and raises QueryTimeoutError (probe_spark.watchdog; the
         deadline covers fallback paths too -- nested calls run inside the
         same job group).  ``boost_coverage`` applies the R7 coverage boost
         in-segment (upper bounds are scaled by the max boost factor so
-        pruning stays sound)."""
+        pruning stays sound).  ``exclude_filenames`` routes to the flat
+        engine (see search())."""
         from probe_spark.watchdog import query_deadline
 
         with query_deadline(self.spark, timeout):
+            if exclude_filenames:
+                return self._fallback.search_local(
+                    query, k, exact=exact, exclude_filenames=True
+                )
             return self._search_local_inner(query, k, exact, boost_coverage)
 
     def _search_local_inner(

@@ -36,6 +36,18 @@ QUERIES = {
 }
 
 
+_ORACLE_IX = None
+
+
+def _oracle_one(item):
+    """(qid, query) -> (qid, oracle top-10); module-level for the fork
+    pool, reads the index from the inherited global."""
+    from probe_spark.oracle import search as oracle_search
+
+    qid, q = item
+    return qid, oracle_search(_ORACLE_IX, q, k=10)
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -67,9 +79,27 @@ def main() -> None:
         compact_index(spark, ix)
         out["compact_sec"] = round(time.time() - t0, 1)
 
+        import os
+
+        workers = os.cpu_count() or 1
         t0 = time.time()
-        oracle_ix = oracle_corpus(n_docs)
+        oracle_ix = oracle_corpus(n_docs, workers=workers)
         out["oracle_build_sec"] = round(time.time() - t0, 1)
+
+        # oracle query evaluation in a fork pool (each query scans every
+        # doc in pure Python; queries are independent, the index is shared
+        # copy-on-write) -- at 1M+ docs this and the corpus build, not the
+        # Spark engine, dominate the run
+        t0 = time.time()
+        global _ORACLE_IX
+        _ORACLE_IX = oracle_ix
+        from multiprocessing import get_context
+
+        with get_context("fork").Pool(min(workers, len(QUERIES))) as pool:
+            expected_all = dict(
+                pool.map(_oracle_one, sorted(QUERIES.items()))
+            )
+        out["oracle_queries_sec"] = round(time.time() - t0, 1)
 
         flat = SearchEngine(spark, ix)
         wand = WandEngine(spark, ix)
@@ -78,7 +108,7 @@ def main() -> None:
         t0 = time.time()
         for qid in sorted(QUERIES):
             q = QUERIES[qid]
-            expected = oracle_search(oracle_ix, q, k=10)
+            expected = expected_all[qid]
             for label, eng in (("engine", flat), ("wand", wand)):
                 got = eng.search_local(q, k=10)
                 ok = [d for d, _ in got] == [d for d, _ in expected] and all(

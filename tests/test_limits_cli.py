@@ -226,3 +226,20 @@ def test_cli_build_search_grep(spark, tmp_path, capsys):
     assert main(["validate", "--query", "@ ! ^"]) == 1
     bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert bad["ok"] is False and bad["error"]
+
+
+def test_terminal_and_outline_xml_formats():
+    """The last two of the reference's 8 formats (cli.rs:81): terminal =
+    decorated human output (results_formatter.rs:10-29 header box),
+    outline-xml = host-grouped XML."""
+    rs = rows(3)
+    term = format_results(rs, "terminal")
+    assert "Found 3 results" in term and "\x1b[1m" in term
+    assert len(term.splitlines()) == 4 + 3  # header box + blank + 3 hits
+
+    ox = format_results(rs, "outline-xml")
+    assert ox.startswith("<outline>") and ox.endswith("</outline>")
+    assert ox.count("<host ") >= 1 and ox.count("<result ") == 3
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(ox)  # well-formed
