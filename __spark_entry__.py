@@ -41,7 +41,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     from probe_spark.indexer import build_index
 
     _ensure_shipped(spark)
-    key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    # :v2 = int-code tri lane + tf_url layout
+    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
     if (ix / "stats").exists() and not (
         (ix / "doc_lens").exists() and (ix / "tri_postings").exists()
@@ -75,7 +76,8 @@ def _documents_simple_index(spark: SparkSession, sf_dir: str) -> str:
     from probe_spark.indexer import build_index
 
     _ensure_shipped(spark)
-    key = hashlib.md5(f"{sf_dir}:simple".encode()).hexdigest()[:12]
+    # :v2 = int-code tri lane + tf_url layout
+    key = hashlib.md5(f"{sf_dir}:simple:v2".encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
     if (ix / "stats").exists() and not (ix / "tri_postings").exists():
         # stale cache from the pre-tri-lane layout: rebuild so the exact

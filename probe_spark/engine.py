@@ -219,9 +219,20 @@ class SearchEngine:
             post_buckets = {d.name for d in post_root.glob("bucket=*")}
             tri_buckets = {d.name for d in tri_root.glob("bucket=*")}
             if post_buckets and post_buckets <= tri_buckets:
-                self._tri_post_df = spark.read.parquet(str(tri_root))
-                self._tri_terms_df = spark.read.parquet(str(p / "tri_terms"))
-                self._tri_terms_path = p / "tri_terms"
+                tri_df = spark.read.parquet(str(tri_root))
+                # layout guard: the lane stores 24-bit byte-trigram CODES
+                # (int); an index from the short-lived string-trigram layout
+                # would silently refute every needle -- disable instead
+                from pyspark.sql.types import IntegerType, LongType
+
+                if isinstance(
+                    tri_df.schema["tri"].dataType, (IntegerType, LongType)
+                ):
+                    self._tri_post_df = tri_df
+                    self._tri_terms_df = spark.read.parquet(
+                        str(p / "tri_terms")
+                    )
+                    self._tri_terms_path = p / "tri_terms"
         # guard the whole-dictionary preload by VOCABULARY size, not doc
         # count (web vocab at 1M docs can be tens of millions of terms);
         # row counts come from parquet footers -- driver-side, no job
@@ -353,7 +364,7 @@ class SearchEngine:
     # same heuristic)
     _TRI_INTERSECT = 3
 
-    def _tri_dfs(self, tris: list[str]) -> dict[str, int]:
+    def _tri_dfs(self, tris: list[int]) -> dict[int, int]:
         """Per-trigram df from the tri dictionary: lazy whole-dictionary
         driver preload when small (first rescue query pays one tiny job),
         pruned parquet lookups memoized per trigram otherwise."""
@@ -361,7 +372,10 @@ class SearchEngine:
             if self._vocab_rows(self._tri_terms_path) <= 2_000_000:
                 pdf = self._tri_terms_df.select("tri", "df").toPandas()
                 self._tri_df_cache = dict(
-                    zip(pdf["tri"], (int(x) for x in pdf["df"]))
+                    zip(
+                        (int(x) for x in pdf["tri"]),
+                        (int(x) for x in pdf["df"]),
+                    )
                 )
                 self._full_tri_dict = True
         out = {t: self._tri_df_cache[t] for t in tris if t in self._tri_df_cache}
@@ -391,11 +405,15 @@ class SearchEngine:
         (no doc can contain the needle), or None when the lane is absent
         or the needle is shorter than one trigram.  Cost is O(sum of the
         selected trigram dfs) -- never O(corpus)."""
-        if self._tri_post_df is None or len(needle) < 3:
+        from probe_spark.trigram import needle_tri_codes
+
+        if self._tri_post_df is None:
+            return None
+        tris = needle_tri_codes(needle)
+        if not tris:  # needle shorter than one trigram
             return None
         if needle in self._tri_cand_cache:
             return self._tri_cand_cache[needle]
-        tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
         dfs = self._tri_dfs(tris)
         if any(dfs[t] == 0 for t in tris):
             out: list[int] | DataFrame = []

@@ -60,7 +60,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import ArrayType, BinaryType
 
 TOKENS_SCHEMA = StructType(
     [
@@ -76,6 +76,10 @@ TOKENS_SCHEMA = StructType(
         # so it RLE-compresses to ~nothing
         StructField("tf_url", IntegerType()),
         StructField("tri_bloom", BinaryType()),
+        # distinct 24-bit byte-trigram codes of the containment haystack
+        # (trigram.doc_bloom_and_codes) -- exploded into the tri_postings
+        # substring-index lane by phase B; doc rows only, null on postings
+        StructField("tris", ArrayType(IntegerType())),
     ]
 )
 
@@ -101,7 +105,7 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
         import pandas as pd
 
         from probe_spark.textkit import tokenize
-        from probe_spark.trigram import doc_bloom
+        from probe_spark.trigram import doc_bloom_and_codes
 
         if tokenizer == "simple":
             def _toks(text, url):
@@ -125,6 +129,7 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                 "tf": [],
                 "tf_url": [],
                 "tri_bloom": [],
+                "tris": [],
             }
             for doc_id, url, lang, text in zip(
                 pdf["doc_id"], pdf["url"], pdf["lang"], pdf["text"]
@@ -138,7 +143,9 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                     url_counts[t] = url_counts.get(t, 0) + 1
                     counts[t] = counts.get(t, 0) + 1
                 dl = len(text_toks) + len(url_toks)
-                # doc-store row (tri_bloom = exact-term prefilter, trigram.py)
+                # doc-store row: tri_bloom (exact-term prefilter) + tris
+                # (trigram postings lane), one haystack pass for both
+                bloom, codes = doc_bloom_and_codes(text, url)
                 out["doc_id"].append(doc_id)
                 out["url"].append(url if emit_doc_payload else None)
                 out["lang"].append(lang if emit_doc_payload else None)
@@ -147,7 +154,8 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                 out["term"].append(None)
                 out["tf"].append(0)
                 out["tf_url"].append(0)
-                out["tri_bloom"].append(doc_bloom(text, url))
+                out["tri_bloom"].append(bloom)
+                out["tris"].append(codes)
                 # posting rows
                 for t, c in counts.items():
                     out["doc_id"].append(doc_id)
@@ -159,6 +167,7 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                     out["tf"].append(c)
                     out["tf_url"].append(url_counts.get(t, 0))
                     out["tri_bloom"].append(None)
+                    out["tris"].append(None)
             yield pd.DataFrame(out)
 
     return fn
@@ -169,9 +178,9 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
 _tokenize_partition = _make_tokenize_partition("probe")
 
 
-def tri_rows(pages: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, tri) -- the DISTINCT character trigrams of each doc's
-    lowercased ``text + "\\n" + url`` haystack (exactly the string the
+def tri_rows(token_rows: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, tri) -- each doc's DISTINCT 24-bit byte-trigram codes of
+    the lowercased ``text + "\\n" + url`` haystack (the exact string the
     containment rescue tests, oracle.doc_term_freqs / the reference's
     ``full_code_lower.contains(term)`` at file_processing.rs:1353-1358).
 
@@ -180,17 +189,17 @@ def tri_rows(pages: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     haystack holds ALL of the needle's trigrams, so query time intersects
     the rarest few trigram posting lists and verifies containment on that
     candidate set only -- O(trigram df) per query instead of the O(corpus)
-    bloom-column scan.  Pure JVM expressions (whole-stage codegen): no
-    Python in the build hot path."""
-    s = F.lower(F.concat_ws("\n", F.col("text"), F.col("url")))
-    n = F.length(s) - F.lit(2)
-    tris = F.when(
-        n >= 1,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, 3))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return pages.select("doc_id", F.explode(tris).alias("tri"), *keep)
+    bloom-column scan.
+
+    Input is the TOKENIZE OUTPUT (doc rows carry the ``tris`` array,
+    computed by the same numpy haystack pass as the bloom,
+    trigram.doc_bloom_and_codes); this is a pure explode -- no extra read
+    of the text and no per-position substring calls (a JVM
+    transform+substring formulation was measured at ~7x the whole build's
+    cost: substring(s, i, 3) re-seeks the UTF-8 string per position)."""
+    return token_rows.filter(F.col("term").isNull()).select(
+        "doc_id", F.explode("tris").alias("tri"), *keep
+    )
 
 
 def _assign_doc_ids(
@@ -464,7 +473,7 @@ def build_index(
         # trigram substring-index lane for this bucket (rescue serving);
         # sorted by tri for row-group pruning at query time
         (
-            tri_rows(bucket_pages)
+            tri_rows(rows)
             .repartition(max(2, par // 2), "tri")
             .sortWithinPartitions("tri", "doc_id")
             .write.mode("overwrite")
@@ -629,19 +638,11 @@ def build_index(
             )
 
         def _write_tri() -> None:
-            # trigram substring-index lane (rescue serving, see tri_rows).
-            # Reads the doc store again -- the tokenize cache deliberately
-            # carries no text (emit_doc_payload=False), and this job is
-            # pure JVM codegen over a columnar read, so re-reading text is
-            # cheaper than echoing it through Arrow.  basePath keeps the
-            # bucket partition column for dynamic-partition overwrite.
-            src = (
-                spark.read.option("basePath", str(pages_indexed_dir))
-                .parquet(*srcs)
-                .select("doc_id", "url", "text", "bucket")
-            )
+            # trigram substring-index lane (rescue serving, see tri_rows):
+            # pure explode of the cached tokenize output's tris arrays --
+            # no extra text read, no Python
             (
-                tri_rows(src, keep=("bucket",))
+                tri_rows(rows, keep=("bucket",))
                 .repartition(
                     max(2, par, int(total_bytes // (128 << 20))),
                     "bucket",

@@ -299,11 +299,11 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .parquet(str(out / "doc_lens" / f"bucket={bucket}"))
     )
     sum_dl = int(obs.get["sum_dl"])
-    # trigram substring-index lane for the delta (rescue serving; same
-    # JVM-side extraction as the batch build, see indexer.tri_rows)
+    # trigram substring-index lane for the delta (rescue serving): explode
+    # of the cached tokenize output's tris arrays (indexer.tri_rows)
     tri_delta = out / "tri_postings" / f"bucket={bucket}"
     (
-        tri_rows(pages)
+        tri_rows(rows)
         .sortWithinPartitions("tri", "doc_id")
         .write.mode("overwrite")
         .parquet(str(tri_delta))

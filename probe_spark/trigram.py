@@ -72,6 +72,31 @@ def doc_bloom(text: str, url: str) -> bytes:
     return bloom_build(hay.encode("utf-8"))
 
 
+def doc_bloom_and_codes(text: str, url: str) -> tuple[bytes, np.ndarray]:
+    """(bloom bytes, distinct 24-bit trigram codes as int32) for one doc's
+    haystack -- one pass feeds BOTH the bloom column and the trigram
+    postings lane (indexer phase B).  Codes are byte trigrams of the UTF-8
+    haystack: a needle substring's byte windows are a subset of the hay's
+    byte windows, so posting-list intersection on codes is a superset
+    filter exactly like the bloom, with zero hash collisions (the code IS
+    the 3 bytes)."""
+    hay = (text or "").lower() + "\n" + (url or "").lower()
+    codes = _tri_codes(hay.encode("utf-8"))
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    if len(codes):
+        for idx in _bit_positions(codes):
+            bits[idx.astype(np.int64)] = True
+    bloom = np.packbits(bits, bitorder="little").tobytes()
+    return bloom, codes.astype(np.int32)
+
+
+def needle_tri_codes(needle: str) -> list[int]:
+    """Distinct 24-bit byte-trigram codes of a rescue needle (lowercased,
+    UTF-8) -- the query side of the trigram postings lane; MUST mirror
+    doc_bloom_and_codes' haystack encoding."""
+    return [int(c) for c in _tri_codes(needle.lower().encode("utf-8"))]
+
+
 def bloom_batch_might_contain(
     blooms, needle: str
 ) -> np.ndarray:

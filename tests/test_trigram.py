@@ -123,25 +123,44 @@ def test_bloom_candidate_ids_refutes_absent_term(spark, tiny_index):
 # ---------------------------------------------------------------------------
 
 
-def _py_tris(text, url):
-    hay = (text or "").lower() + "\n" + (url or "").lower()
-    return {hay[i : i + 3] for i in range(max(0, len(hay) - 2))}
+def _py_tri_codes(text, url):
+    hay = ((text or "").lower() + "\n" + (url or "").lower()).encode("utf-8")
+    return {
+        int.from_bytes(hay[i : i + 3], "big")
+        for i in range(max(0, len(hay) - 2))
+    }
 
 
-def test_tri_rows_matches_python_reference(spark):
-    from probe_spark.indexer import tri_rows
+def test_tokenize_emits_haystack_tri_codes():
+    """The doc rows of the tokenize pass carry the distinct 24-bit
+    byte-trigram codes of the containment haystack (the tri_postings lane
+    source) -- checked against an independent big-endian reference,
+    incl. multi-byte UTF-8 and sub-trigram texts."""
+    import pandas as pd
+
+    from probe_spark.indexer import _make_tokenize_partition
 
     rows = [
         (0, "https://A.example/x", "Hello Wörld"),
         (1, "https://b.example/y", ""),
         (2, "https://c.example/z", "ab"),  # text shorter than a trigram
     ]
-    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
-    got = {}
-    for r in tri_rows(df).collect():
-        got.setdefault(r["doc_id"], set()).add(r["tri"])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "url": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "text": [r[2] for r in rows],
+        }
+    )
+    out = pd.concat(list(_make_tokenize_partition("probe")(iter([pdf]))))
+    docs = out[out["term"].isnull()]
+    got = {
+        int(r["doc_id"]): {int(c) for c in r["tris"]}
+        for _, r in docs.iterrows()
+    }
     for doc_id, url, text in rows:
-        assert got.get(doc_id, set()) == _py_tris(text, url), doc_id
+        assert got[doc_id] == _py_tri_codes(text, url), doc_id
 
 
 def test_tri_lane_enabled_and_candidates_superset(spark, tiny_index):
