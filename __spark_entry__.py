@@ -41,8 +41,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> str:
     from probe_spark.indexer import build_index
 
     _ensure_shipped(spark)
-    # :v2 = int-code tri lane + tf_url layout
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
+    # :v3 = bloom-free doc_lens (tri lane serves rescue)
+    key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
     if (ix / "stats").exists() and not (
         (ix / "doc_lens").exists() and (ix / "tri_postings").exists()
@@ -76,8 +76,8 @@ def _documents_simple_index(spark: SparkSession, sf_dir: str) -> str:
     from probe_spark.indexer import build_index
 
     _ensure_shipped(spark)
-    # :v2 = int-code tri lane + tf_url layout
-    key = hashlib.md5(f"{sf_dir}:simple:v2".encode()).hexdigest()[:12]
+    # :v3 = bloom-free doc_lens (tri lane serves rescue)
+    key = hashlib.md5(f"{sf_dir}:simple:v3".encode()).hexdigest()[:12]
     ix = _CACHE_ROOT / key
     if (ix / "stats").exists() and not (ix / "tri_postings").exists():
         # stale cache from the pre-tri-lane layout: rebuild so the exact

@@ -364,6 +364,22 @@ class SearchEngine:
     # same heuristic)
     _TRI_INTERSECT = 3
 
+    # serve a needle from the trigram lane only when its rarest trigram's
+    # df is under this fraction of the corpus (with a small-corpus floor):
+    # a dense candidate set is spread across every parquet row group, so
+    # the IN/semi-join pushdown prunes nothing and each verify action pays
+    # a near-full doc-store scan PLUS the candidate machinery (measured 2x
+    # a plain contains() scan at sf0.1 for a 45%-df needle).  Rare needles
+    # -- the dominant case for real quoted/excluded terms at web scale --
+    # stay index-served at O(df).  The df check is driver-side and free
+    # (tri dictionary is preloaded/memoized).
+    _TRI_DIRECT_FRAC = 0.05
+    _TRI_DIRECT_FLOOR = 1_000
+    # sentinel: lane PRESENT but declined for this needle (too common) --
+    # tells _rescue_candidates to skip the bloom (same density pathology)
+    # and verify with the plain scan
+    _TRI_DECLINED = object()
+
     def _tri_dfs(self, tris: list[int]) -> dict[int, int]:
         """Per-trigram df from the tri dictionary: lazy whole-dictionary
         driver preload when small (first rescue query pays one tiny job),
@@ -402,9 +418,11 @@ class SearchEngine:
         possible, so callers still verify contains()).  Returns a list of
         ids (IN-pushdown into the doc-store read), a lazy DataFrame when
         the candidate set exceeds the IN cap, [] when some trigram has df 0
-        (no doc can contain the needle), or None when the lane is absent
-        or the needle is shorter than one trigram.  Cost is O(sum of the
-        selected trigram dfs) -- never O(corpus)."""
+        (no doc can contain the needle), or None when the lane is absent,
+        the needle is shorter than one trigram, or the needle is too
+        COMMON for the prefilter to pay (_TRI_DIRECT_FRAC -- the caller
+        falls back to the plain verify scan it would mostly run anyway).
+        Cost is O(sum of the selected trigram dfs) -- never O(corpus)."""
         from probe_spark.trigram import needle_tri_codes
 
         if self._tri_post_df is None:
@@ -416,7 +434,12 @@ class SearchEngine:
             return self._tri_cand_cache[needle]
         dfs = self._tri_dfs(tris)
         if any(dfs[t] == 0 for t in tris):
-            out: list[int] | DataFrame = []
+            out: list[int] | DataFrame | None = []
+        elif min(dfs.values()) > max(
+            self._TRI_DIRECT_FRAC * self.n_docs, self._TRI_DIRECT_FLOOR
+        ):
+            # unselective needle: candidates would blanket every row group
+            out = self._TRI_DECLINED
         else:
             sel = sorted(tris, key=lambda t: dfs[t])[: self._TRI_INTERSECT]
             post = self._tri_post_df.filter(F.col("tri").isin(sel))
@@ -449,8 +472,13 @@ class SearchEngine:
     def _rescue_candidates(self, needle: str):
         """Best available containment prefilter for a rescue needle:
         trigram postings lane first (index-served, O(df)), trigram bloom
-        second (columnar O(corpus) superset), else None (full scan)."""
+        second (columnar O(corpus) superset), else None (full scan).  A
+        lane DECLINE (needle too common to prune) also skips the bloom:
+        its candidate set would be just as dense, so the bloom scan would
+        only add an O(corpus) pass before the inevitable verify scan."""
         ids = self._tri_candidate_ids(needle)
+        if ids is self._TRI_DECLINED:
+            return None
         if ids is not None:
             return ids
         return self._bloom_candidate_ids(needle)

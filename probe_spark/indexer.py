@@ -84,7 +84,11 @@ TOKENS_SCHEMA = StructType(
 )
 
 
-def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = True):
+def _make_tokenize_partition(
+    tokenizer: str = "probe",
+    emit_doc_payload: bool = True,
+    emit_bloom: bool = False,
+):
     """Factory for the tokenize mapInPandas fn.  ``tokenizer``:
 
       * "probe"  -- the full shared textkit pipeline (text ++ url tokens),
@@ -99,13 +103,18 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
     the batch build wrote the doc store in phase A, so echoing the text
     through Arrow and into the phase-B cache would only burn bandwidth
     (the streaming path keeps the payload -- it writes pages_indexed from
-    this same pass)."""
+    this same pass).
+
+    ``emit_bloom=False`` (default) skips the legacy 1 KiB/doc trigram
+    bloom: the tri_postings lane built from ``tris`` fully supersedes it
+    for fresh layouts, and at web scale the bloom column alone is ~1 KiB
+    x corpus of write volume that no query would read."""
 
     def fn(iterator):
         import pandas as pd
 
         from probe_spark.textkit import tokenize
-        from probe_spark.trigram import doc_bloom_and_codes
+        from probe_spark.trigram import doc_bloom_and_codes, doc_tri_codes
 
         if tokenizer == "simple":
             def _toks(text, url):
@@ -143,9 +152,12 @@ def _make_tokenize_partition(tokenizer: str = "probe", emit_doc_payload: bool = 
                     url_counts[t] = url_counts.get(t, 0) + 1
                     counts[t] = counts.get(t, 0) + 1
                 dl = len(text_toks) + len(url_toks)
-                # doc-store row: tri_bloom (exact-term prefilter) + tris
-                # (trigram postings lane), one haystack pass for both
-                bloom, codes = doc_bloom_and_codes(text, url)
+                # doc-store row: tris (trigram postings lane), plus the
+                # legacy bloom when requested -- one haystack pass either way
+                if emit_bloom:
+                    bloom, codes = doc_bloom_and_codes(text, url)
+                else:
+                    bloom, codes = None, doc_tri_codes(text, url)
                 out["doc_id"].append(doc_id)
                 out["url"].append(url if emit_doc_payload else None)
                 out["lang"].append(lang if emit_doc_payload else None)
@@ -327,13 +339,16 @@ def build_index(
     validate_extraction: bool = False,
     fail_buckets: frozenset[int] = frozenset(),
     tokenizer: str = "probe",
+    emit_bloom: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index from a pages DataFrame.
 
     ``fail_buckets`` injects a failure after the named buckets complete --
     used by the kill-resume test only.  ``tokenizer`` selects the tokenize
     UDF (see _make_tokenize_partition); it is recorded in the manifest and
-    honored on resume.
+    honored on resume.  ``emit_bloom`` additionally writes the legacy
+    per-doc trigram bloom column into doc_lens (the tri_postings lane
+    supersedes it; see _make_tokenize_partition).
 
     Returns build metrics (also persisted in the lineage table).
     """
@@ -346,6 +361,7 @@ def build_index(
         manifest = json.loads(manifest_path.read_text())
         n_buckets = manifest["n_buckets"]
         tokenizer = manifest.get("tokenizer", "probe")
+        emit_bloom = manifest.get("emit_bloom", emit_bloom)
     else:
         # fresh build: drop checkpoints AND derived tables of any previous
         # build in this dir -- per-bucket writes overwrite only their own
@@ -380,6 +396,7 @@ def build_index(
             "n_buckets": n_buckets,
             "buckets": bucket_meta,
             "tokenizer": tokenizer,
+            "emit_bloom": emit_bloom,
             "created_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         # NOTE: overlapping this write with phase B (persisting `indexed`
@@ -432,7 +449,8 @@ def build_index(
             .repartition(n_tasks)
         )
         rows = bucket_pages.mapInPandas(
-            _make_tokenize_partition(tokenizer), TOKENS_SCHEMA
+            _make_tokenize_partition(tokenizer, emit_bloom=emit_bloom),
+            TOKENS_SCHEMA,
         )
         rows.persist()
         lens_dir = out / "doc_lens" / f"bucket={b}"
@@ -462,7 +480,10 @@ def build_index(
         obs_d = Observation()
         lens_b = (
             rows.filter(F.col("term").isNull())
-            .select("doc_id", "doc_len", "tri_bloom")
+            .select(
+                "doc_id", "doc_len",
+                *(["tri_bloom"] if emit_bloom else []),
+            )
             .observe(
                 obs_d,
                 F.count(F.lit(1)).alias("n"),
@@ -579,7 +600,9 @@ def build_index(
             .select("doc_id", "url", "lang", "text")
             .repartition(n_tasks)
             .mapInPandas(
-                _make_tokenize_partition(tokenizer, emit_doc_payload=False),
+                _make_tokenize_partition(
+                    tokenizer, emit_doc_payload=False, emit_bloom=emit_bloom
+                ),
                 TOKENS_SCHEMA,
             )
             .drop("url", "lang", "text")
@@ -618,7 +641,10 @@ def build_index(
         def _write_lens() -> None:
             (
                 rows.filter(F.col("term").isNull())
-                .select("bucket", "doc_id", "doc_len", "tri_bloom")
+                .select(
+                    "bucket", "doc_id", "doc_len",
+                    *(["tri_bloom"] if emit_bloom else []),
+                )
                 .repartition(max(2, par // 2), "bucket", "doc_id")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

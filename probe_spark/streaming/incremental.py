@@ -291,8 +291,9 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     )
     obs = Observation()
     (
+        # bloom-free layout: the tri_postings delta below serves rescue
         rows.filter(F.col("term").isNull())
-        .select("doc_id", "doc_len", "tri_bloom")
+        .select("doc_id", "doc_len")
         .observe(obs, F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
         .coalesce(1)
         .write.mode("overwrite")

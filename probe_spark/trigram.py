@@ -90,6 +90,15 @@ def doc_bloom_and_codes(text: str, url: str) -> tuple[bytes, np.ndarray]:
     return bloom, codes.astype(np.int32)
 
 
+def doc_tri_codes(text: str, url: str) -> np.ndarray:
+    """Distinct 24-bit trigram codes (int32) of one doc's containment
+    haystack -- the bloom-free build path (the trigram postings lane fully
+    supersedes the per-doc bloom column; at 10^10 docs the 1 KiB/doc bloom
+    alone is ~10 TB of build writes that no fresh-layout query reads)."""
+    hay = (text or "").lower() + "\n" + (url or "").lower()
+    return _tri_codes(hay.encode("utf-8")).astype(np.int32)
+
+
 def needle_tri_codes(needle: str) -> list[int]:
     """Distinct 24-bit byte-trigram codes of a rescue needle (lowercased,
     UTF-8) -- the query side of the trigram postings lane; MUST mirror
@@ -103,10 +112,15 @@ def bloom_batch_might_contain(
     """Vectorized membership test: for each bloom in the iterable (bytes,
     one per doc), True iff every trigram of ``needle`` is present.  Needles
     shorter than 3 bytes have no trigrams => all-True (caller falls back to
-    a full verify scan)."""
+    a full verify scan).  A null/absent bloom (doc from a bloom-free build
+    folded into a legacy layout) cannot refute: treated as all-ones."""
     codes = _tri_codes(needle.lower().encode("utf-8"))
+    ones = np.full(BLOOM_BYTES, 0xFF, dtype=np.uint8)
     mat = np.stack(
-        [np.frombuffer(b, dtype=np.uint8) for b in blooms]
+        [
+            np.frombuffer(b, dtype=np.uint8) if b is not None else ones
+            for b in blooms
+        ]
     )  # (n_docs, BLOOM_BYTES)
     if len(codes) == 0:
         return np.ones(mat.shape[0], dtype=bool)

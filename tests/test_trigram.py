@@ -220,3 +220,28 @@ def test_tri_lane_coverage_guard(spark, tiny_index, tmp_path):
     assert [
         (r["doc_id"], r["score"]) for r in eng.search(q, k=5).collect()
     ] == [(r["doc_id"], r["score"]) for r in full.search(q, k=5).collect()]
+
+
+def test_tri_lane_declines_unselective_needles(spark, tiny_index):
+    """A needle whose rarest trigram blankets the corpus (df above the
+    selectivity cutoff) must NOT be served from the lane -- the candidate
+    set would defeat row-group pruning, so the engine verifies with the
+    plain scan instead.  Results stay identical either way."""
+    from probe_spark.engine import SearchEngine
+
+    ix, _ = tiny_index
+    eng = SearchEngine(spark, ix)
+    assert eng._tri_post_df is not None
+    # force the cutoff below this corpus so a common needle trips it
+    eng._TRI_DIRECT_FLOOR = 0
+    eng._TRI_DIRECT_FRAC = 0.0001
+    needle = "firewall whitel"  # present in many tiny-index docs
+    assert eng._tri_candidate_ids(needle) is eng._TRI_DECLINED
+    # decline skips bloom too: the rescue prefilter reports "no prefilter"
+    assert eng._rescue_candidates(needle) is None
+    # and the full query still matches the lane-served engine exactly
+    served = SearchEngine(spark, ix)
+    q = '"firewall whitel"'
+    assert [
+        (r["doc_id"], r["score"]) for r in eng.search(q, k=5).collect()
+    ] == [(r["doc_id"], r["score"]) for r in served.search(q, k=5).collect()]
