@@ -203,17 +203,34 @@ def _scaling_trial(cores: int, tmp: str, out_dir: str) -> tuple[float, float]:
 
 def _scaling_min_of_interleaved(
     cpus: int, tmp: str
-) -> tuple[float, float, float, float]:
+) -> tuple[float, float, float, float, list]:
     """Min-of-2 INTERLEAVED trials per level, mirrored order (lo hi hi lo)
     so a drifting host window hits both levels symmetrically -- this shared
     box swings 2-4x between minutes and min-of-N over interleaved runs is
-    the only stable statistic.  Returns (t_lo, t_hi, kt_lo, kt_hi)."""
+    the only stable statistic.  Each trial is bracketed by a steal probe so
+    a PER-TRIAL degraded minute is visible in the artifact (the r4 bench
+    saw the two hi-core kernel runs land in a bad patch while the builds
+    did not -- whole-block probes could not show that).  Returns
+    (t_lo, t_hi, kt_lo, kt_hi, trials) where trials is the per-trial log
+    [{cores, build_sec, kernel_sec, probe_ms_before, probe_ms_after}]."""
     best = {8: [float("inf"), float("inf")], cpus: [float("inf"), float("inf")]}
+    trials = []
     for i, cores in enumerate((8, cpus, cpus, 8)):
+        p0 = _steal_probe_ms()
         b, k = _scaling_trial(cores, tmp, f"{tmp}/scale_{cores}_{i}")
+        p1 = _steal_probe_ms()
+        trials.append(
+            {
+                "cores": cores,
+                "build_sec": round(b, 2),
+                "kernel_sec": round(k, 2),
+                "probe_ms_before": round(p0, 1),
+                "probe_ms_after": round(p1, 1),
+            }
+        )
         best[cores][0] = min(best[cores][0], b)
         best[cores][1] = min(best[cores][1], k)
-    return best[8][0], best[cpus][0], best[8][1], best[cpus][1]
+    return best[8][0], best[cpus][0], best[8][1], best[cpus][1], trials
 
 
 def main() -> None:
@@ -244,7 +261,9 @@ def main() -> None:
     if os.environ.get("PROBE_BENCH_SCALING", "1") != "0" and cpus > 8:
         ceil0 = _cpu_ceiling(8, cpus)
         io_ceil = _io_ceiling(8, cpus, tmp)
-        t_lo, t_hi, kt_lo, kt_hi = _scaling_min_of_interleaved(cpus, tmp)
+        t_lo, t_hi, kt_lo, kt_hi, trials = _scaling_min_of_interleaved(
+            cpus, tmp
+        )
         ceil1 = _cpu_ceiling(8, cpus)
         ceiling = max(ceil0, ceil1)
         speedup = t_lo / t_hi
@@ -276,6 +295,9 @@ def main() -> None:
             # write-path ceiling of the same scratch the build writes to
             # (no Spark): bounds the non-kernel (write) half of the build
             **io_ceil,
+            # per-trial raw values + adjacent window probes: lets a reader
+            # attribute an outlier trial to a degraded minute
+            "trials": trials,
         }
 
     from probe_spark.engine import SearchEngine
