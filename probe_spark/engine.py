@@ -79,6 +79,69 @@ def _is_disjunctive_bag(plan: QueryPlan) -> bool:
     return only_or(plan.ast)
 
 
+def _bag_plus_exclusions(plan: QueryPlan) -> bool:
+    """True when the query is a pure OR-bag of optional single-keyword
+    terms AND-combined with purely-excluded terms -- probe's dominant
+    "keywords -noise" shape.  Matching for that shape is (any positive
+    keyword present) AND (no excluded term present), and kept docs get an
+    exact 0.0 contribution from every excluded term, so the score is the
+    same f64 sum the lane scorer produces -- letting the engine score
+    positives on the codegen disjunctive path and apply exclusions as
+    one anti-join instead of pivoting every term into lanes."""
+    if (
+        plan.ast is None
+        or plan.has_required_anywhere
+        or not plan.excluded_terms
+    ):
+        return False
+    chain: list = []
+
+    def flat(e) -> None:
+        if isinstance(e, elastic.And):
+            flat(e.left)
+            flat(e.right)
+        else:
+            chain.append(e)
+
+    flat(plan.ast)
+    pos_subtrees = []
+    for node in chain:
+        if isinstance(node, Term) and node.excluded:
+            # the anti-join drops docs matching the excluded TERM's
+            # candidate rows; that equals the tree's "no excluded keyword
+            # present" only when the node is single-keyword and that
+            # keyword is the term the candidate rows are keyed by
+            if node.required or len(node.lowercase_keywords) != 1:
+                return False
+            if node.lowercase_keywords[0] not in plan.term_indices:
+                return False
+            continue
+        pos_subtrees.append(node)
+    # exactly one positive subtree: more than one And-child of positives
+    # means conjunctive matching, which the bag path cannot express
+    if len(pos_subtrees) != 1:
+        return False
+    sub = pos_subtrees[0]
+    all_kws: list[str] = []
+    for t in walk_terms(sub):
+        if t.exact or t.excluded or t.required:
+            return False
+        if len(t.lowercase_keywords) > 1:
+            return False
+        all_kws.extend(t.lowercase_keywords)
+    if not all_kws or len(all_kws) != len(set(all_kws)):
+        return False
+
+    def only_or(e) -> bool:
+        if isinstance(e, Term):
+            return True
+        if isinstance(e, elastic.Or):
+            return only_or(e.left) and only_or(e.right)
+        return False
+
+    return only_or(sub)
+
+
 def _read_stats(stats_dir) -> tuple[int, float]:
     """(n_docs, avgdl) from the singleton stats table via pyarrow -- one
     tiny file read, no Spark job per engine construction."""
@@ -200,6 +263,19 @@ class SearchEngine:
         self._bloom_cache: dict[str, list[int] | None] = {}
         self._tri_cand_cache: dict[str, object] = {}
         self._tri_df_cache: dict[str, int] = {}
+        # verified-containment memo (adaptive exact-form postings): once a
+        # rescue needle's TRUE match set is known and small, later queries
+        # serve it as a literal postings frame -- no doc-store touch at
+        # all.  Keyed by (needle, exclude_filenames) because -n changes
+        # the haystack (text-only).  Value: a reusable literal DataFrame,
+        # or None = known too large to cache (scan stays embedded).
+        # Invalidation: this dict lives in _reopen, so any on-disk index
+        # change (check_refresh fingerprint) drops it with the others.
+        self._verified_cache: dict[tuple[str, bool], DataFrame | None] = {}
+        # rescue-term df memo (same keying/invalidation): the df of a
+        # rescue term is a corpus-wide constant of the index, so the
+        # per-query df-count action is only paid on first sight
+        self._rescue_df_cache: dict[tuple[str, bool], int] = {}
         self._full_dict = False
         # trigram substring-index lane (indexer.tri_rows): serves the
         # containment rescue in O(trigram df) instead of an O(corpus)
@@ -483,10 +559,113 @@ class SearchEngine:
             return ids
         return self._bloom_candidate_ids(needle)
 
+    # cache a needle's verified match set only when it fits an IN-pushdown
+    # anyway; bound the number of memoized needles driver-side
+    _VERIFIED_NEEDLE_CAP = 128
+
+    def _try_verify_cache(
+        self, key: tuple[str, bool], scan_frame: DataFrame, ids
+    ) -> DataFrame | None:
+        """First sight of a rescue needle: materialize its TRUE containment
+        match set (one bounded action -- the same scan the query plan would
+        embed, run once instead of per-query) and memoize it as a literal
+        postings frame.  Returns the frame to union into the candidate
+        rows: the literal frame when the set fits the cap, the original
+        scan (and a None cache marker = uncacheable) when it doesn't, or
+        None when the verified set is empty (no doc contains the needle).
+        At web scale this is standard adaptive caching of hot filters: the
+        cap keeps driver/plan memory bounded, and any on-disk index change
+        invalidates via the _reopen fingerprint."""
+        import pandas as pd
+
+        cap = self._BLOOM_ISIN_CAP
+        sel = scan_frame.select("doc_id")
+        if isinstance(ids, list):
+            # candidate superset already <= cap, so the verified set is too
+            rows = sel.collect()
+        else:
+            rows = sel.limit(cap + 1).collect()
+            if len(rows) > cap:
+                self._verified_cache[key] = None  # known too large
+                return scan_frame
+        doc_ids = sorted(int(r["doc_id"]) for r in rows)
+        if doc_ids:
+            lit = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64")})
+            )
+        else:
+            lit = self.spark.createDataFrame([], "doc_id long")
+        lit = lit.select(
+            F.lit(key[0]).alias("term"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(1).cast("int").alias("tf"),
+        )
+        if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
+            self._verified_cache.clear()
+        self._verified_cache[key] = lit
+        return lit if doc_ids else None
+
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
         containment rescue for exact/excluded terms."""
         return self._term_rows(plan, list(plan.term_indices))
+
+    def _rescue_frames(
+        self, rescues: list[str], ex_fn: bool
+    ) -> list[DataFrame]:
+        """(term, doc_id, tf=1) containment-match frames, one per rescue
+        needle: the memoized literal frame when the needle's verified set
+        is cached, else the candidate-pruned doc-store scan (which the
+        first sighting materializes into the memo via _try_verify_cache).
+        Needles refuted corpus-wide (no doc can contain them) or verified
+        empty contribute no frame."""
+        docs = self._docs().select(
+            "doc_id",
+            F.lower(F.col("text")).alias("_t"),
+            F.lower(F.col("url")).alias("_u"),
+        )
+        ex_key = bool(ex_fn)
+        scans: list[DataFrame] = []
+        for t in rescues:
+            key = (t, ex_key)
+            lit_df = self._verified_cache.get(key)
+            if lit_df is not None:
+                # warm needle: the exact match set was materialized on a
+                # prior query -- a literal postings frame replaces the
+                # doc-store scan entirely
+                scans.append(lit_df)
+                continue
+            base = docs
+            ids = self._rescue_candidates(t)
+            if isinstance(ids, DataFrame):
+                base = docs.join(ids, "doc_id", "leftsemi")
+            elif ids is not None:
+                if not ids:
+                    continue  # no doc can contain t
+                # one JVM-parsed IN expression: a python-side .isin(ids)
+                # pays a py4j literal conversion PER id (~2ms each -- 5s of
+                # driver time at a few thousand candidates)
+                base = docs.filter(
+                    F.expr(
+                        "doc_id IN (%s)" % ",".join(map(str, ids))
+                    )
+                )
+            hay_hit = (
+                F.col("_t").contains(t)
+                if ex_fn  # -n: containment rescue checks TEXT only
+                else (F.col("_t").contains(t) | F.col("_u").contains(t))
+            )
+            scan_frame = base.filter(hay_hit).select(
+                F.lit(t).alias("term"),
+                "doc_id",
+                F.lit(1).cast("int").alias("tf"),
+            )
+            if key not in self._verified_cache:
+                scan_frame = self._try_verify_cache(key, scan_frame, ids)
+                if scan_frame is None:
+                    continue  # verified empty: no doc contains t
+            scans.append(scan_frame)
+        return scans
 
     def _term_rows(self, plan: QueryPlan, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the GIVEN terms only, with
@@ -508,41 +687,7 @@ class SearchEngine:
         rescues = sorted(t for t in oracle.rescue_terms(plan) if t in terms)
         if not rescues:
             return post
-        docs = self._docs().select(
-            "doc_id",
-            F.lower(F.col("text")).alias("_t"),
-            F.lower(F.col("url")).alias("_u"),
-        )
-        scans = []
-        for t in rescues:
-            base = docs
-            ids = self._rescue_candidates(t)
-            if isinstance(ids, DataFrame):
-                base = docs.join(ids, "doc_id", "leftsemi")
-            elif ids is not None:
-                if not ids:
-                    continue  # no doc can contain t
-                # one JVM-parsed IN expression: a python-side .isin(ids)
-                # pays a py4j literal conversion PER id (~2ms each -- 5s of
-                # driver time at a few thousand candidates)
-                base = docs.filter(
-                    F.expr(
-                        "doc_id IN (%s)" % ",".join(map(str, ids))
-                    )
-                )
-            hay_hit = (
-                F.col("_t").contains(t)
-                if ex_fn  # -n: containment rescue checks TEXT only
-                else (F.col("_t").contains(t) | F.col("_u").contains(t))
-            )
-            scans.append(
-                base.filter(hay_hit)
-                .select(
-                    F.lit(t).alias("term"),
-                    "doc_id",
-                    F.lit(1).cast("int").alias("tf"),
-                )
-            )
+        scans = self._rescue_frames(rescues, ex_fn)
         if not scans:
             # every rescue term was bloom-refuted corpus-wide: no doc can
             # contain any of them, token postings alone decide
@@ -607,6 +752,14 @@ class SearchEngine:
         for t in excl_only:
             out[t] = 1
         scored_rescues = sorted(rescues - excl_only)
+        ex_key = bool(getattr(self, "_exclude_fn", False))
+        for t in list(scored_rescues):
+            if (t, ex_key) in self._rescue_df_cache:
+                # a rescue term's df is a corpus-wide constant of the index
+                # (invalidated with the other caches on refresh): the count
+                # action is only paid on the term's first sighting
+                out[t] = self._rescue_df_cache[(t, ex_key)]
+                scored_rescues.remove(t)
         if scored_rescues:
             rows = (
                 cand.filter(F.col("term").isin(scored_rescues))
@@ -614,7 +767,11 @@ class SearchEngine:
                 .agg(F.count(F.lit(1)).alias("df"))
                 .collect()
             )
-            out.update({r["term"]: int(r["df"]) for r in rows})
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in scored_rescues:
+                d = got.get(t, 0)
+                out[t] = d
+                self._rescue_df_cache[(t, ex_key)] = d
         return out
 
     @staticmethod
@@ -736,14 +893,26 @@ class SearchEngine:
                 True,
             )
 
+        if _bag_plus_exclusions(plan) and oracle.rescue_terms(
+            plan
+        ) == self._excl_only_rescues(plan):
+            return self._match_bag_excluded(plan, fdocs)
+
         cand = self._candidate_rows(plan)
-        if oracle.rescue_terms(plan) - self._excl_only_rescues(plan):
-            # SCORED rescue queries run two actions over the doc-store text
-            # (the df-count and the scoring job); cache the candidate rows
-            # so they scan it once (evicted lazily on the next rescue
-            # query).  Purely-excluded rescues skip the df job entirely
-            # (df substituted in _query_dfs), so persisting would be pure
-            # overhead for their single action.
+        ex_key = bool(getattr(self, "_exclude_fn", False))
+        rescues_all = oracle.rescue_terms(plan)
+        scored_rescues = rescues_all - self._excl_only_rescues(plan)
+        if any(
+            # SCORED rescue queries run two actions over the candidate rows
+            # (the df-count and the scoring job); cache the rows so any
+            # embedded doc-store scan runs once (evicted lazily on the next
+            # rescue query).  Purely-excluded rescues skip the df job
+            # entirely (df substituted in _query_dfs) and memoized dfs
+            # skip it too -- in both cases there is a single action and
+            # persisting would be pure overhead.
+            (t, ex_key) not in self._rescue_df_cache
+            for t in scored_rescues
+        ):
             if self._cached_cand is not None:
                 self._cached_cand.unpersist()
             cand = cand.persist()
@@ -775,6 +944,52 @@ class SearchEngine:
         else:
             scored = self._score_general(cand, plan, idfs)
         return scored, cand, idfs, False
+
+    def _match_bag_excluded(
+        self, plan: QueryPlan, fdocs: DataFrame | None
+    ) -> tuple[DataFrame, DataFrame, dict[str, float], bool]:
+        """Fast path for "keywords -noise" queries (_bag_plus_exclusions):
+        positives scored on the codegen disjunctive path straight off the
+        postings (no rescue union, no groupBy merge), exclusions applied
+        as ONE anti-join against the excluded terms' match rows (token
+        postings ∪ containment, usually a memoized literal frame after
+        the needle's first sighting).  Kept docs receive exactly 0.0 from
+        every excluded term, so scores are f64-identical to the lane
+        scorer; the q-set rank-identity suite pins this."""
+        excl = set(plan.excluded_terms)
+        pos_terms = [t for t in plan.term_indices if t not in excl]
+        excl_terms = [t for t in plan.term_indices if t in excl]
+        # positives are plain bag terms (never rescues): postings only
+        pos_cand = self._term_rows(plan, pos_terms)
+        dfs = self.term_dfs(pos_terms)
+        idfs = {
+            t: oracle.idf(self.n_docs, dfs.get(t, 0)) for t in pos_terms
+        }
+        for t in excl_terms:
+            # excluded idf only gates the drop decision (tf>0) -- any
+            # positive df is equivalent; mirror _query_dfs's substitution
+            idfs[t] = oracle.idf(self.n_docs, 1)
+        if fdocs is not None:
+            pos_cand = pos_cand.join(
+                fdocs.select("doc_id"), "doc_id", "leftsemi"
+            )
+        scored = self._score_disjunctive(pos_cand, plan, idfs)
+        # drop set = token postings ∪ containment matches of the excluded
+        # terms, doc_id only -- no doc_len join, no (term, doc_id) merge:
+        # the anti-join neither needs tf nor cares about duplicate rows
+        ex_fn = getattr(self, "_exclude_fn", False)
+        post_excl = self._postings_df.filter(
+            F.col("term").isin(excl_terms)
+        )
+        if ex_fn:
+            post_excl = post_excl.filter(
+                (F.col("tf") - F.col("tf_url")) > 0
+            )
+        drop = post_excl.select("doc_id")
+        for frame in self._rescue_frames(sorted(excl_terms), ex_fn):
+            drop = drop.unionByName(frame.select("doc_id"))
+        scored = scored.join(drop, "doc_id", "leftanti")
+        return scored, pos_cand, idfs, False
 
     def _ranked(self, hits: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         from pyspark.sql.window import Window
@@ -863,7 +1078,12 @@ class SearchEngine:
             kw: i
             for i, kw in enumerate(
                 kw
+                # excluded terms contribute no rows here (pure bags have
+                # none; the bag+exclusions path feeds positives only) --
+                # keeping them out preserves the single-positive-term
+                # no-shuffle branch and the positives' relative sum order
                 for t in walk_terms(plan.ast)
+                if not t.excluded
                 for kw in t.lowercase_keywords
             )
         }
@@ -891,10 +1111,16 @@ class SearchEngine:
                 (F.lit(idfs.get(term, 0.0)) * tf_part).alias("score"),
             ).filter(F.col("score") > 0.0)
             if getattr(self, "_boost_coverage", False):
-                # cov = 1 for a matched single-term query => 1 + 1^EXP * MULT
+                # exactly one positive term matched; the denominator is ALL
+                # query terms (incl. excluded -- result_ranking.rs:8-18 via
+                # oracle.coverage_boost), so cov < 1 when exclusions ride
+                # along with the single positive
                 scored = scored.withColumn(
                     "score",
-                    F.col("score") * F.lit(1.0 + oracle.COVERAGE_BOOST_MULT),
+                    F.col("score")
+                    * F.lit(
+                        oracle.coverage_boost(1, len(plan.term_indices))
+                    ),
                 )
             return scored
         arr = (
