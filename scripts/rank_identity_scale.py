@@ -95,7 +95,18 @@ def main() -> None:
         _ORACLE_IX = oracle_ix
         from multiprocessing import get_context
 
-        with get_context("fork").Pool(min(workers, len(QUERIES))) as pool:
+        # cap the fork pool well below cpu_count at large n: each worker
+        # dirties the COW pages whose objects it increfs while scanning
+        # (CPython refcounts live in the object header), so worker count
+        # multiplies resident memory by ~the per-scan touch set, not by
+        # zero.  12 workers keeps a 2M-doc run under ~half the box's RAM;
+        # override with PROBE_ORACLE_QUERY_WORKERS.
+        q_workers = int(
+            os.environ.get(
+                "PROBE_ORACLE_QUERY_WORKERS", min(workers, 12)
+            )
+        )
+        with get_context("fork").Pool(min(q_workers, len(QUERIES))) as pool:
             expected_all = dict(
                 pool.map(_oracle_one, sorted(QUERIES.items()))
             )
