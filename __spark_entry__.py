@@ -179,6 +179,23 @@ def probe_index_exact_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search('"spark join"', k=50))
 
 
+def probe_index_bagexcl_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bag + exclusion 'spark join -window' through the index:
+    the shape that engages the bag+exclusions fast path
+    (engine._match_bag_excluded) -- positives scored on the codegen
+    disjunctive path straight off the postings, the exclusion applied as
+    ONE doc_id anti-join (token postings ++ containment matches of
+    'window').  DuckDB oracle = BAGEXCL_SQL: sum of matched positive-term
+    BM25 minus docs containing the excluded token -- this puts the fast
+    path under the driver's hard gate, not just the pytest identity
+    suites."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search("spark join -window", k=50))
+
+
 def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--files-only through the index (reference cli.rs:23-26): ALL docs
     matching 'spark join' (implicit OR), no ranking, doc_id order.  DuckDB
@@ -273,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_wand_simple"] = _shipped(probe_index_wand_simple)
     out["probe_index_bool_simple"] = _shipped(probe_index_bool_simple)
     out["probe_index_wand_bool_simple"] = _shipped(probe_index_wand_bool_simple)
+    out["probe_index_bagexcl_simple"] = _shipped(probe_index_bagexcl_simple)
     out["probe_index_exact_simple"] = _shipped(probe_index_exact_simple)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     return out
@@ -310,7 +328,7 @@ ORDER BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
-    from probe_spark.entry_queries import R1_SQL, R2_SQL
+    from probe_spark.entry_queries import BAGEXCL_SQL, R1_SQL, R2_SQL
 
     out = {
         name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None
@@ -322,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_wand_simple"] = R1_SQL
     out["probe_index_bool_simple"] = R2_SQL
     out["probe_index_wand_bool_simple"] = R2_SQL
+    out["probe_index_bagexcl_simple"] = BAGEXCL_SQL
     out["probe_index_exact_simple"] = EXACT_SQL
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     return out

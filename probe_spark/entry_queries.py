@@ -248,6 +248,22 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 )
 
+# disjunctive bag + exclusion ('spark join -window'): ANY positive term
+# matches, docs holding the excluded token are dropped; score = sum of the
+# matched positive terms' BM25.  Containment == token semantics on this
+# corpus (no vocabulary superstrings of 'window'; doc:// urls share no
+# letters with it), so the token anti-join is the full exclusion set.
+BAGEXCL_SQL = (
+    _BM25_CTE.format(terms=repr(TERMS2))
+    + """
+, exc AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+SELECT sc.doc_id, round(sc.score, 6) AS score
+FROM sc
+WHERE sc.doc_id NOT IN (SELECT doc_id FROM exc)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+)
+
 
 # ---------------------------------------------------------------------------
 # Boolean set operations (SURVEY.md SS2.8-2.9) -- SQL-checked
