@@ -21,6 +21,8 @@ Operator labels reference SURVEY.md SS2 (e.g. A1 = per-doc TF, R1 = BM25).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -170,28 +172,55 @@ sc AS (SELECT tf.doc_id,
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> DataFrame:
+    # ONE explode+groupBy pass computes doc length AND every query term's
+    # tf as conditional sums (map-side combine on doc_id) -- the old
+    # dl-join shape re-exploded the corpus twice and shuffled a
+    # corpus-sized dl table into a join; this shape has a single shuffle
+    # key, no join, and the score is a map-side expression over the
+    # per-doc row.  Stats cost one metadata count (parquet footers) plus
+    # one small agg action that yields avgdl and every df together.
     docs = _docs(spark, sf_dir)
     n = docs.count()
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
-    tf = (
-        toks.filter(F.col("term").isin(list(terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfp = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .withColumn("term_score", idf * tfp)
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
-    )
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    avgdl = float(stats["avgdl"])
+
+    def idf(df_count: int) -> float:
+        return math.log(1.0 + (n - df_count + 0.5) / (df_count + 0.5))
+
+    def tfp(tf_col):
+        return (tf_col * (BM25_K1 + 1.0)) / (
+            tf_col
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+
+    score = None
+    for i in range(len(terms)):
+        part = F.when(
+            F.col(f"tf_{i}") > 0,
+            F.lit(idf(int(stats[f"df_{i}"]))) * tfp(F.col(f"tf_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    matched = None
+    for i in range(len(terms)):
+        cond = F.col(f"tf_{i}") > 0
+        matched = cond if matched is None else matched | cond
+    return per_doc.filter(matched).select("doc_id", score.alias("score"))
 
 
 def r1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
