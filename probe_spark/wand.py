@@ -197,14 +197,32 @@ class WandEngine:
         term_pos: dict[str, int],
         boost: bool = False,
         n_terms: int = 0,
+        theta: float = 0.0,
     ) -> DataFrame:
         """Per-seg dense scoring: decode blocks, accumulate BM25 into a
         seg-local array, emit the seg's top-k (score desc, doc_id asc).
         Terms accumulate in AST keyword order (term_pos) so double sums
         match the oracle bit-for-bit.  ``boost`` applies the R7 coverage
-        boost (matched-term count per doc rides the same decode pass)."""
+        boost (matched-term count per doc rides the same decode pass).
+
+        ``theta`` > 0 enables INTRA-segment block skipping (phase 2 only;
+        the reference's batched early termination at block granularity,
+        ranking.rs two-stage analog): a block of term t is decoded only if
+        ub_block(t) + sum over other terms of their seg-max block ub can
+        still reach theta.  Soundness: docs appear in exactly one block per
+        (term, seg), so for any doc d touching a skipped block its true
+        score <= that skipped block's combined bound < theta -- d either
+        vanishes or surfaces with an underestimated partial score, and
+        either way it cannot displace the phase-1 top-k (all >= theta).
+        Docs touching only kept blocks accumulate EXACTLY as without
+        skipping, so every score >= theta is exact and rank identity
+        holds.  Only the disjunctive path uses this: `_is_disjunctive_bag`
+        guarantees no excluded terms (whose blocks must never be skipped
+        -- missing an exclusion row would un-drop a doc) and keyword
+        multiplicity 1 (no per-node re-count)."""
         params = self.params
         avgdl = self.avgdl
+        boost_cap = 1.0 + oracle.COVERAGE_BOOST_MULT  # max boost factor
 
         def score_group(pdf):
             import numpy as np
@@ -217,6 +235,39 @@ class WandEngine:
             )
             seg = int(pdf["seg"].iloc[0])
             base = seg << SEG_BITS
+            if theta > 0.0 and avgdl > 0 and len(pdf) > 1:
+                # same tf_part expression (and f64 op order) as the
+                # accumulation loop below, evaluated at the block's
+                # (max_tf, min_dl) corner: tf_part is increasing in tf and
+                # decreasing in dl, so ub dominates every doc in the block
+                mtf = pdf["max_tf"].to_numpy(dtype=np.float64)
+                mdl = pdf["min_dl"].to_numpy(dtype=np.float64)
+                tfp = (mtf * (params.k1 + 1.0)) / (
+                    mtf
+                    + params.k1
+                    * (1.0 - params.b + params.b * (mdl / avgdl))
+                )
+                ub = (
+                    pdf["term"].map(idfs).fillna(0.0).to_numpy(np.float64)
+                    * tfp
+                )
+                s_ub = pd.Series(ub, index=pdf.index)
+                tmax = s_ub.groupby(pdf["term"]).transform("max")
+                bound = (
+                    float(s_ub.groupby(pdf["term"]).max().sum())
+                    - tmax.to_numpy()
+                    + ub
+                )
+                bf = boost_cap if boost else 1.0
+                # strict skip with 1e-12 relative slack: ub here and theta
+                # (a collected phase-1 score) come from different f64
+                # evaluation orders; the slack only weakens pruning, never
+                # soundness
+                pdf = pdf[bf * bound >= theta * (1.0 - 1e-12)]
+                if len(pdf) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": [], "score": []}
+                    ).astype({"doc_id": "int64", "score": "float64"})
             acc = np.zeros(SEG_SIZE, dtype=np.float64)
             nmatch = np.zeros(SEG_SIZE, dtype=np.int64) if boost else None
             for term, docs, tfs, dls in zip(
@@ -570,10 +621,16 @@ class WandEngine:
         # forwards only k rows
         seg_k = None if fdocs is not None else k
 
-        def score(bdf: DataFrame) -> DataFrame:
+        def score(bdf: DataFrame, theta: float = 0.0) -> DataFrame:
             if disjunctive:
                 s = self._score_segs(
-                    bdf, idfs, seg_k, term_pos, boost_coverage, n_query_terms
+                    bdf,
+                    idfs,
+                    seg_k,
+                    term_pos,
+                    boost_coverage,
+                    n_query_terms,
+                    theta=theta,
                 )
             else:
                 s = self._score_segs_bool(
@@ -671,8 +728,13 @@ class WandEngine:
                 .filter(F.col("seg_ub") >= theta)
                 .select("seg")
             )
+            # phase 2 carries theta into the scorer for intra-segment
+            # block skipping (disjunctive path; see _score_segs)
             p2 = (
-                score(sblocks.join(F.broadcast(rest), "seg", "leftsemi"))
+                score(
+                    sblocks.join(F.broadcast(rest), "seg", "leftsemi"),
+                    theta=theta,
+                )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()

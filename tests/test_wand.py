@@ -315,3 +315,59 @@ def test_wand_multiseg_pruning_identity(spark, tmp_path_factory):
         assert [x for x, _ in got] == [x for x, _ in expected], q
         for (gd, gs), (_, es) in zip(got, expected):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd)
+
+
+def test_wand_block_skip_prunes_and_stays_exact(spark, compacted, tiny_oracle):
+    """Intra-segment block skipping (theta in _score_segs, phase-2 path):
+    a theta above every block's bound prunes the whole segment; a real
+    phase-1 theta leaves every emitted score >= theta exactly equal to the
+    unskipped run; end-to-end results stay oracle-identical."""
+    from pyspark.sql import functions as F
+
+    from probe_spark import oracle
+    from probe_spark.wand import WandEngine
+
+    path, _ = compacted
+    eng = WandEngine(spark, path, phase1_segs=1)
+    q = "error handling"  # two hot fixture terms -> multi-block (term, seg)
+    terms = ["error", "handl"]
+    blocks = spark.read.parquet(f"{path}/blocks").filter(
+        F.col("term").isin(terms)
+    )
+    # precondition: skipping has blocks to work with
+    multi = (
+        blocks.groupBy("term", "seg").count().filter("count > 1").count()
+    )
+    assert multi > 0, "fixture terms must span multiple blocks per segment"
+    idfs = eng._idfs(terms)
+    term_pos = {t: i for i, t in enumerate(terms)}
+
+    full = eng._score_segs(blocks, idfs, None, term_pos).collect()
+    assert full, "unskipped run must score docs"
+    best = max(r["score"] for r in full)
+
+    # theta above any reachable score: every block's combined bound is <
+    # theta, so the scorer must emit nothing
+    pruned = eng._score_segs(
+        blocks, idfs, None, term_pos, theta=best * 4.0
+    ).collect()
+    assert pruned == []
+
+    # a realistic theta (the 10th best score): every emitted score >= theta
+    # must be bit-identical to the unskipped run (partial scores below
+    # theta are allowed to differ/vanish -- they are merge-discarded)
+    exact = {r["doc_id"]: r["score"] for r in full}
+    theta = sorted((r["score"] for r in full), reverse=True)[9]
+    skipped = eng._score_segs(
+        blocks, idfs, None, term_pos, theta=theta
+    ).collect()
+    kept = {r["doc_id"]: r["score"] for r in skipped if r["score"] >= theta}
+    want = {d: s for d, s in exact.items() if s >= theta}
+    assert kept == want
+
+    # end-to-end: phase-2 skipping engaged, results oracle-identical
+    got = eng.search_local(q, k=10)
+    expected = oracle_search(tiny_oracle, q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), gd
