@@ -368,7 +368,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "extract":
         from pyspark.sql import functions as F
 
-        docs = spark.read.parquet(f"{args.index}/pages_indexed")
+        from probe_spark.indexer import doc_text_df
+
+        docs = doc_text_df(
+            spark, args.index, spark.read.parquet(f"{args.index}/pages_indexed")
+        )
         cond = None
         if args.doc:
             cond = F.col("doc_id").isin(args.doc)
@@ -427,7 +431,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "grep":
         from pyspark.sql import functions as F
 
-        docs = spark.read.parquet(f"{args.index}/pages_indexed")
+        from probe_spark.indexer import doc_text_df
+
+        docs = doc_text_df(
+            spark, args.index, spark.read.parquet(f"{args.index}/pages_indexed")
+        )
         m = docs.filter(F.col("text").rlike(args.pattern))
         if args.invert:
             m = docs.join(m.select("doc_id"), "doc_id", "leftanti")

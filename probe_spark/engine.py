@@ -248,6 +248,7 @@ class SearchEngine:
         # and re-infers partitioning on every query
         self._postings_df = spark.read.parquet(self._postings_path)
         self._docs_df = spark.read.parquet(self._docs_path)
+        self._docs_text_df = None  # lazy: see _docs_text()
         self._terms_df = spark.read.parquet(self._terms_path)
         lens_path = p / "doc_lens"
         self._doc_lens_df = (
@@ -337,6 +338,20 @@ class SearchEngine:
 
     def _docs(self) -> DataFrame:
         return self._docs_df
+
+    def _docs_text(self) -> DataFrame:
+        """Doc store with text hydrated: identity for copy-mode layouts;
+        reference-mode layouts join the slim store against the durable
+        source (indexer.doc_text_df).  Only the containment-rescue verify
+        needs this -- hot paths (hydration, field filters) stay on the
+        slim frame and never pay the join."""
+        if self._docs_text_df is None:
+            from probe_spark.indexer import doc_text_df
+
+            self._docs_text_df = doc_text_df(
+                self.spark, self.index_dir, self._docs_df
+            )
+        return self._docs_text_df
 
     def _filtered_docs(self, plan: QueryPlan) -> DataFrame | None:
         """Apply field filters (F1/F3 web mapping): lang equality, url
@@ -619,7 +634,7 @@ class SearchEngine:
         first sighting materializes into the memo via _try_verify_cache).
         Needles refuted corpus-wide (no doc can contain them) or verified
         empty contribute no frame."""
-        docs = self._docs().select(
+        docs = self._docs_text().select(
             "doc_id",
             F.lower(F.col("text")).alias("_t"),
             F.lower(F.col("url")).alias("_u"),

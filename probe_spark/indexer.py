@@ -7,6 +7,9 @@ same mechanism Iceberg snapshots would give us):
 
   manifest.json                 build parameters + bucket offsets (phase A)
   pages_indexed/bucket=i/       THE doc store: doc_id, url, lang, text
+                                (doc_store="reference" drops text: the
+                                durable source keeps the only copy and
+                                doc_text_df hydrates on demand)
   doc_lens/bucket=i/            slim lengths: doc_id, doc_len
   postings/bucket=i/            flat postings: term, doc_id, tf, doc_len
   terms_partial/bucket=i/       per-bucket term aggregates (df, cf)
@@ -259,6 +262,9 @@ def _assign_doc_ids(
                 "bucket": i * n_buckets // par,
                 "count": row["count"],
                 "offset": acc,
+                # slice's min url: reference-mode phase B pushes each
+                # bucket's [lo, next_lo) url range into the source scan
+                "lo": row["lo"],
             }
         )
         acc += row["count"]
@@ -330,9 +336,48 @@ def write_stats(index_dir: str, n_docs: int, avgdl: float) -> None:
     pq.write_table(table, out / "part-00000.parquet")
 
 
+def _bucket_url_range(
+    bucket_meta: list[dict], b: int
+) -> tuple[str | None, str | None]:
+    """[lo, hi) url range of bucket ``b`` from the manifest's slice
+    metadata (slices ascend in url; a bucket is a contiguous slice run).
+    Returns (None, None) bounds where open-ended (first/last bucket, or a
+    legacy manifest without per-slice ``lo``)."""
+    lows = [m.get("lo") for m in bucket_meta if m["bucket"] == b]
+    if not lows or any(lo is None for lo in lows):
+        return None, None
+    nxt = [m.get("lo") for m in bucket_meta if m["bucket"] > b]
+    hi = min(nxt) if nxt and all(x is not None for x in nxt) else None
+    return min(lows), hi
+
+
+def doc_text_df(spark: SparkSession, index_dir: str, docs: DataFrame) -> DataFrame:
+    """The doc store WITH its text column.  Identity for copy-mode
+    layouts (text lives in pages_indexed); for reference-mode layouts
+    (build_index doc_store="reference") the slim store is joined against
+    the durable source table recorded in the manifest -- urls are unique
+    by the reference-mode contract, so the join preserves row
+    multiplicity.  Every query-time text consumer (containment rescue,
+    grep, extract, session-cache invalidation) resolves through here."""
+    if "text" in docs.columns:
+        return docs
+    manifest_path = Path(index_dir) / "manifest.json"
+    manifest = (
+        json.loads(manifest_path.read_text()) if manifest_path.exists() else {}
+    )
+    src_path = manifest.get("source_path")
+    if not src_path:
+        raise ValueError(
+            f"doc store at {index_dir} has no text column and the manifest "
+            "records no source_path to hydrate it from"
+        )
+    src = spark.read.parquet(src_path).select("url", "text")
+    return docs.join(src, "url", "left")
+
+
 def build_index(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     index_dir: str,
     n_buckets: int = 8,
     resume: bool = False,
@@ -340,6 +385,8 @@ def build_index(
     fail_buckets: frozenset[int] = frozenset(),
     tokenizer: str = "probe",
     emit_bloom: bool = False,
+    doc_store: str = "copy",
+    source_path: str | None = None,
 ) -> dict:
     """Build (or resume) the inverted index from a pages DataFrame.
 
@@ -350,8 +397,29 @@ def build_index(
     per-doc trigram bloom column into doc_lens (the tri_postings lane
     supersedes it; see _make_tokenize_partition).
 
+    ``doc_store``:
+      * "copy" (default) -- pages_indexed carries the text: the index is
+        self-contained and query-time containment verification / grep /
+        extract read no external table.
+      * "reference" -- for sources that are already DURABLE tables (the
+        Iceberg premise, SURVEY SS2.12): pages_indexed shrinks to a slim
+        (doc_id, url, lang) map and text is NEVER copied -- phase B joins
+        each bucket's slim rows against the source (url-range pushdown
+        from the manifest's slice boundaries), and query-time text
+        consumers hydrate through doc_text_df().  At web scale this
+        halves build write volume (text dominates bytes) for the price of
+        a per-bucket join and a query-time join on the rescue/grep paths.
+        Requires ``source_path`` (re-readable parquet/Iceberg dir whose
+        rows are keyed by UNIQUE url -- the crawl-snapshot premise; the
+        streaming path enforces it via dropDuplicates).  ``pages`` may be
+        None (read from source_path).
+
     Returns build metrics (also persisted in the lineage table).
     """
+    if doc_store not in ("copy", "reference"):
+        raise ValueError(f"doc_store must be 'copy' or 'reference': {doc_store!r}")
+    if doc_store == "reference" and not source_path:
+        raise ValueError("doc_store='reference' requires source_path")
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.json"
@@ -362,6 +430,8 @@ def build_index(
         n_buckets = manifest["n_buckets"]
         tokenizer = manifest.get("tokenizer", "probe")
         emit_bloom = manifest.get("emit_bloom", emit_bloom)
+        doc_store = manifest.get("doc_store", "copy")
+        source_path = manifest.get("source_path")
     else:
         # fresh build: drop checkpoints AND derived tables of any previous
         # build in this dir -- per-bucket writes overwrite only their own
@@ -389,14 +459,25 @@ def build_index(
                 )
         # Phase A: ingest snapshot with doc ids.  Only the columns the
         # index needs travel through the shuffle (html, once validated,
-        # stays behind -- at web scale it dominates the bytes).
-        pages = pages.select("url", "text", "lang")
+        # stays behind -- at web scale it dominates the bytes).  In
+        # reference mode the TEXT stays behind too: the slice-rank sort
+        # shuffles only (url, lang), and the doc store written below is a
+        # slim id map.
+        if pages is None:
+            pages = spark.read.parquet(source_path)
+        pages = (
+            pages.select("url", "lang")
+            if doc_store == "reference"
+            else pages.select("url", "text", "lang")
+        )
         indexed, bucket_meta = _assign_doc_ids(spark, pages, n_buckets)
         manifest = {
             "n_buckets": n_buckets,
             "buckets": bucket_meta,
             "tokenizer": tokenizer,
             "emit_bloom": emit_bloom,
+            "doc_store": doc_store,
+            "source_path": source_path,
             "created_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         # NOTE: overlapping this write with phase B (persisting `indexed`
@@ -405,8 +486,13 @@ def build_index(
         # 150k-doc build: the extra materialization + memory-bandwidth
         # contention on the tokenize critical path outweigh the serialized
         # write it saves.  Phase A stays synchronous.
+        doc_cols = (
+            ["doc_id", "url", "lang", "bucket"]
+            if doc_store == "reference"
+            else ["doc_id", "url", "lang", "text", "bucket"]
+        )
         (
-            indexed.select("doc_id", "url", "lang", "text", "bucket")
+            indexed.select(*doc_cols)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(str(pages_indexed_dir))
@@ -441,13 +527,32 @@ def build_index(
         # input text per tokenize task) with a floor of 2x cores so small
         # buckets still use the whole machine and stragglers even out
         par = spark.sparkContext.defaultParallelism
-        bucket_bytes = _dir_bytes(pages_indexed_dir / f"bucket={b}")
+        if manifest.get("doc_store") == "reference":
+            # slim store holds no text: size tasks by the source's share
+            bucket_bytes = _dir_bytes(Path(source_path)) // max(n_buckets, 1)
+        else:
+            bucket_bytes = _dir_bytes(pages_indexed_dir / f"bucket={b}")
         n_tasks = max(par * 2, int(bucket_bytes // (64 << 20)))
-        bucket_pages = (
-            spark.read.parquet(str(pages_indexed_dir / f"bucket={b}"))
-            .select("doc_id", "url", "lang", "text")
-            .repartition(n_tasks)
+        bucket_pages = spark.read.parquet(
+            str(pages_indexed_dir / f"bucket={b}")
         )
+        if manifest.get("doc_store") == "reference":
+            # hydrate text from the durable source, url-range pushdown
+            # from the manifest's slice boundaries: on a url-clustered
+            # source (Iceberg sort order) each bucket job scans only its
+            # own slice of the table
+            src = spark.read.parquet(source_path).select("url", "text")
+            lo, hi = _bucket_url_range(manifest["buckets"], b)
+            if lo is not None:
+                src = src.filter(F.col("url") >= lo)
+            if hi is not None:
+                src = src.filter(F.col("url") < hi)
+            bucket_pages = bucket_pages.select("doc_id", "url", "lang").join(
+                src, "url", "inner"
+            )
+        bucket_pages = bucket_pages.select(
+            "doc_id", "url", "lang", "text"
+        ).repartition(n_tasks)
         rows = bucket_pages.mapInPandas(
             _make_tokenize_partition(tokenizer, emit_bloom=emit_bloom),
             TOKENS_SCHEMA,
@@ -568,6 +673,14 @@ def build_index(
             b: _dir_bytes(pages_indexed_dir / f"bucket={b}") for b in existing
         }
         total_bytes = sum(in_bytes.values())
+        if manifest.get("doc_store") == "reference":
+            # slim store holds no text: size the wave by the source's
+            # share (the join below pulls the text from there)
+            total_bytes = int(
+                _dir_bytes(Path(source_path))
+                * len(existing)
+                / max(n_buckets, 1)
+            )
         # data-proportional tasks (~64 MB input text each) with a floor
         # of 2x cores so small inputs still use the whole machine
         n_tasks = max(par * 2, int(total_bytes // (64 << 20)))
@@ -595,8 +708,17 @@ def build_index(
         else:
             bucket_col = F.lit(bids[0] if bids else 0)
         srcs = [str(pages_indexed_dir / f"bucket={b}") for b in existing]
+        wave_pages = spark.read.parquet(*srcs)
+        if manifest.get("doc_store") == "reference":
+            # hydrate text from the durable source (one shuffle join for
+            # the whole wave -- the text still moves through the cluster
+            # exactly once, it just never lands in a second copy on disk)
+            src_df = spark.read.parquet(source_path).select("url", "text")
+            wave_pages = wave_pages.select("doc_id", "url", "lang").join(
+                src_df, "url", "inner"
+            )
         rows = (
-            spark.read.parquet(*srcs)
+            wave_pages
             .select("doc_id", "url", "lang", "text")
             .repartition(n_tasks)
             .mapInPandas(

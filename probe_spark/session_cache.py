@@ -48,10 +48,17 @@ class SessionCache:
             return None
         from pyspark.sql import functions as F
 
+        from probe_spark.indexer import doc_text_df
+
         rows = (
-            self.spark.read.parquet(str(docs_dir))
+            doc_text_df(
+                self.spark,
+                self.index_dir,
+                self.spark.read.parquet(str(docs_dir)),
+            )
             # one JVM-parsed IN expression (py4j literal conversion is
-            # ~2ms/element via .isin)
+            # ~2ms/element via .isin) -- pushed BEFORE the reference-mode
+            # text join, so only the k result rows hydrate
             .filter(
                 F.expr(
                     "doc_id IN (%s)" % ",".join(str(int(d)) for d in doc_ids)

@@ -257,6 +257,18 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     from pyspark.sql import Observation
 
     out = Path(index_dir)
+    manifest_path = out / "manifest.json"
+    if manifest_path.exists():
+        import json as _json
+
+        if _json.loads(manifest_path.read_text()).get("doc_store") == "reference":
+            # the stream's pages_indexed delta IS the doc store copy; a
+            # slim reference layout has no text lane to append to, and its
+            # source table is an immutable snapshot the stream can't extend
+            raise ValueError(
+                "incremental ingest requires a copy-mode doc store; "
+                "rebuild with doc_store='copy' to stream into this index"
+            )
     state = _read_state(index_dir) or _bootstrap_totals(spark, index_dir)
     state = _reconcile(spark, index_dir, state)
     base = int(state["next_doc_id"])
