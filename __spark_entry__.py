@@ -196,6 +196,56 @@ def probe_index_bagexcl_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search("spark join -window", k=50))
 
 
+def _documents_refstore_index(spark: SparkSession, sf_dir: str) -> str:
+    """Side index like _documents_simple_index but built with the
+    REFERENCE-mode doc store (build_index doc_store='reference'): the
+    index holds only a slim (doc_id, url, lang) map and text stays in the
+    'durable source' parquet written beside it -- the zero-text-copy
+    layout a deployment with an existing Iceberg crawl table would use."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.indexer import build_index
+
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}:refstore:v1".encode()).hexdigest()[:12]
+    ix = _CACHE_ROOT / key
+    src = _CACHE_ROOT / (key + "_src")
+    if not (ix / "stats").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        pages.write.mode("overwrite").parquet(str(src))
+        build_index(
+            spark,
+            None,
+            str(ix),
+            n_buckets=4,
+            tokenizer="simple",
+            doc_store="reference",
+            source_path=str(src),
+        )
+    compact_index(spark, str(ix), resume=True)
+    return str(ix)
+
+
+def probe_index_exact_refstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-exact '"spark join"' through a REFERENCE-mode index: the
+    containment verify must hydrate text through the slim-store -> source
+    join (indexer.doc_text_df), so this puts the zero-text-copy layout's
+    query path under the driver's hard gate.  Same DuckDB oracle as
+    probe_index_exact_simple (EXACT_SQL) -- scores must be identical to a
+    copy-mode index because only WHERE the text lives changed."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_refstore_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search('"spark join"', k=50))
+
+
 def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--files-only through the index (reference cli.rs:23-26): ALL docs
     matching 'spark join' (implicit OR), no ranking, doc_id order.  DuckDB
@@ -292,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_wand_bool_simple"] = _shipped(probe_index_wand_bool_simple)
     out["probe_index_bagexcl_simple"] = _shipped(probe_index_bagexcl_simple)
     out["probe_index_exact_simple"] = _shipped(probe_index_exact_simple)
+    out["probe_index_exact_refstore"] = _shipped(probe_index_exact_refstore)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     return out
 
@@ -342,5 +393,6 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_wand_bool_simple"] = R2_SQL
     out["probe_index_bagexcl_simple"] = BAGEXCL_SQL
     out["probe_index_exact_simple"] = EXACT_SQL
+    out["probe_index_exact_refstore"] = EXACT_SQL
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     return out
