@@ -246,6 +246,72 @@ def probe_index_exact_refstore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search('"spark join"', k=50))
 
 
+def _documents_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Side index built INCREMENTALLY: a batch build over the even-doc_id
+    half of the documents table (tokenizer='simple'), then the odd half
+    folded in through TWO Structured-Streaming micro-batches
+    (streaming/incremental.start_incremental_index, availableNow drains,
+    shared checkpoint across runs), then compacted.  The final index must
+    be semantically identical to a fresh full build -- postings, df, avgdl
+    and therefore every BM25 score -- so the querying entry shares the
+    plain BM25 oracle (R1_SQL) and the driver's gate verifies the whole
+    ingest->fold->compact chain, not just the batch path."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import start_incremental_index
+
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}:incr:v1".encode()).hexdigest()[:12]
+    ix = _CACHE_ROOT / key
+    done = ix / ".incr_done"
+    if ix.exists() and not done.exists():
+        # a half-ingested cache from an interrupted run: rebuild cleanly
+        # (the kill-resume semantics have their own pytest suite; the gate
+        # entry wants a deterministic final state)
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
+    if not done.exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        base = pages.filter(F.col("url").substr(-1, 1).isin(*"02468"))
+        rest = pages.filter(~F.col("url").substr(-1, 1).isin(*"02468"))
+        build_index(spark, base, str(ix), n_buckets=2, tokenizer="simple")
+        stream_dir = _CACHE_ROOT / (key + "_stream")
+        ckpt_dir = _CACHE_ROOT / (key + "_ckpt")
+        # two stream runs against one checkpoint = two micro-batch epochs,
+        # exercising the resume path the checkpoint provides
+        for i, part in enumerate(rest.randomSplit([0.5, 0.5], seed=7)):
+            part.write.mode("append").parquet(str(stream_dir))
+            q = start_incremental_index(
+                spark, str(stream_dir), str(ix), str(ckpt_dir)
+            )
+            q.awaitTermination()
+        compact_index(spark, str(ix), resume=True)
+        done.touch()
+    return str(ix)
+
+
+def probe_index_incr_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for 'spark join' through an index HALF of whose corpus
+    arrived via streaming incremental ingest (SS2.12 extension).  Same
+    DuckDB oracle as probe_index_bm25_simple (R1_SQL): scores must equal a
+    fresh full build's because the fold preserves postings/df/avgdl
+    exactly -- doc ids differ (arrival order), but BM25 does not read
+    them and the gate re-ranks on the url-derived source doc_id."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_incremental_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search("spark join", k=50))
+
+
 def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--files-only through the index (reference cli.rs:23-26): ALL docs
     matching 'spark join' (implicit OR), no ranking, doc_id order.  DuckDB
@@ -343,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_bagexcl_simple"] = _shipped(probe_index_bagexcl_simple)
     out["probe_index_exact_simple"] = _shipped(probe_index_exact_simple)
     out["probe_index_exact_refstore"] = _shipped(probe_index_exact_refstore)
+    out["probe_index_incr_simple"] = _shipped(probe_index_incr_simple)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     return out
 
@@ -394,5 +461,6 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_bagexcl_simple"] = BAGEXCL_SQL
     out["probe_index_exact_simple"] = EXACT_SQL
     out["probe_index_exact_refstore"] = EXACT_SQL
+    out["probe_index_incr_simple"] = R1_SQL
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     return out

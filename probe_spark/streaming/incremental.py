@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from probe_spark.indexer import (
     TOKENS_SCHEMA,
     _assign_doc_ids,
+    _make_tokenize_partition,
     _read_lineage,
     _tokenize_partition,
     tri_rows,
@@ -258,10 +259,12 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
 
     out = Path(index_dir)
     manifest_path = out / "manifest.json"
+    manifest = {}
     if manifest_path.exists():
         import json as _json
 
-        if _json.loads(manifest_path.read_text()).get("doc_store") == "reference":
+        manifest = _json.loads(manifest_path.read_text())
+        if manifest.get("doc_store") == "reference":
             # the stream's pages_indexed delta IS the doc store copy; a
             # slim reference layout has no text lane to append to, and its
             # source table is an immutable snapshot the stream can't extend
@@ -289,8 +292,16 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     pages = indexed.withColumn(
         "doc_id", F.col("doc_id") + F.lit(base)
     ).drop("bucket")
+    # honor the tokenizer the index was BUILT with (manifest.json records
+    # it): streaming probe-tokenized postings into a tokenizer='simple'
+    # index would silently mix incompatible term vocabularies
+    tokenize_fn = (
+        _tokenize_partition
+        if manifest.get("tokenizer", "probe") == "probe"
+        else _make_tokenize_partition(manifest["tokenizer"])
+    )
     rows = pages.select("doc_id", "url", "lang", "text").mapInPandas(
-        _tokenize_partition, TOKENS_SCHEMA
+        tokenize_fn, TOKENS_SCHEMA
     )
     rows.persist()
     bucket = f"stream_{epoch_id}_{base}"

@@ -290,3 +290,51 @@ def test_cached_engines_see_incremental_delta(spark, tmp_path):
             assert gs == _pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
         for (gd, gs), (_, es) in zip(got_wand, expected):
             assert gs == _pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
+
+
+def test_incremental_honors_manifest_tokenizer(spark, tmp_path):
+    """Streaming into a tokenizer='simple' index must tokenize new batches
+    with the SAME tokenizer the manifest records (ingest_batch reads it):
+    the folded index's scores must equal a fresh full simple build's,
+    which would be impossible if the stream stemmed/split its half with
+    the probe pipeline."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import start_incremental_index
+
+    all_pages = pages_df(spark, 120).drop("html", "warc_ts")
+    half = all_pages.limit(60)
+    rest = all_pages.join(half.select("url"), "url", "leftanti")
+
+    ix = str(tmp_path / "ix_incr")
+    build_index(spark, half, ix, n_buckets=2, tokenizer="simple")
+    stream_dir = tmp_path / "incoming"
+    rest.coalesce(1).write.mode("overwrite").parquet(str(stream_dir))
+    q = start_incremental_index(spark, str(stream_dir), ix, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    full_ix = str(tmp_path / "ix_full")
+    build_index(spark, all_pages, full_ix, n_buckets=2, tokenizer="simple")
+
+    incr = SearchEngine(spark, ix)
+    full = SearchEngine(spark, full_ix)
+    for query in ("firewall", "error AND handling", "process -deprecated"):
+        # doc ids differ (arrival order vs global url rank); compare by url
+        got = {
+            r["url"]: r["score"] for r in incr.search(query, k=10).collect()
+        }
+        want = {
+            r["url"]: r["score"] for r in full.search(query, k=10).collect()
+        }
+        # tie-break ids differ between the builds, so a boundary tie may
+        # swap WHICH url holds rank 10 -- the score multiset may not differ
+        assert sorted(got.values()) == pytest.approx(
+            sorted(want.values()), rel=1e-12, abs=1e-12
+        ), query
+        for u in set(got) & set(want):
+            assert got[u] == pytest.approx(want[u], rel=1e-12, abs=1e-12), (
+                query, u,
+            )
