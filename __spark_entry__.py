@@ -312,6 +312,94 @@ def probe_index_incr_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(eng.search("spark join", k=50))
 
 
+def _documents_pipeline_index(spark: SparkSession, sf_dir: str) -> str:
+    """Side index over the DEDUPLICATED corpus: run the full training-data
+    prep chain (exact collapse -> banded minhash near-dup pairs ->
+    connected components -> canonical per cluster -> quality gate; the
+    same code path the gated pipeline_dedup_corpus entry verifies), then
+    build the simple-tokenizer inverted index over the survivors only --
+    the crawl->dedup->index->serve composition a web-corpus deployment
+    actually runs."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.compaction import compact_index
+    from probe_spark.entry_queries import pipeline_dedup_corpus
+    from probe_spark.indexer import build_index
+
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}:dedupserve:v1".encode()).hexdigest()[:12]
+    ix = _CACHE_ROOT / key
+    if not (ix / "stats").exists():
+        kept = pipeline_dedup_corpus(spark, sf_dir).select("doc_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.join(kept, "doc_id").select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        build_index(spark, pages, str(ix), n_buckets=2, tokenizer="simple")
+    compact_index(spark, str(ix), resume=True)
+    return str(ix)
+
+
+def probe_index_pipeline_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for 'spark join' served from an index built over the
+    dedup pipeline's surviving canonical documents.  The DuckDB oracle
+    recomputes the SAME composition end-to-end in SQL: recursive-CTE
+    near-dup clustering picks the survivors, then the BM25 math runs over
+    that subset (df, avgdl and n all shrink with the corpus -- scores are
+    NOT the full-corpus scores, so a dedup or serving regression anywhere
+    in the chain breaks the hash)."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_pipeline_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(eng.search("spark join", k=50))
+
+
+def _pipeline_serve_sql() -> str:
+    """Oracle for probe_index_pipeline_serve: the pipeline_dedup_corpus
+    recursive-CTE chain (same fragments) reduced to the surviving doc ids,
+    composed with the BM25 CTE math over that subset."""
+    from probe_spark.entry_queries import (
+        _PIPE_MIN_TOKENS,
+        _PIPE_MIN_TTR,
+        _SQL_CC,
+        BM25_K1,
+        BM25_B,
+        TERMS2,
+        _sql_minhash_rep_pairs,
+    )
+
+    return f"""
+WITH RECURSIVE {_sql_minhash_rep_pairs()},
+{_SQL_CC.format(pairs="reppairs", nodes="repdocs")},
+keptids AS (SELECT DISTINCT cluster_id AS doc_id FROM cc),
+kept AS (SELECT d.doc_id, d.text
+         FROM documents d JOIN keptids USING (doc_id)
+         WHERE len(string_split(d.text, ' ')) >= {_PIPE_MIN_TOKENS}
+           AND len(list_distinct(string_split(d.text, ' ')))
+               / len(string_split(d.text, ' '))::DOUBLE >= {_PIPE_MIN_TTR}),
+tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM kept),
+dl2 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY doc_id),
+st2 AS (SELECT (SELECT count(*) FROM kept)::BIGINT AS n, avg(dl) AS avgdl
+        FROM dl2),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2
+        WHERE term IN {TERMS2!r} GROUP BY doc_id, term),
+df2 AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf2
+        GROUP BY term),
+sc2 AS (SELECT tf2.doc_id,
+          sum( ln(1 + (st2.n - df2.df + 0.5)/(df2.df + 0.5))
+               * (tf2.tf * ({BM25_K1} + 1))
+               / (tf2.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl2.dl / st2.avgdl)) ) AS score
+        FROM tf2 JOIN df2 USING (term) JOIN dl2 USING (doc_id) CROSS JOIN st2
+        GROUP BY tf2.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--files-only through the index (reference cli.rs:23-26): ALL docs
     matching 'spark join' (implicit OR), no ranking, doc_id order.  DuckDB
@@ -410,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_exact_simple"] = _shipped(probe_index_exact_simple)
     out["probe_index_exact_refstore"] = _shipped(probe_index_exact_refstore)
     out["probe_index_incr_simple"] = _shipped(probe_index_incr_simple)
+    out["probe_index_pipeline_serve"] = _shipped(probe_index_pipeline_serve)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     return out
 
@@ -462,5 +551,6 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_exact_simple"] = EXACT_SQL
     out["probe_index_exact_refstore"] = EXACT_SQL
     out["probe_index_incr_simple"] = R1_SQL
+    out["probe_index_pipeline_serve"] = _pipeline_serve_sql()
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     return out
