@@ -61,6 +61,9 @@ class CorpusIndex:
     # mirroring the reference whose ranking tokenization is unconditionally
     # filename-inclusive -- see engine.SearchEngine.search docstring)
     text_token_sets: list[frozenset[str]] = None  # type: ignore[assignment]
+    # (term, exclude_filenames) -> rescue containment df; lazily filled by
+    # global_df (the index is immutable after build, so the memo is safe)
+    rescue_df_cache: dict | None = None
 
     @classmethod
     def build(cls, docs: list[Doc], workers: int = 1) -> "CorpusIndex":
@@ -223,6 +226,17 @@ def global_df(
     for term in plan.term_indices:
         base = index.df.get(term, 0)
         if term in rescues:
+            # the rescue count is an O(corpus) containment scan; memoize
+            # it on the (immutable-after-build) index so repeated queries
+            # -- and fork-pool shard workers that inherit a parent-warmed
+            # cache copy-on-write (scripts/rank_identity_scale.py) --
+            # never rescan
+            if index.rescue_df_cache is None:
+                index.rescue_df_cache = {}
+            ck = (term, exclude_filenames)
+            if ck in index.rescue_df_cache:
+                out[term] = index.rescue_df_cache[ck]
+                continue
             cnt = 0
             for i, d in enumerate(index.docs):
                 tok_hit = (
@@ -237,6 +251,7 @@ def global_df(
                 )
                 if tok_hit or term in hay:
                     cnt += 1
+            index.rescue_df_cache[ck] = cnt
             out[term] = cnt
         else:
             out[term] = base
@@ -254,11 +269,16 @@ def url_extension(url: str) -> str:
     return m.group(1).lower() if m else ""
 
 
-def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
+def apply_filters(
+    index: CorpusIndex,
+    plan: QueryPlan,
+    doc_range: tuple[int, int] | None = None,
+) -> list[int]:
     """F1/F3 for the web schema: lang filter on the lang column; url filters
     (file/path/filename/dir) as case-insensitive substring on url; ext/
     extension as the url's trailing extension.  type: has no web meaning
-    (tree-sitter language map) and is ignored -- documented in COVERAGE."""
+    (tree-sitter language map) and is ignored -- documented in COVERAGE.
+    ``doc_range`` bounds the scan to positions [lo, hi) (see search)."""
     from probe_spark.config import normalize_lang
 
     keep = []
@@ -277,7 +297,9 @@ def apply_filters(index: CorpusIndex, plan: QueryPlan) -> list[int]:
         for f in ("ext", "extension")
         for v in plan.filters.get(f, [])
     }
-    for i, d in enumerate(index.docs):
+    lo, hi = doc_range if doc_range is not None else (0, len(index.docs))
+    for i in range(lo, hi):
+        d = index.docs[i]
         if lang_vals and normalize_lang(d.lang) not in lang_vals:
             continue
         if url_subs and not all(s in d.url.lower() for s in url_subs):
@@ -316,14 +338,23 @@ def search(
     exact: bool = False,
     boost_coverage: bool = False,
     exclude_filenames: bool = False,
+    doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score), rank order (score desc, doc_id asc).
     boost_coverage multiplies BM25 by the R7 coverage boost with the query
     term count as denominator (node-type boost is identically 1.0 for web
     pages, SURVEY.md R7).  exclude_filenames drops url-token-only credit
-    from matching (-n, see doc_term_freqs)."""
+    from matching (-n, see doc_term_freqs).
+
+    ``doc_range=(lo, hi)`` restricts the SCAN to index positions
+    [lo, hi) while keeping every global statistic (n_docs, avgdl, df)
+    corpus-wide, so per-doc scores are identical to a full scan's --
+    shard workers in scripts/rank_identity_scale.py evaluate disjoint
+    ranges and the parent merges per-shard top-k exactly (scores are
+    doc-local given the global stats; merge order (score desc, doc_id
+    asc) is the same tie-break the full scan sorts by)."""
     plan = elastic.create_query_plan(query, exact)
-    candidates = apply_filters(index, plan)
+    candidates = apply_filters(index, plan, doc_range=doc_range)
 
     if plan.is_universal_query:
         # filters-only query matches everything that passed filters, score 0

@@ -48,6 +48,25 @@ def _oracle_one(item):
     return qid, oracle_search(_ORACLE_IX, q, k=10)
 
 
+def _oracle_shard(doc_range):
+    """ALL queries over one disjoint doc-id shard [lo, hi) -> {qid:
+    shard-local top-10}.  Sharding by DOCS instead of by QUERIES keeps the
+    fork pool's copy-on-write cost flat in the worker count: a per-query
+    worker scans the whole corpus and dirties (via refcount writes) the
+    pages of every object it touches, multiplying resident memory by ~the
+    per-scan touch set PER WORKER; a shard worker touches only its own
+    slice, so the total dirtied set across all workers is one corpus scan
+    regardless of parallelism.  Scores are doc-local given global stats
+    (oracle.search doc_range contract), so merging per-shard top-10 by
+    (score desc, doc_id asc) reproduces the full scan exactly."""
+    from probe_spark.oracle import search as oracle_search
+
+    return {
+        qid: oracle_search(_ORACLE_IX, q, k=10, doc_range=doc_range)
+        for qid, q in sorted(QUERIES.items())
+    }
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -81,37 +100,56 @@ def main() -> None:
 
         import os
 
+        # release the Spark JVM (driver heap defaults to 32g) across the
+        # oracle's resident-set peak at multi-million-doc scale; a fresh
+        # session serves the engine/wand query phase afterwards
+        spark.stop()
+
         workers = os.cpu_count() or 1
         t0 = time.time()
         oracle_ix = oracle_corpus(n_docs, workers=workers)
         out["oracle_build_sec"] = round(time.time() - t0, 1)
 
-        # oracle query evaluation in a fork pool (each query scans every
-        # doc in pure Python; queries are independent, the index is shared
-        # copy-on-write) -- at 1M+ docs this and the corpus build, not the
-        # Spark engine, dominate the run
+        # oracle query evaluation in a fork pool, sharded by DOC RANGE
+        # (not by query): COW refcount dirtying stays one-corpus-scan
+        # total regardless of worker count (see _oracle_shard), which is
+        # what lets a 5M-doc run fit this box -- per-query workers capped
+        # out at 2M.  Override worker count with
+        # PROBE_ORACLE_QUERY_WORKERS.
         t0 = time.time()
         global _ORACLE_IX
         _ORACLE_IX = oracle_ix
+        # warm the rescue-df memo in the PARENT before forking: quoted/
+        # excluded terms need one O(corpus) containment scan each, and a
+        # shard worker recomputing it per shard (or even once per worker)
+        # would re-dirty the whole corpus's COW pages in every process
+        from probe_spark import elastic as _elastic
+        from probe_spark.oracle import global_df as _global_df
+
+        for _q in QUERIES.values():
+            _global_df(oracle_ix, _elastic.create_query_plan(_q, False))
+        out["oracle_rescue_warm_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
         from multiprocessing import get_context
 
-        # cap the fork pool well below cpu_count at large n: each worker
-        # dirties the COW pages whose objects it increfs while scanning
-        # (CPython refcounts live in the object header), so worker count
-        # multiplies resident memory by ~the per-scan touch set, not by
-        # zero.  12 workers keeps a 2M-doc run under ~half the box's RAM;
-        # override with PROBE_ORACLE_QUERY_WORKERS.
         q_workers = int(
-            os.environ.get(
-                "PROBE_ORACLE_QUERY_WORKERS", min(workers, 12)
-            )
+            os.environ.get("PROBE_ORACLE_QUERY_WORKERS", min(workers, 16))
         )
-        with get_context("fork").Pool(min(q_workers, len(QUERIES))) as pool:
-            expected_all = dict(
-                pool.map(_oracle_one, sorted(QUERIES.items()))
-            )
+        n = oracle_ix.n_docs
+        n_shards = max(1, min(q_workers * 4, n))
+        step = (n + n_shards - 1) // n_shards
+        ranges = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        with get_context("fork").Pool(q_workers) as pool:
+            shard_results = pool.map(_oracle_shard, ranges)
+        expected_all = {}
+        for qid in QUERIES:
+            merged = [t for sr in shard_results for t in sr[qid]]
+            merged.sort(key=lambda x: (-x[1], x[0]))
+            expected_all[qid] = merged[:10]
         out["oracle_queries_sec"] = round(time.time() - t0, 1)
 
+        spark = get_spark("rank_identity_scale_query")
+        spark.sparkContext.setLogLevel("ERROR")
         flat = SearchEngine(spark, ix)
         wand = WandEngine(spark, ix)
         results = {"engine": 0, "wand": 0}
