@@ -419,6 +419,67 @@ def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    # stemming-invariant terms so the elastic pipeline resolves them to
+    # the same strings the simple-tokenizer index stores
+    "qa": ("spark", "join"),
+    "qb": ("hash", "key"),
+    "qc": ("scan", "filter", "sort"),
+    "qd": ("stream", "batch"),
+}
+
+
+def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query SET served in ONE Spark action through the inverted index
+    (SearchEngine.search_batch): per-query BM25 top-10 tagged with
+    query_id -- the batched serving pattern a cluster deployment runs
+    (offline eval sweeps / query-log relevance labeling), where per-job
+    scheduling overhead dominates one-at-a-time serving.  DuckDB oracle =
+    UNION ALL of the per-query BM25 SQL blocks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    hits = eng.search_batch(
+        {qid: " ".join(ts) for qid, ts in BATCH_QUERIES.items()}, k=50
+    )
+    # same 6dp rounding + re-rank as _rounded_topk, partitioned per query
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.select(
+            "query_id",
+            F.regexp_extract("url", r"(\d+)", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .orderBy(F.asc("query_id"), F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _batch_sql() -> str:
+    from probe_spark.entry_queries import _BM25_CTE
+
+    parts = []
+    for qid, terms in sorted(BATCH_QUERIES.items()):
+        parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM (\n"
+            + _BM25_CTE.format(terms=repr(terms))
+            + "SELECT doc_id, round(score, 6) AS score FROM sc "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10)"
+        )
+    return (
+        " UNION ALL ".join(parts)
+        + " ORDER BY query_id ASC, score DESC, doc_id ASC"
+    )
+
+
 def probe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: elastic-query BM25 top-10 through the distributed inverted
     index with the FULL probe tokenizer (rank-identity vs the pure-Python
@@ -500,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_incr_simple"] = _shipped(probe_index_incr_simple)
     out["probe_index_pipeline_serve"] = _shipped(probe_index_pipeline_serve)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
+    out["probe_index_batch_simple"] = _shipped(probe_index_batch_simple)
     return out
 
 
@@ -553,4 +615,5 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_incr_simple"] = R1_SQL
     out["probe_index_pipeline_serve"] = _pipeline_serve_sql()
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
+    out["probe_index_batch_simple"] = _batch_sql()
     return out

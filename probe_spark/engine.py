@@ -855,6 +855,73 @@ class SearchEngine:
             hits = self._hydrate_matches(hits, cand, idfs)
         return self._ranked(hits, extra)
 
+    def search_batch(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        exact: bool = False,
+        boost_coverage: bool = False,
+        exclude_filenames: bool = False,
+    ) -> DataFrame:
+        """Serve a whole query SET in ONE Spark action: (query_id, rank,
+        doc_id, url, score), per-query top-k, rank partitioned by query_id.
+
+        The cluster serving pattern for an analytic index is a query
+        BATCH (relevance labeling of a query log, offline eval sweeps),
+        and per-job scheduling overhead -- not scoring -- dominates when
+        the queries are issued one action at a time.  Each query's branch
+        keeps its own term-pruned postings scan and TakeOrdered top-k
+        (exactly the single-query physical plan), the branches are
+        unioned lazily, and one action computes them all; Spark schedules
+        the branches' stages concurrently inside the job, so the batch
+        cost approaches max(branch) instead of sum(branch).
+
+        Driver-side planning is batched too: every query's terms resolve
+        through ONE pruned terms-dictionary lookup (term_dfs over the
+        union of terms) instead of a lookup action per query.  Rows are
+        value-identical to per-query ``search()`` calls -- the batch
+        identity test pins this."""
+        plans = {
+            qid: elastic.create_query_plan(q, exact)
+            for qid, q in queries.items()
+        }
+        # one dictionary lookup for the union of all plain terms (rescue
+        # terms resolve per-branch exactly as in search())
+        plain = sorted(
+            {
+                t
+                for p in plans.values()
+                for t in p.term_indices
+                if t not in oracle.rescue_terms(p)
+            }
+        )
+        if plain:
+            self.term_dfs(plain)
+        parts = []
+        for qid in sorted(queries):
+            hits = self.search(
+                queries[qid],
+                k,
+                exact,
+                boost_coverage=boost_coverage,
+                exclude_filenames=exclude_filenames,
+            )
+            parts.append(
+                hits.select(
+                    F.lit(qid).alias("query_id"),
+                    "rank",
+                    "doc_id",
+                    "url",
+                    "score",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(
+            F.asc("query_id"), F.asc("rank")
+        )
+
     def files_only(
         self, query: str, exact: bool = False, exclude_filenames: bool = False
     ) -> DataFrame:

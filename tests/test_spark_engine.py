@@ -106,6 +106,34 @@ def test_determinism(engine):
     assert a == b
 
 
+def test_search_batch_identity(engine):
+    """search_batch (one action for the whole set) must be row-identical
+    to per-query search() -- across plan shapes that exercise different
+    engine state (plain bag, required/boolean, excluded rescue, quoted
+    phrase, field filter), pinning that no per-query planning state
+    leaks between the unioned branches."""
+    batch = {
+        "bag": "error handling retry",
+        "bool": "+error +handler",
+        "excl": "process -deprecated",
+        "phrase": '"error handling" retry',
+        "field": "lang:de firewall",
+    }
+    got = engine.search_batch(batch, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["url"], r["score"])
+        )
+    assert sorted(by_q) == sorted(batch)
+    for qid, q in batch.items():
+        solo = [
+            (r["rank"], r["doc_id"], r["url"], r["score"])
+            for r in engine.search(q, k=10).collect()
+        ]
+        assert by_q[qid] == solo, f"{qid}: batch != solo\n{by_q[qid]}\n{solo}"
+
+
 def test_exact_flag(engine, tiny_oracle):
     expected = oracle_search(tiny_oracle, "error handling", k=10, exact=True)
     got = engine.search_local("error handling", k=10, exact=True)
