@@ -394,6 +394,29 @@ def main() -> None:
         else None,
     }
     result["value"] = round(sum(queries.values()), 3)
+    # 4. batched serving: the whole HEADLINE set in ONE Spark action
+    # (SearchEngine.search_batch) vs the sequential sum above -- the
+    # amortization a cluster gets when queries arrive as an eval batch
+    # instead of one job each.  min-of-N like the sweeps.
+    seq_sec = sum(queries[n] for n in HEADLINE)
+    batch_ts = []
+    for _ in range(N_SWEEPS):
+        t0 = time.time()
+        eng.search_batch(HEADLINE, k=10).collect()
+        batch_ts.append(time.time() - t0)
+    result["batch"] = {
+        "n_queries": len(HEADLINE),
+        "batch_sec": round(min(batch_ts), 3),
+        "batch_runs": [round(t, 3) for t in batch_ts],
+        "sequential_sec": round(seq_sec, 3),
+        "amortization": round(seq_sec / min(batch_ts), 2)
+        if min(batch_ts) > 0
+        else None,
+    }
+    probes.append(round(_steal_probe_ms(), 1))
+    result["window"]["probe_spread"] = (
+        round(max(probes) / min(probes), 2) if min(probes) > 0 else None
+    )
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(result))

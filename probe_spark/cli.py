@@ -112,6 +112,22 @@ def main(argv: list[str] | None = None) -> int:
         "lives at <index>/session_cache)",
     )
 
+    ba = sub.add_parser(
+        "batch",
+        help="serve a whole query set in one Spark action "
+        "(SearchEngine.search_batch); JSON-lines output keyed by query_id",
+    )
+    ba.add_argument("--index", required=True)
+    ba.add_argument(
+        "--queries-file", required=True,
+        help="JSON object {query_id: query} or plain text, one query per "
+        "line (ids become q001, q002, ...)",
+    )
+    ba.add_argument("-k", type=int, default=10)
+    ba.add_argument("--exact", action="store_true")
+    ba.add_argument("--boost-coverage", action="store_true")
+    ba.add_argument("-n", "--exclude-filenames", action="store_true")
+
     c = sub.add_parser("compact", help="compact postings into block-max blocks")
     c.add_argument("--index", required=True)
 
@@ -363,6 +379,45 @@ def main(argv: list[str] | None = None) -> int:
         print(format_results(limited.results, args.format, terms=hl))
         if limited.limits_applied:
             print(f"# skipped {limited.skipped} results (limits)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "batch":
+        from probe_spark.engine import SearchEngine
+
+        raw = open(args.queries_file).read()
+        try:
+            parsed = json.loads(raw)
+            queries = {str(k): str(v) for k, v in parsed.items()}
+        except (json.JSONDecodeError, AttributeError):
+            lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
+            queries = {f"q{i + 1:03d}": q for i, q in enumerate(lines)}
+        if not queries:
+            print("error: no queries in file", file=sys.stderr)
+            return 2
+        eng = SearchEngine(spark, args.index)
+        rows = eng.search_batch(
+            queries,
+            k=args.k,
+            exact=args.exact,
+            boost_coverage=args.boost_coverage,
+            exclude_filenames=args.exclude_filenames,
+        ).collect()
+        by_q: dict[str, list] = {q: [] for q in queries}
+        for r in rows:
+            by_q[r["query_id"]].append(
+                {
+                    "rank": r["rank"],
+                    "doc_id": r["doc_id"],
+                    "url": r["url"],
+                    "score": r["score"],
+                }
+            )
+        for qid in sorted(by_q):
+            print(
+                json.dumps(
+                    {"query_id": qid, "query": queries[qid], "results": by_q[qid]}
+                )
+            )
         return 0
 
     if args.cmd == "extract":

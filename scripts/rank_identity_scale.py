@@ -154,12 +154,15 @@ def main() -> None:
         wand = WandEngine(spark, ix)
         results = {"engine": 0, "wand": 0}
         mismatches = []
+        lat: dict[str, list[float]] = {"engine": [], "wand": []}
         t0 = time.time()
         for qid in sorted(QUERIES):
             q = QUERIES[qid]
             expected = expected_all[qid]
             for label, eng in (("engine", flat), ("wand", wand)):
+                tq = time.time()
                 got = eng.search_local(q, k=10)
+                lat[label].append(time.time() - tq)
                 ok = [d for d, _ in got] == [d for d, _ in expected] and all(
                     gs == es for (_, gs), (_, es) in zip(got, expected)
                 )
@@ -168,6 +171,14 @@ def main() -> None:
                 else:
                     mismatches.append((qid, label, got[:3], expected[:3]))
         out["queries_sec"] = round(time.time() - t0, 1)
+        # per-path latency distribution at THIS corpus size (cold cache,
+        # first sighting of each query -- the conservative number)
+        for label, ts in lat.items():
+            ts = sorted(ts)
+            out[f"{label}_p50_sec"] = round(ts[len(ts) // 2], 3)
+            out[f"{label}_p99_sec"] = round(
+                ts[min(len(ts) - 1, int(len(ts) * 0.99))], 3
+            )
         out["engine_pass"] = results["engine"]
         out["wand_pass"] = results["wand"]
         out["mismatches"] = [

@@ -174,3 +174,33 @@ def test_grep_color_highlights(ix, capsys):
     )
     assert rc == 0
     assert "\x1b[1;31mfirewall\x1b[0m" in out.out
+
+
+# -- batch subcommand --------------------------------------------------------
+
+
+def test_batch_cli_json_file(spark, ix, tiny_oracle, tmp_path, capsys):
+    """batch --queries-file (JSON dict form): one JSON line per query,
+    results rank-identical to the oracle for each."""
+    qf = tmp_path / "queries.json"
+    batch = {"fw": "firewall", "eh": "error handling"}
+    qf.write_text(json.dumps(batch))
+    rc, out = _run(
+        capsys, "batch", "--index", ix, "--queries-file", str(qf), "-k", "5",
+    )
+    assert rc == 0
+    lines = [json.loads(ln) for ln in out.out.strip().splitlines()]
+    assert [ln["query_id"] for ln in lines] == sorted(batch)
+    for ln in lines:
+        expected = oracle_search(tiny_oracle, batch[ln["query_id"]], k=5)
+        assert [r["doc_id"] for r in ln["results"]] == [d for d, _ in expected]
+
+
+def test_batch_cli_plain_lines(ix, tmp_path, capsys):
+    qf = tmp_path / "queries.txt"
+    qf.write_text("firewall\n\n+error +handler\n")
+    rc, out = _run(capsys, "batch", "--index", ix, "--queries-file", str(qf))
+    assert rc == 0
+    lines = [json.loads(ln) for ln in out.out.strip().splitlines()]
+    assert [ln["query_id"] for ln in lines] == ["q001", "q002"]
+    assert lines[0]["query"] == "firewall"
