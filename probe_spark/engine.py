@@ -881,6 +881,8 @@ class SearchEngine:
         union of terms) instead of a lookup action per query.  Rows are
         value-identical to per-query ``search()`` calls -- the batch
         identity test pins this."""
+        if not queries:
+            raise ValueError("search_batch: empty query set")
         plans = {
             qid: elastic.create_query_plan(q, exact)
             for qid, q in queries.items()
