@@ -865,7 +865,29 @@ def build_index(
         for b in todo:
             _build_bucket(b)
     elif todo:
-        _build_buckets_batch(todo)
+        # PROBE_BUILD_WAVE_BUCKETS bounds the build's in-flight scratch:
+        # one wave's persisted tokenize cache + its three repartition
+        # shuffles is the peak block-manager footprint, and the single
+        # all-buckets wave holds the WHOLE corpus's worth at once (a 5M-doc
+        # build filled an 80 GiB tmpfs scratch and got the JVM oom-killed
+        # on this box).  Chunking todo into waves of K buckets divides that
+        # peak by ceil(len(todo)/K) for a small tail-parallelism cost per
+        # wave barrier; on a real cluster it bounds per-executor shuffle
+        # scratch the same way.  Default (unset/0) keeps the single wave.
+        import os as _os
+
+        wave = int(_os.environ.get("PROBE_BUILD_WAVE_BUCKETS", "0") or 0)
+        if wave <= 0 or wave >= len(todo):
+            _build_buckets_batch(todo)
+        else:
+            import gc as _gc
+
+            for i in range(0, len(todo), wave):
+                _build_buckets_batch(todo[i : i + wave])
+                # drop py4j refs so ContextCleaner can delete the finished
+                # wave's shuffle files + cache blocks before the next wave
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
 
     # Phase C: finalize global aggregates (idempotent overwrite).  The term
     # dictionary re-aggregates the per-bucket partials (vocab-sized input,
