@@ -1569,6 +1569,197 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _word_ngrams(w, n, k: int):
+    """Array column of word ``k``-grams of ``w`` (size column ``n``),
+    joined with single spaces; empty array when the doc has fewer than
+    ``k`` words.  The guard matters: Spark's ``sequence(1, 0)`` counts
+    DOWN (yields ``[1, 0]``), it does not return an empty range, and
+    CASE WHEN evaluates only the taken branch so the descending sequence
+    is never built."""
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style per-document repetition signals (Rae et
+    al. 2021, table A1): fraction of duplicated word 2-grams and 3-grams
+    and the most-frequent-word mass.  Training pipelines drop documents
+    above thresholds on exactly these columns (e.g. dup-2gram > 0.2).
+    All doc-local array math -- a map-only pass with no shuffle, the
+    shape that holds at 100 TB; the per-doc distinct x scan product in
+    ``top_word_frac`` is bounded by the page length."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+
+    def _dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        _dup_frac(_word_ngrams(w, n, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_word_ngrams(w, n, 3)).alias("dup_3gram_frac"),
+        F.round(top / n, 6).alias("top_word_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, ws,
+  CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+       i -> ws[i] || ' ' || ws[i+1]) ELSE []::VARCHAR[] END AS g2,
+  CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws)-2),
+       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       ELSE []::VARCHAR[] END AS g3
+  FROM w)
+SELECT doc_id, len(ws)::BIGINT AS n_words,
+  round(CASE WHEN len(g2) > 0
+        THEN 1 - len(list_distinct(g2)) / len(g2)::DOUBLE
+        ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN 1 - len(list_distinct(g3)) / len(g3)::DOUBLE
+        ELSE 0.0 END, 6) AS dup_3gram_frac,
+  round(list_max(list_transform(list_distinct(ws),
+        x -> len(list_filter(ws, y -> y = x)))) / len(ws)::DOUBLE, 6)
+    AS top_word_frac
+FROM g
+"""
+
+
+def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual sampling
+    rule of XLM-R/mBERT: p_l ~ (c_l)^alpha with alpha < 1 flattens the
+    language mix so high-resource languages stop dominating).  Keeps an
+    expected 50% of the corpus with per-language keep rates
+    rate_l = min(1, 0.5 * total * (c_l^0.3 / sum c^0.3) / c_l), decided
+    deterministically per document by an md5(doc_id) bucket -- re-runs
+    and appends never flip a document's fate.  The keep decision compares
+    INTEGER ppm values (rate rounded to 1e-6) so no float comparison
+    crosses the engine boundary.  Scale shape: lang counts are map-side
+    combined (each task emits <= n_langs rows), the 5-row rate table is
+    broadcast back -- one tiny agg plus a map-only filter."""
+    docs = _docs(spark, sf_dir).select("lang", "doc_id")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    s = c.agg(
+        F.sum(F.pow("c", F.lit(0.3))).alias("sw"),
+        F.sum("c").alias("tot"),
+    )
+    rate = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    0.5
+                    * F.col("tot")
+                    * (F.pow("c", F.lit(0.3)) / F.col("sw"))
+                    / F.col("c"),
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+    u_ppm = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .where(u_ppm < F.col("rate_ppm"))
+        .select("lang", "doc_id", "rate_ppm")
+    )
+
+
+SAMPLE_LANG_TEMPERATURE_SQL = """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
+s AS (SELECT sum(pow(c, 0.3)) AS sw, sum(c) AS tot FROM c),
+r AS (SELECT lang,
+        round(least(1.0, 0.5 * tot * (pow(c, 0.3) / sw) / c) * 1e6)::BIGINT
+          AS rate_ppm
+      FROM c, s)
+SELECT d.lang, d.doc_id, r.rate_ppm
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+      % 1000000 < r.rate_ppm
+"""
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate phrase mining: word 3-grams that recur in
+    >= 5 distinct documents, with document frequency and total occurrence
+    count -- the detector behind navigation/footer stripping in web
+    pipelines (a 3-gram that appears verbatim across many pages is
+    template text, not content).  Per-doc (ngram, count) pairs are built
+    doc-locally (map-only), so the job's ONLY shuffle is the final
+    groupBy(ngram) -- the aggregation is map-side combined and the df
+    filter prunes the long tail before it is ever collected."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+    g3 = _word_ngrams(w, n, 3)
+    pairs = F.transform(
+        F.array_distinct(g3),
+        lambda x: F.struct(
+            x.alias("ng"),
+            F.size(F.filter(g3, lambda y: y == x)).cast("long").alias("cnt"),
+        ),
+    )
+    ex = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.ng").alias("ngram"), F.col("p.cnt").alias("cnt")
+    )
+    return (
+        ex.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+BOILERPLATE_NGRAMS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws)-2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE []::VARCHAR[] END AS g3
+      FROM w),
+g AS (SELECT doc_id, unnest(g3) AS ng FROM h),
+per AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT ng AS ngram, count(*)::BIGINT AS df, sum(cnt)::BIGINT AS total
+FROM per GROUP BY ng HAVING count(*) >= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -1642,5 +1833,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, QUALITY_SQL),
     "text_langid": (text_langid, LANGID_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_repetition": (text_repetition, REPETITION_SQL),
+    "text_boilerplate_ngrams": (text_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
+    "sample_lang_temperature": (sample_lang_temperature, SAMPLE_LANG_TEMPERATURE_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

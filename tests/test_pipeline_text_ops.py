@@ -1,0 +1,94 @@
+"""Round-4 LLM-pipeline text operators: Gopher repetition signals,
+boilerplate 3-gram mining, temperature language rebalancing.
+
+Each entry is also under the driver's DuckDB gate (ALL_QUERIES); these
+tests pin hand-computed expectations on tiny corpora so a regression is
+caught without the oracle, plus the determinism/monotonicity contracts
+the sampling op must keep at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from probe_spark.entry_queries import (
+    sample_lang_temperature,
+    text_boilerplate_ngrams,
+    text_repetition,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_repetition_hand_computed(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            # 2-grams: [a b, b a, a b, b c] -> 4 total 3 distinct -> 0.25
+            # 3-grams: [a b a, b a b, a b c] -> all distinct -> 0.0
+            # top word: 'a' and 'b' both 2/5 -> 0.4
+            (0, "a b a b c", "en", "s", 9),
+            (1, "x", "en", "s", 1),  # single word: guards, not sequence(1,0)
+            (2, "y y y y", "en", "s", 7),  # fully repeated
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in text_repetition(spark, sf).collect()
+    }
+    assert got[0]["n_words"] == 5
+    assert got[0]["dup_2gram_frac"] == pytest.approx(0.25)
+    assert got[0]["dup_3gram_frac"] == 0.0
+    assert got[0]["top_word_frac"] == pytest.approx(0.4)
+    assert got[1] == {
+        "doc_id": 1,
+        "n_words": 1,
+        "dup_2gram_frac": 0.0,
+        "dup_3gram_frac": 0.0,
+        "top_word_frac": 1.0,
+    }
+    # "y y y y": 3 identical 2-grams -> 1 - 1/3; 2 identical 3-grams -> 0.5
+    assert got[2]["dup_2gram_frac"] == pytest.approx(round(1 - 1 / 3, 6))
+    assert got[2]["dup_3gram_frac"] == pytest.approx(0.5)
+    assert got[2]["top_word_frac"] == 1.0
+
+
+def test_boilerplate_ngrams_df_threshold(spark, tmp_path):
+    # "nav home link" appears once in each of 6 docs (df=6) and twice in
+    # doc 0 (total=7); "uniq one two" appears in only one doc -> pruned.
+    rows = [
+        (0, "nav home link pad nav home link", "en", "s", 10),
+        (6, "uniq one two three", "en", "s", 10),
+    ] + [(i, f"nav home link filler{i}", "en", "s", 10) for i in range(1, 6)]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r["ngram"]: (r["df"], r["total"])
+        for r in text_boilerplate_ngrams(spark, sf).collect()
+    }
+    assert got == {"nav home link": (6, 7)}
+
+
+def test_lang_temperature_rebalances_and_is_deterministic(spark, tmp_path):
+    # 90/10 skew: alpha=0.3 must keep a LOWER rate for the big language.
+    rows = [(i, "w", "en", "s", 1) for i in range(90)] + [
+        (100 + i, "w", "fr", "s", 1) for i in range(10)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    a = sample_lang_temperature(spark, sf).collect()
+    b = sample_lang_temperature(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    rates = {r["lang"]: r["rate_ppm"] for r in a}
+    assert rates["en"] < rates["fr"]
+    kept = pd.DataFrame([r.asDict() for r in a])
+    n_en = (kept["lang"] == "en").sum()
+    n_fr = (kept["lang"] == "fr").sum()
+    # expected kept: en 50*w_en/(w_en+w_fr) ~ 39, fr ~ 11 (capped at 10):
+    # the mix must be flatter than the 9:1 input
+    assert n_fr > 0 and n_en < 90
+    assert n_en / max(n_fr, 1) < 9
