@@ -1595,10 +1595,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     above thresholds on exactly these columns (e.g. dup-2gram > 0.2).
     All doc-local array math -- a map-only pass with no shuffle, the
     shape that holds at 100 TB; the per-doc distinct x scan product in
-    ``top_word_frac`` is bounded by the page length."""
+    ``top_word_frac`` is bounded by the page length.
+
+    The arrays are MATERIALIZED in a projection before the nested
+    lambdas touch them: a lambda that closes over an expression (not a
+    bound column) makes Catalyst re-evaluate that whole expression per
+    outer element -- O(len^2) array builds per document, measured 14x
+    slower at sf0.1."""
     docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    n = F.size(w)
+    w, n = F.col("ws"), F.size("ws")
+    arrs = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        _word_ngrams(w, n, 2).alias("g2"),
+        _word_ngrams(w, n, 3).alias("g3"),
+    )
 
     def _dup_frac(g):
         return F.when(
@@ -1614,11 +1628,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.size(F.filter(w, lambda y: y == x)),
         )
     )
-    return docs.select(
+    return arrs.select(
         "doc_id",
         n.cast("long").alias("n_words"),
-        _dup_frac(_word_ngrams(w, n, 2)).alias("dup_2gram_frac"),
-        _dup_frac(_word_ngrams(w, n, 3)).alias("dup_3gram_frac"),
+        _dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("g3")).alias("dup_3gram_frac"),
         F.round(top / n, 6).alias("top_word_frac"),
     )
 
@@ -1720,11 +1734,16 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     template text, not content).  Per-doc (ngram, count) pairs are built
     doc-locally (map-only), so the job's ONLY shuffle is the final
     groupBy(ngram) -- the aggregation is map-side combined and the df
-    filter prunes the long tail before it is ever collected."""
+    filter prunes the long tail before it is ever collected.  ``g3`` is
+    materialized via projection BEFORE the nested count lambda reads it
+    (same Catalyst re-evaluation trap as text_repetition: an expression
+    closed over by a lambda is rebuilt per outer element)."""
     docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    n = F.size(w)
-    g3 = _word_ngrams(w, n, 3)
+    w, n = F.col("ws"), F.size("ws")
+    arrs = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", _word_ngrams(w, n, 3).alias("g3")
+    )
+    g3 = F.col("g3")
     pairs = F.transform(
         F.array_distinct(g3),
         lambda x: F.struct(
@@ -1732,7 +1751,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(g3, lambda y: y == x)).cast("long").alias("cnt"),
         ),
     )
-    ex = docs.select(F.explode(pairs).alias("p")).select(
+    ex = arrs.select(F.explode(pairs).alias("p")).select(
         F.col("p.ng").alias("ngram"), F.col("p.cnt").alias("cnt")
     )
     return (
