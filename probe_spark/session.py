@@ -27,8 +27,30 @@ def get_spark(
     local_dir = os.environ.get("PROBE_SPARK_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
+    # local[N] runs with task retries DISABLED (maxFailures=1): one flaky
+    # task kills the whole job.  For multi-hour scale runs set
+    # PROBE_SPARK_TASK_MAXFAILURES>1 -- in local mode the retry count can
+    # only be set through the master string local[N, F].  On a real
+    # cluster this is spark.task.maxFailures (default 4) and needs none
+    # of this.
+    max_failures = int(os.environ.get("PROBE_SPARK_TASK_MAXFAILURES", "1"))
+    master = (
+        f"local[{cores}]"
+        if max_failures <= 1
+        else f"local[{cores}, {max_failures}]"
+    )
+    builder = SparkSession.builder.master(master)
+    # spark.python.worker.reuse=false isolates each task in a fresh
+    # Python worker: slower per task (~100 ms spawn) but immune to the
+    # reused-daemon protocol desync that can leave a worker blocked on
+    # read while the JVM side idles (observed once at 5M-doc scale).
+    if os.environ.get("PROBE_SPARK_WORKER_REUSE", "").lower() in (
+        "0",
+        "false",
+    ):
+        builder = builder.config("spark.python.worker.reuse", "false")
     spark = (
-        SparkSession.builder.master(f"local[{cores}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")

@@ -82,10 +82,22 @@ def main() -> None:
     from probe_spark.session import get_spark
     from probe_spark.wand import WandEngine
 
-    tmp = tempfile.mkdtemp(prefix="probe_scaleid_", dir="/dev/shm")
+    # PROBE_SCALEID_DIR pins the scratch to a fixed path that SURVIVES a
+    # crash: build and compaction are lineage-resumable, so a relaunch
+    # with the same dir picks up where the dead run stopped instead of
+    # redoing hours of work.  Unset keeps the old fresh-tempdir behavior.
+    import os as _os
+
+    fixed = _os.environ.get("PROBE_SCALEID_DIR")
+    if fixed:
+        tmp = fixed
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix="probe_scaleid_", dir="/dev/shm")
     out: dict = {"n_docs": n_docs, "n_buckets": n_buckets}
     spark = get_spark("rank_identity_scale")
     spark.sparkContext.setLogLevel("ERROR")
+    ok = False
     try:
         ix = f"{tmp}/ix"
         t0 = time.time()
@@ -185,13 +197,18 @@ def main() -> None:
             {"qid": m[0], "path": m[1]} for m in mismatches[:5]
         ]
         print(json.dumps(out))
+        # keep the scratch on mismatch too: it is the debugging evidence
+        ok = not mismatches
         if mismatches:
             for m in mismatches[:5]:
                 print("MISMATCH", m, file=sys.stderr)
             sys.exit(1)
     finally:
         spark.stop()
-        shutil.rmtree(tmp, ignore_errors=True)
+        # never delete a crashed run's scratch -- a 5M-doc build is
+        # ~40 min of work and the lineage makes a relaunch resume it
+        if ok:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
