@@ -394,6 +394,27 @@ def main() -> None:
         else None,
     }
     result["value"] = round(sum(queries.values()), 3)
+    # round-4 pipeline text ops, timed OUTSIDE the headline sum so the
+    # "value" series stays comparable across rounds; min-of-2
+    from probe_spark.entry_queries import (
+        sample_lang_temperature,
+        text_boilerplate_ngrams,
+        text_repetition,
+    )
+
+    extra = {}
+    for name, fn in (
+        ("op_text_repetition", text_repetition),
+        ("op_boilerplate_ngrams", text_boilerplate_ngrams),
+        ("op_lang_temperature", sample_lang_temperature),
+    ):
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            ts.append(time.time() - t0)
+        extra[name] = round(min(ts), 3)
+    result["extra_ops"] = extra
     # 4. batched serving: the whole HEADLINE set in ONE Spark action
     # (SearchEngine.search_batch) vs the sequential sum above -- the
     # amortization a cluster gets when queries arrive as an eval batch
