@@ -117,7 +117,15 @@ def main() -> None:
         # session serves the engine/wand query phase afterwards
         spark.stop()
 
-        workers = os.cpu_count() or 1
+        # PROBE_ORACLE_BUILD_WORKERS caps the corpus-build fork pool:
+        # RAM, not CPU, is the binding constraint at >=5M docs (the 5M
+        # query phase OOM-killed a 28 GB parent on this box when the
+        # index scratch also lived in RAM-backed tmpfs)
+        workers = int(
+            os.environ.get(
+                "PROBE_ORACLE_BUILD_WORKERS", os.cpu_count() or 1
+            )
+        )
         t0 = time.time()
         oracle_ix = oracle_corpus(n_docs, workers=workers)
         out["oracle_build_sec"] = round(time.time() - t0, 1)
