@@ -101,8 +101,17 @@ def main() -> None:
     try:
         ix = f"{tmp}/ix"
         t0 = time.time()
+        # with a pinned scratch, RESUME an existing build rather than
+        # wiping it (resume is opt-in in build_index; without this flag a
+        # crashed run's surviving scratch is rebuilt from scratch anyway,
+        # which defeats the point of keeping it)
+        resume = bool(fixed) and (Path(ix) / "manifest.json").exists()
         metrics = build_index(
-            spark, pages_df(spark, n_docs), ix, n_buckets=n_buckets
+            spark,
+            pages_df(spark, n_docs),
+            ix,
+            n_buckets=n_buckets,
+            resume=resume,
         )
         out["build_sec"] = round(time.time() - t0, 1)
         out["n_postings"] = metrics["n_postings"]
