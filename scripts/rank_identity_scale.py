@@ -177,6 +177,17 @@ def main() -> None:
             expected_all[qid] = merged[:10]
         out["oracle_queries_sec"] = round(time.time() - t0, 1)
 
+        # expected_all (25 tiny top-10 lists) is all the engine phase
+        # needs: free the oracle corpus BEFORE starting the query-phase
+        # JVM -- at 5M docs the corpus is ~56 GB resident (kernel
+        # OOM-kill receipts on this box) and holding it across the Spark
+        # session is what ran the box out of memory
+        _ORACLE_IX = None
+        del oracle_ix
+        import gc
+
+        gc.collect()
+
         spark = get_spark("rank_identity_scale_query")
         spark.sparkContext.setLogLevel("ERROR")
         flat = SearchEngine(spark, ix)
