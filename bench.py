@@ -233,6 +233,107 @@ def _scaling_min_of_interleaved(
     return best[8][0], best[cpus][0], best[8][1], best[cpus][1], trials
 
 
+SERVING_LOG_QUERIES = int(os.environ.get("PROBE_BENCH_LOG_QUERIES", "200"))
+
+
+def _serving_trial(
+    cores: int, ix_dir: str, log: dict[str, str]
+) -> tuple[float, float]:
+    """One query-serving trial at ``cores`` from a fresh session:
+    (branch_sec, fused_sec) where branch_sec serves the 25-ref-query set
+    via search_batch (one unioned physical plan per query -- per-branch
+    scheduling is a fixed driver cost) and fused_sec serves the
+    ``log``-query bag batch via search_batch_fused (queries-as-data join:
+    one postings scan + one shuffle regardless of batch size).  A warm-up
+    batch first: JIT/codegen and dictionary caching are per-session
+    constants, identical at both levels, paid once per executor lifetime
+    on a real serving cluster."""
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import REFERENCE_QUERIES
+
+    spark = _fresh_spark(cores)
+    try:
+        eng = SearchEngine(spark, ix_dir)
+        eng.search_batch(
+            {"warm1": "firewall", "warm2": '+error "handler"'}
+        ).collect()
+        eng.search_batch_fused({"warm3": "firewall network"}).collect()
+        t0 = time.time()
+        eng.search_batch(REFERENCE_QUERIES, k=10).collect()
+        branch = time.time() - t0
+        t0 = time.time()
+        eng.search_batch_fused(log, k=10).collect()
+        return branch, time.time() - t0
+    finally:
+        spark.stop()
+
+
+def _serving_scaling(cpus: int, tmp: str) -> dict:
+    """Query-serving throughput at 8 vs ``cpus`` cores over the SAME
+    prebuilt fixture index -- the serving half of the north rule's N->4N
+    evidence (the build half is _scaling_min_of_interleaved).  Interleaved
+    min-of-2 per level with adjacent steal probes, like the build trials.
+    The index is built once, untimed, at full cores.  Two serving plans
+    are measured so the artifact shows WHY the fused plan exists: the
+    branch-union plan's cost is per-query driver scheduling (fixed, does
+    not parallelize), the fused plan's cost is data work (scales)."""
+    from probe_spark.fixtures import query_log
+    from probe_spark.indexer import build_index
+
+    ix_dir = f"{tmp}/serve_ix"
+    pages_path = _scaling_pages(tmp)
+    spark = _fresh_spark(cpus)
+    try:
+        build_index(spark, spark.read.parquet(pages_path), ix_dir, n_buckets=4)
+    finally:
+        spark.stop()
+    log = query_log(SERVING_LOG_QUERIES)
+    best_b = {8: float("inf"), cpus: float("inf")}
+    best_f = {8: float("inf"), cpus: float("inf")}
+    trials = []
+    for cores in (8, cpus, cpus, 8):
+        p0 = _steal_probe_ms()
+        b, f = _serving_trial(cores, ix_dir, log)
+        p1 = _steal_probe_ms()
+        trials.append(
+            {
+                "cores": cores,
+                "branch_sec": round(b, 2),
+                "fused_sec": round(f, 2),
+                "probe_ms_before": round(p0, 1),
+                "probe_ms_after": round(p1, 1),
+            }
+        )
+        best_b[cores] = min(best_b[cores], b)
+        best_f[cores] = min(best_f[cores], f)
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    ratio = cpus / 8
+    return {
+        "index_docs": SCALING_DOCS,
+        "cores_lo": 8,
+        "cores_hi": cpus,
+        "branch": {
+            "job": "25-ref-query batch via per-query unioned plans",
+            "n_queries": 25,
+            "sec_lo": round(best_b[8], 2),
+            "sec_hi": round(best_b[cpus], 2),
+            "queries_per_sec_hi": round(25 / best_b[cpus], 2),
+            "efficiency": round((best_b[8] / best_b[cpus]) / ratio, 3),
+        },
+        "fused": {
+            "job": f"{len(log)}-bag-query log via queries-as-data join "
+            "(search_batch_fused)",
+            "n_queries": len(log),
+            "sec_lo": round(best_f[8], 2),
+            "sec_hi": round(best_f[cpus], 2),
+            "queries_per_sec_lo": round(len(log) / best_f[8], 2),
+            "queries_per_sec_hi": round(len(log) / best_f[cpus], 2),
+            "efficiency": round((best_f[8] / best_f[cpus]) / ratio, 3),
+        },
+        "trials": trials,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -299,6 +400,10 @@ def main() -> None:
             # attribute an outlier trial to a degraded minute
             "trials": trials,
         }
+        # the serving half of the same evidence: batch query throughput
+        # over a prebuilt index at the same two parallelism levels
+        if os.environ.get("PROBE_BENCH_SERVING", "1") != "0":
+            result["scaling"]["serving"] = _serving_scaling(cpus, tmp)
 
     from probe_spark.engine import SearchEngine
     from probe_spark.indexer import build_index

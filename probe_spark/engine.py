@@ -924,6 +924,149 @@ class SearchEngine:
             F.asc("query_id"), F.asc("rank")
         )
 
+    def search_batch_fused(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        exact: bool = False,
+        boost_coverage: bool = False,
+        exclude_filenames: bool = False,
+    ) -> DataFrame:
+        """search_batch with the per-branch plans FUSED into one join.
+
+        search_batch unions one physical plan per query, so a B-query
+        batch schedules O(B) stages -- at cluster scale the driver, not
+        the executors, becomes the bottleneck (the r4 serving trials
+        measured 0.22 scaling efficiency for the branch-union plan:
+        per-branch scheduling is a fixed cost more cores cannot absorb).
+        Here eligible queries become DATA instead of plans: a broadcast
+        (query_id, term, idf, pos) table is joined once against the
+        term-pruned postings, scored per (query_id, doc_id) with the
+        SAME sorted-position ordered f64 sum as _score_disjunctive, and
+        top-k'd with one window -- one postings scan and one shuffle
+        REGARDLESS of batch size, the relevance-labeling /
+        offline-eval-sweep plan a 100-TB corpus needs.
+
+        Eligible = pure disjunctive bags with no field filters (probe's
+        dominant query-log shape; _is_disjunctive_bag).  Everything else
+        (required/excluded/exact/compound/filtered) falls back to the
+        branch-union plan and the outputs are unioned.  Rows are
+        value-identical to search_batch -- f64-exact: a one-element
+        ordered sum is 0.0 + x == x for the single-term case and the
+        multi-term association mirrors _score_disjunctive -- pinned by
+        the fused-vs-branch identity test.  boost_coverage batches
+        delegate wholesale: the single-term branch applies the boost as
+        a Python-computed literal (oracle.coverage_boost) whose pow can
+        differ from the JVM's in the last ulp."""
+        if not queries:
+            raise ValueError("search_batch_fused: empty query set")
+        if boost_coverage:
+            return self.search_batch(
+                queries,
+                k,
+                exact,
+                boost_coverage=True,
+                exclude_filenames=exclude_filenames,
+            )
+        self.check_refresh()
+        plans = {
+            qid: elastic.create_query_plan(q, exact)
+            for qid, q in queries.items()
+        }
+        fused = sorted(
+            qid
+            for qid, p in plans.items()
+            if _is_disjunctive_bag(p) and not p.filters and p.term_indices
+        )
+        rest = {qid: queries[qid] for qid in queries if qid not in set(fused)}
+        parts = []
+        if fused:
+            all_terms = sorted(
+                {t for qid in fused for t in plans[qid].term_indices}
+            )
+            dfs = self.term_dfs(all_terms)
+            qt_rows = []
+            for qid in fused:
+                p = plans[qid]
+                kws = [
+                    kw
+                    for t in walk_terms(p.ast)
+                    for kw in t.lowercase_keywords
+                ]
+                for pos, kw in enumerate(kws):
+                    qt_rows.append(
+                        (qid, kw, oracle.idf(self.n_docs, dfs.get(kw, 0)), pos)
+                    )
+            qt = self.spark.createDataFrame(
+                qt_rows, "query_id string, term string, idf double, pos int"
+            )
+            post = self._postings_df.filter(F.col("term").isin(all_terms))
+            if exclude_filenames:
+                if "tf_url" not in self._postings_df.columns:
+                    raise ValueError(
+                        "exclude_filenames needs the tf_url postings column; "
+                        "this index predates it -- rebuild with build_index()"
+                    )
+                post = post.filter((F.col("tf") - F.col("tf_url")) > 0)
+            p_ = self.params
+            tf = F.col("tf").cast("double")
+            tf_part = (tf * F.lit(p_.k1 + 1.0)) / (
+                tf
+                + F.lit(p_.k1)
+                * (
+                    F.lit(1.0 - p_.b)
+                    + F.lit(p_.b)
+                    * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
+                )
+            )
+            joined = post.select("term", "doc_id", "tf", "doc_len").join(
+                F.broadcast(qt), "term"
+            )
+            scored = (
+                joined.select(
+                    "query_id",
+                    "doc_id",
+                    "pos",
+                    (F.col("idf") * tf_part).alias("term_score"),
+                )
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term_score"))
+                    ).alias("arr")
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    F.aggregate(
+                        "arr", F.lit(0.0), lambda acc, s: acc + s["term_score"]
+                    ).alias("score"),
+                )
+                .filter(F.col("score") > 0.0)
+            )
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= k
+            )
+            parts.append(
+                topk.join(self._docs().select("doc_id", "url"), "doc_id", "left")
+                .select("query_id", "rank", "doc_id", "url", "score")
+            )
+        if rest:
+            parts.append(
+                self.search_batch(
+                    rest, k, exact, exclude_filenames=exclude_filenames
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(F.asc("query_id"), F.asc("rank"))
+
     def files_only(
         self, query: str, exact: bool = False, exclude_filenames: bool = False
     ) -> DataFrame:

@@ -242,3 +242,46 @@ def oracle_corpus(n_docs: int, workers: int = 1):
         for i, p in enumerate(by_url)
     ]
     return CorpusIndex.build(docs, workers=workers)
+
+
+def query_log(n_queries: int = 200) -> dict[str, str]:
+    """Deterministic bag-query LOG over the corpus lexicon -- the shape a
+    relevance-labeling / offline-eval batch has (1-3 plain terms, drawn
+    from the same Zipf-skewed vocabulary as the corpus, so hot terms
+    dominate like real query logs).  Only fused-eligible queries are
+    emitted (pure disjunctive bags after tokenization: no compound
+    splits, no stem collisions) so the serving-scaling trials measure
+    the queries-as-data join plan, not its fallback."""
+    from probe_spark import elastic
+    from probe_spark.engine import _is_disjunctive_bag
+
+    rng = random.Random(SEED + 7)
+    words = sorted({w for w in _CORE_WORDS if w.isalpha() and w.islower()})
+    out: dict[str, str] = {}
+    while len(out) < n_queries:
+        k = rng.choice((1, 2, 2, 3))
+        q = " ".join(rng.sample(words, k))
+        plan = elastic.create_query_plan(q, False)
+        if _is_disjunctive_bag(plan) and plan.term_indices:
+            out[f"log{len(out):04d}"] = q
+    return out
+
+
+# The 25 reference queries (FIXTURES.md SS3): one per reference feature
+# axis -- plain/stemmed terms, AND/OR/parens, +required/-excluded, quoted
+# exact phrases, camelCase/snake_case identifiers, stopword-only, lang:
+# field filter.  Canonical here so the identity runs, bench serving
+# trials, and tests all sweep the same set.
+REFERENCE_QUERIES = {
+    "q01": "firewall", "q02": "deadlock", "q03": "error handling",
+    "q04": "error AND handling", "q05": "timeout OR deadline",
+    "q06": "+firewall whitelist", "q07": "+error +handler",
+    "q08": "process -deprecated", "q09": "-deprecated",
+    "q10": '"parseJSONToHTML5"', "q11": '"error handling" retry',
+    "q12": "(timeout OR deadline) AND retry", "q13": "parseJSONToHTML5",
+    "q14": "codeblock", "q15": "hashmap lookup", "q16": "whitelist",
+    "q17": "OAuth2Provider", "q18": "the and for", "q19": "processing",
+    "q20": "lang:de firewall", "q21": '+retry -"error handling"',
+    "q22": "repository OR repositori", "q23": "migrate endpoint meta",
+    "q24": "data AND (base OR store) -leak", "q25": "snake_case_token",
+}

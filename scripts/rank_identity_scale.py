@@ -21,19 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-QUERIES = {
-    "q01": "firewall", "q02": "deadlock", "q03": "error handling",
-    "q04": "error AND handling", "q05": "timeout OR deadline",
-    "q06": "+firewall whitelist", "q07": "+error +handler",
-    "q08": "process -deprecated", "q09": "-deprecated",
-    "q10": '"parseJSONToHTML5"', "q11": '"error handling" retry',
-    "q12": "(timeout OR deadline) AND retry", "q13": "parseJSONToHTML5",
-    "q14": "codeblock", "q15": "hashmap lookup", "q16": "whitelist",
-    "q17": "OAuth2Provider", "q18": "the and for", "q19": "processing",
-    "q20": "lang:de firewall", "q21": '+retry -"error handling"',
-    "q22": "repository OR repositori", "q23": "migrate endpoint meta",
-    "q24": "data AND (base OR store) -leak", "q25": "snake_case_token",
-}
+from probe_spark.fixtures import REFERENCE_QUERIES as QUERIES
 
 
 _ORACLE_IX = None

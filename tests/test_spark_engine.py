@@ -9,33 +9,7 @@ import pytest
 from probe_spark.oracle import search as oracle_search
 
 # Reference query set q01-q25 (FIXTURES.md SS3)
-QUERIES = {
-    "q01": "firewall",
-    "q02": "deadlock",
-    "q03": "error handling",
-    "q04": "error AND handling",
-    "q05": "timeout OR deadline",
-    "q06": "+firewall whitelist",
-    "q07": "+error +handler",
-    "q08": "process -deprecated",
-    "q09": "-deprecated",
-    "q10": '"parseJSONToHTML5"',
-    "q11": '"error handling" retry',
-    "q12": "(timeout OR deadline) AND retry",
-    "q13": "parseJSONToHTML5",
-    "q14": "codeblock",
-    "q15": "hashmap lookup",
-    "q16": "whitelist",
-    "q17": "OAuth2Provider",
-    "q18": "the and for",
-    "q19": "processing",
-    "q20": "lang:de firewall",
-    "q21": '+retry -"error handling"',
-    "q22": "repository OR repositori",
-    "q23": "migrate endpoint meta",
-    "q24": "data AND (base OR store) -leak",
-    "q25": "snake_case_token",
-}
+from probe_spark.fixtures import REFERENCE_QUERIES as QUERIES
 
 
 @pytest.fixture(scope="module")
@@ -132,6 +106,19 @@ def test_search_batch_identity(engine):
             for r in engine.search(q, k=10).collect()
         ]
         assert by_q[qid] == solo, f"{qid}: batch != solo\n{by_q[qid]}\n{solo}"
+
+
+def test_search_batch_fused_identity(engine):
+    """search_batch_fused (queries-as-data join plan for bag queries,
+    branch-union fallback for the rest) must be row-identical to
+    search_batch across the WHOLE 25-query reference set -- f64-exact,
+    covering both the fused single-/multi-term shapes and every fallback
+    shape (required, excluded, quoted, filtered, compound, stopword-only,
+    duplicate-keyword)."""
+    got = engine.search_batch(QUERIES, k=10).collect()
+    fused = engine.search_batch_fused(QUERIES, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["url"], r["score"])  # noqa: E731
+    assert [key(r) for r in got] == [key(r) for r in fused]
 
 
 def test_exact_flag(engine, tiny_oracle):
