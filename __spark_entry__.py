@@ -430,12 +430,14 @@ BATCH_QUERIES: dict[str, tuple[str, ...]] = {
 
 
 def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A query SET served in ONE Spark action through the inverted index
-    (SearchEngine.search_batch): per-query BM25 top-10 tagged with
-    query_id -- the batched serving pattern a cluster deployment runs
-    (offline eval sweeps / query-log relevance labeling), where per-job
-    scheduling overhead dominates one-at-a-time serving.  DuckDB oracle =
-    UNION ALL of the per-query BM25 SQL blocks."""
+    """A query SET served through the inverted index by the FUSED
+    queries-as-data plan (SearchEngine.search_batch_fused): the batch
+    becomes a broadcast (query_id, term, idf, pos) table joined once
+    against the term-pruned postings -- one scan + one shuffle regardless
+    of batch size, the serving plan whose throughput scales with cores
+    (bench scaling.serving).  Row-identical to the per-branch
+    search_batch (pinned by test_search_batch_fused_identity); DuckDB
+    oracle = UNION ALL of the per-query BM25 SQL blocks."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -443,7 +445,7 @@ def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = _documents_simple_index(spark, sf_dir)
     eng = SearchEngine(spark, ix)
-    hits = eng.search_batch(
+    hits = eng.search_batch_fused(
         {qid: " ".join(ts) for qid, ts in BATCH_QUERIES.items()}, k=50
     )
     # same 6dp rounding + re-rank as _rounded_topk, partitioned per query
