@@ -115,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     ba = sub.add_parser(
         "batch",
         help="serve a whole query set in one Spark action "
-        "(SearchEngine.search_batch); JSON-lines output keyed by query_id",
+        "(SearchEngine.search_batch_fused: bag queries share one "
+        "queries-as-data join plan); JSON-lines output keyed by query_id",
     )
     ba.add_argument("--index", required=True)
     ba.add_argument(
@@ -395,7 +396,10 @@ def main(argv: list[str] | None = None) -> int:
             print("error: no queries in file", file=sys.stderr)
             return 2
         eng = SearchEngine(spark, args.index)
-        rows = eng.search_batch(
+        # fused plan: bag queries ride one queries-as-data join, other
+        # shapes fall back to per-branch plans -- rows are identical to
+        # search_batch (test_search_batch_fused_identity)
+        rows = eng.search_batch_fused(
             queries,
             k=args.k,
             exact=args.exact,
