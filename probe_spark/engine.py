@@ -947,10 +947,17 @@ class SearchEngine:
         REGARDLESS of batch size, the relevance-labeling /
         offline-eval-sweep plan a 100-TB corpus needs.
 
-        Eligible = pure disjunctive bags with no field filters (probe's
-        dominant query-log shape; _is_disjunctive_bag).  Everything else
-        (required/excluded/exact/compound/filtered) falls back to the
-        branch-union plan and the outputs are unioned.  Rows are
+        Eligible = pure disjunctive bags plus "keywords -noise" bags with
+        token-only exclusions, no field filters (probe's two dominant
+        query-log shapes; _is_disjunctive_bag / _bag_plus_exclusions).
+        Exclusions fuse too: a broadcast (query_id, excluded-term) table
+        joins the excluded terms' match rows (postings union memoized
+        containment frames, exactly _match_bag_excluded's drop set) into
+        (query_id, doc_id) pairs, and ONE left-anti join on the scored
+        frame applies every query's exclusions at once -- kept docs get
+        exactly 0.0 from excluded terms so scores stay f64-identical.
+        Everything else (required/exact/compound/filtered) falls back to
+        the branch-union plan and the outputs are unioned.  Rows are
         value-identical to search_batch -- f64-exact: a one-element
         ordered sum is 0.0 + x == x for the single-term case and the
         multi-term association mirrors _score_disjunctive -- pinned by
@@ -976,13 +983,34 @@ class SearchEngine:
         fused = sorted(
             qid
             for qid, p in plans.items()
-            if _is_disjunctive_bag(p) and not p.filters and p.term_indices
+            if not p.filters
+            and p.term_indices
+            and (
+                _is_disjunctive_bag(p)
+                or (
+                    _bag_plus_exclusions(p)
+                    and oracle.rescue_terms(p) == self._excl_only_rescues(p)
+                )
+            )
         )
         rest = {qid: queries[qid] for qid in queries if qid not in set(fused)}
         parts = []
         if fused:
+            # per-query split: positives feed the scoring join, excluded
+            # terms feed the drop-pair anti-join (empty for pure bags)
+            pos_terms_by_q: dict[str, list[str]] = {}
+            excl_terms_by_q: dict[str, list[str]] = {}
+            for qid in fused:
+                p = plans[qid]
+                excl = set(p.excluded_terms)
+                pos_terms_by_q[qid] = [
+                    t for t in p.term_indices if t not in excl
+                ]
+                excl_terms_by_q[qid] = [
+                    t for t in p.term_indices if t in excl
+                ]
             all_terms = sorted(
-                {t for qid in fused for t in plans[qid].term_indices}
+                {t for qid in fused for t in pos_terms_by_q[qid]}
             )
             dfs = self.term_dfs(all_terms)
             qt_rows = []
@@ -991,6 +1019,7 @@ class SearchEngine:
                 kws = [
                     kw
                     for t in walk_terms(p.ast)
+                    if not t.excluded
                     for kw in t.lowercase_keywords
                 ]
                 for pos, kw in enumerate(kws):
@@ -1044,6 +1073,41 @@ class SearchEngine:
                 )
                 .filter(F.col("score") > 0.0)
             )
+            xt_rows = sorted(
+                (qid, t)
+                for qid in fused
+                for t in excl_terms_by_q[qid]
+            )
+            if xt_rows:
+                # drop set per excluded term = token postings UNION
+                # containment-match frames (memoized / trigram-lane-served
+                # after a term's first sighting) -- _match_bag_excluded's
+                # semantics, tagged with query_id by a broadcast join so a
+                # single left-anti applies every query's exclusions; pure
+                # bags have no xt rows and pass through untouched
+                ex_fn = bool(exclude_filenames)
+                all_excl = sorted({t for _, t in xt_rows})
+                xt = self.spark.createDataFrame(
+                    xt_rows, "query_id string, term string"
+                )
+                post_excl = self._postings_df.filter(
+                    F.col("term").isin(all_excl)
+                )
+                if ex_fn:
+                    post_excl = post_excl.filter(
+                        (F.col("tf") - F.col("tf_url")) > 0
+                    )
+                drop_src = post_excl.select("term", "doc_id")
+                for frame in self._rescue_frames(all_excl, ex_fn):
+                    drop_src = drop_src.unionByName(
+                        frame.select("term", "doc_id")
+                    )
+                drop_pairs = drop_src.join(F.broadcast(xt), "term").select(
+                    "query_id", "doc_id"
+                )
+                scored = scored.join(
+                    drop_pairs, ["query_id", "doc_id"], "left_anti"
+                )
             from pyspark.sql.window import Window
 
             w = Window.partitionBy("query_id").orderBy(

@@ -121,6 +121,48 @@ def test_search_batch_fused_identity(engine):
     assert [key(r) for r in got] == [key(r) for r in fused]
 
 
+def test_search_batch_fused_exclusions(engine):
+    """Fused exclusions (queries-as-data drop-pair anti-join): bagexcl
+    queries ride the fused plan -- including a shared excluded term
+    across queries, multiple exclusions in one query, an exclusion that
+    hits nothing, and one that wipes a term's whole match set -- and stay
+    row-identical to per-query search(), with and without
+    exclude_filenames."""
+    from probe_spark import elastic, oracle
+    from probe_spark.engine import SearchEngine, _bag_plus_exclusions
+
+    batch = {
+        "x1": "process -deprecated",
+        "x2": "error retry -deprecated",
+        "x3": "retry -nonexistentneedle",
+        "x4": "error handling -process -deprecated",
+        "bag": "error handling retry",
+    }
+    for qid in ("x1", "x2", "x3", "x4"):
+        p = elastic.create_query_plan(batch[qid], False)
+        assert _bag_plus_exclusions(p), qid
+        assert oracle.rescue_terms(p) == SearchEngine._excl_only_rescues(p)
+    for ex_fn in (False, True):
+        fused = engine.search_batch_fused(
+            batch, k=10, exclude_filenames=ex_fn
+        ).collect()
+        by_q: dict[str, list] = {}
+        for r in fused:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["url"], r["score"])
+            )
+        for qid, q in batch.items():
+            solo = [
+                (r["rank"], r["doc_id"], r["url"], r["score"])
+                for r in engine.search(
+                    q, k=10, exclude_filenames=ex_fn
+                ).collect()
+            ]
+            assert by_q.get(qid, []) == solo, (
+                f"{qid} ex_fn={ex_fn}: fused != solo"
+            )
+
+
 def test_exact_flag(engine, tiny_oracle):
     expected = oracle_search(tiny_oracle, "error handling", k=10, exact=True)
     got = engine.search_local("error handling", k=10, exact=True)
