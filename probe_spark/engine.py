@@ -142,6 +142,109 @@ def _bag_plus_exclusions(plan: QueryPlan) -> bool:
     return only_or(sub)
 
 
+def _fused_chain_gates(
+    plan: QueryPlan, excl_only_rescues: set[str]
+) -> list[str] | None:
+    """Classify a query for the fused queries-as-data batch plan.
+
+    Returns the list of GATING terms -- the positive keywords that must
+    ALL be present for a doc to match -- or None when the query cannot
+    ride the fused plan.  An empty list means pure any-keyword matching
+    (the score>0 filter implements it).  Exclusions are handled
+    separately (drop-pair anti-join) and are not gates.
+
+    Probe's parser emits LEFT-DEEP operator chains (elastic_query.rs
+    grammar: implicit/explicit operators left-associate; only explicit
+    parentheses nest a right subtree), and score_expr_bm25_optimized
+    (ranking.rs:228-276) sums a left-deep chain in strict left-to-right
+    keyword order -- exactly the fused plan's sorted-position ordered
+    f64 aggregate.  Match semantics per evaluate_with_has_required
+    (elastic_query.rs:150-285) reduce, for such chains, to gate counts:
+
+    - required terms anywhere: match = ALL required present (plain terms
+      never gate once a required exists) AND no And-connected excluded
+      present  -> gates = required keywords
+    - no required, every connector And: match = all positives present
+      AND no excluded present                -> gates = positive keywords
+    - no required, every positive connector Or (excluded tail may be
+      And-connected): match = any positive   -> gates = []
+
+    Bails on: parenthesized right subtrees (association and boolean
+    structure both break), mixed And/Or positives without a required
+    term ((a OR b) AND c is not count-expressible), multi-keyword /
+    exact / missing-from-dictionary positives (compound splits sum
+    inside the Term first -- a different f64 association), duplicate
+    positive keywords (per-node double counting), Or-connected excluded
+    terms (disjunctive exclusion), field filters, only-excluded queries,
+    and any rescue term that is not purely excluded.  Excluded terms MAY
+    be exact/quoted: their drop set is containment-served either way."""
+    if (
+        plan.ast is None
+        or plan.filters
+        or not plan.term_indices
+        or plan.has_only_excluded_terms
+        or oracle.rescue_terms(plan) != frozenset(excl_only_rescues)
+    ):
+        return None
+    chain: list[tuple[str | None, Term]] = []
+
+    def flat(e, conn: str | None) -> bool:
+        if isinstance(e, Term):
+            chain.append((conn, e))
+            return True
+        if isinstance(e, (elastic.And, elastic.Or)):
+            if not isinstance(e.right, Term):
+                return False  # parenthesized right subtree
+            c = "and" if isinstance(e, elastic.And) else "or"
+            if not flat(e.left, c):
+                return False
+            chain.append((c, e.right))
+            return True
+        return False
+
+    if not flat(plan.ast, None):
+        return None
+    # an excluded element gates conjunctively iff its own connector AND
+    # every connector after it are And: in a left-deep chain the nodes
+    # above element i are exactly the joining nodes of elements i+1..n,
+    # so any later Or makes the exclusion disjunctive ("+r -b OR c"
+    # matches docs containing b whenever c is present)
+    suffix_and = [True] * (len(chain) + 1)
+    for i in range(len(chain) - 1, 0, -1):
+        suffix_and[i] = suffix_and[i + 1] and chain[i][0] == "and"
+    pos_kws: list[str] = []
+    req_kws: list[str] = []
+    pos_conns: list[str | None] = []
+    for i, (conn, t) in enumerate(chain):
+        if t.excluded:
+            # (a single-element chain would be only-excluded: bailed)
+            if conn != "and" or not suffix_and[i + 1]:
+                return None
+            for kw in t.lowercase_keywords:
+                if kw not in plan.term_indices:
+                    return None
+            continue
+        if t.exact or len(t.lowercase_keywords) != 1:
+            return None
+        kw = t.lowercase_keywords[0]
+        if kw not in plan.term_indices:
+            return None
+        pos_kws.append(kw)
+        pos_conns.append(conn)
+        if t.required:
+            req_kws.append(kw)
+    if not pos_kws or len(pos_kws) != len(set(pos_kws)):
+        return None
+    if req_kws:
+        return req_kws
+    conns = {c for c in pos_conns if c is not None}
+    if conns == {"and"}:
+        return pos_kws
+    if conns <= {"or"}:
+        return []
+    return None  # mixed And/Or positives without a required term
+
+
 def _read_stats(stats_dir) -> tuple[int, float]:
     """(n_docs, avgdl) from the singleton stats table via pyarrow -- one
     tiny file read, no Spark job per engine construction."""
@@ -947,10 +1050,15 @@ class SearchEngine:
         REGARDLESS of batch size, the relevance-labeling /
         offline-eval-sweep plan a 100-TB corpus needs.
 
-        Eligible = pure disjunctive bags plus "keywords -noise" bags with
-        token-only exclusions, no field filters (probe's two dominant
-        query-log shapes; _is_disjunctive_bag / _bag_plus_exclusions).
-        Exclusions fuse too: a broadcast (query_id, excluded-term) table
+        Eligible = left-deep single-keyword operator chains with no field
+        filters (_fused_chain_gates): pure disjunctive bags, "keywords
+        -noise" bags with conjunctive exclusions, "+required optional"
+        queries, and explicit conjunctive AND chains -- probe's dominant
+        query-log shapes.  Required / conjunctive matching fuses as a
+        GATE COUNT: the broadcast query-term table carries a per-term
+        gate flag and the per-query gate total, and docs survive iff
+        they matched every gating term (one extra agg column, no extra
+        shuffle).  Exclusions fuse as a broadcast (query_id, term) table
         joins the excluded terms' match rows (postings union memoized
         containment frames, exactly _match_bag_excluded's drop set) into
         (query_id, doc_id) pairs, and ONE left-anti join on the scored
@@ -980,19 +1088,12 @@ class SearchEngine:
             qid: elastic.create_query_plan(q, exact)
             for qid, q in queries.items()
         }
-        fused = sorted(
-            qid
-            for qid, p in plans.items()
-            if not p.filters
-            and p.term_indices
-            and (
-                _is_disjunctive_bag(p)
-                or (
-                    _bag_plus_exclusions(p)
-                    and oracle.rescue_terms(p) == self._excl_only_rescues(p)
-                )
-            )
-        )
+        gates_by_q: dict[str, list[str]] = {}
+        for qid, p in plans.items():
+            g = _fused_chain_gates(p, self._excl_only_rescues(p))
+            if g is not None:
+                gates_by_q[qid] = g
+        fused = sorted(gates_by_q)
         rest = {qid: queries[qid] for qid in queries if qid not in set(fused)}
         parts = []
         if fused:
@@ -1016,6 +1117,7 @@ class SearchEngine:
             qt_rows = []
             for qid in fused:
                 p = plans[qid]
+                gates = set(gates_by_q[qid])
                 kws = [
                     kw
                     for t in walk_terms(p.ast)
@@ -1024,10 +1126,19 @@ class SearchEngine:
                 ]
                 for pos, kw in enumerate(kws):
                     qt_rows.append(
-                        (qid, kw, oracle.idf(self.n_docs, dfs.get(kw, 0)), pos)
+                        (
+                            qid,
+                            kw,
+                            oracle.idf(self.n_docs, dfs.get(kw, 0)),
+                            pos,
+                            1 if kw in gates else 0,
+                            len(gates),
+                        )
                     )
             qt = self.spark.createDataFrame(
-                qt_rows, "query_id string, term string, idf double, pos int"
+                qt_rows,
+                "query_id string, term string, idf double, pos int, "
+                "gate int, n_gate int",
             )
             post = self._postings_df.filter(F.col("term").isin(all_terms))
             if exclude_filenames:
@@ -1056,14 +1167,23 @@ class SearchEngine:
                     "query_id",
                     "doc_id",
                     "pos",
+                    "gate",
+                    "n_gate",
                     (F.col("idf") * tf_part).alias("term_score"),
                 )
                 .groupBy("query_id", "doc_id")
                 .agg(
                     F.array_sort(
                         F.collect_list(F.struct("pos", "term_score"))
-                    ).alias("arr")
+                    ).alias("arr"),
+                    F.sum("gate").alias("gates_hit"),
+                    F.first("n_gate").alias("n_gate"),
                 )
+                # gate-count match rule: required / conjunctive-AND chains
+                # need every gating term present (postings are unique per
+                # (term, doc_id), so gates_hit counts present gate terms);
+                # pure bags have n_gate 0 and pass through
+                .filter(F.col("gates_hit") == F.col("n_gate"))
                 .select(
                     "query_id",
                     "doc_id",

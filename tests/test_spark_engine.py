@@ -121,6 +121,36 @@ def test_search_batch_fused_identity(engine):
     assert [key(r) for r in got] == [key(r) for r in fused]
 
 
+def test_fused_chain_gates_classifier():
+    """_fused_chain_gates must fuse exactly the count-expressible
+    left-deep chains and bail on every shape whose boolean structure or
+    f64 association the fused plan cannot reproduce."""
+    from probe_spark import elastic
+    from probe_spark.engine import SearchEngine, _fused_chain_gates
+
+    def gates(q):
+        p = elastic.create_query_plan(q, False)
+        return _fused_chain_gates(p, SearchEngine._excl_only_rescues(p))
+
+    assert gates("error handling retry") == []            # bag
+    assert gates("process -deprecated") == ["process"]    # single pos + excl
+    assert gates("error AND handling") == ["error", "handl"]   # conjunctive
+    assert gates("+error +handler") == ["error", "handler"]    # all required
+    assert gates("+error handling") == ["error"]          # required-first
+    assert gates("+error handling -noise") == ["error"]
+    # bails: parenthesized right subtree, mixed connectors, disjunctive
+    # exclusion ("+r -b OR c" matches b-docs when c present), Or-excluded,
+    # only-excluded, field filter, stopword-only, multi-keyword positives
+    assert gates("(timeout OR deadline) AND retry") is None
+    assert gates("error AND handling retry") is None
+    assert gates("+retry -deprecated OR process") is None
+    assert gates("retry OR -deprecated") is None
+    assert gates("-deprecated") is None
+    assert gates("lang:de error") is None
+    assert gates("the and for") is None
+    assert gates("firewall retry") is None  # firewall dual-emits
+
+
 def test_search_batch_fused_exclusions(engine):
     """Fused exclusions (queries-as-data drop-pair anti-join): bagexcl
     queries ride the fused plan -- including a shared excluded term
@@ -128,8 +158,8 @@ def test_search_batch_fused_exclusions(engine):
     hits nothing, and one that wipes a term's whole match set -- and stay
     row-identical to per-query search(), with and without
     exclude_filenames."""
-    from probe_spark import elastic, oracle
-    from probe_spark.engine import SearchEngine, _bag_plus_exclusions
+    from probe_spark import elastic
+    from probe_spark.engine import SearchEngine, _fused_chain_gates
 
     batch = {
         "x1": "process -deprecated",
@@ -137,11 +167,17 @@ def test_search_batch_fused_exclusions(engine):
         "x3": "retry -nonexistentneedle",
         "x4": "error handling -process -deprecated",
         "bag": "error handling retry",
+        "req": "+error handling",
+        "req2": "+error +handler",
+        "reqx": "+process retry -deprecated",
+        "conj": "error AND handling",
+        "reqq": '+retry -"error handling"',
     }
-    for qid in ("x1", "x2", "x3", "x4"):
-        p = elastic.create_query_plan(batch[qid], False)
-        assert _bag_plus_exclusions(p), qid
-        assert oracle.rescue_terms(p) == SearchEngine._excl_only_rescues(p)
+    for qid, q in batch.items():
+        p = elastic.create_query_plan(q, False)
+        assert _fused_chain_gates(
+            p, SearchEngine._excl_only_rescues(p)
+        ) is not None, qid
     for ex_fn in (False, True):
         fused = engine.search_batch_fused(
             batch, k=10, exclude_filenames=ex_fn
