@@ -243,7 +243,8 @@ def _serving_trial(
     (branch_sec, fused_sec) where branch_sec serves the 25-ref-query set
     via search_batch (one unioned physical plan per query -- per-branch
     scheduling is a fixed driver cost) and fused_sec serves the
-    ``log``-query bag batch via search_batch_fused (queries-as-data join:
+    ``log``-query mixed-shape batch via search_batch_fused (queries-as-data
+    join with gate-count matching:
     one postings scan + one shuffle regardless of batch size).  A warm-up
     batch first: JIT/codegen and dictionary caching are per-session
     constants, identical at both levels, paid once per executor lifetime
@@ -321,7 +322,8 @@ def _serving_scaling(cpus: int, tmp: str) -> dict:
             "efficiency": round((best_b[8] / best_b[cpus]) / ratio, 3),
         },
         "fused": {
-            "job": f"{len(log)}-bag-query log via queries-as-data join "
+            "job": f"{len(log)}-mixed-shape-query log (bag/+req/-excl/AND) via "
+            "queries-as-data join "
             "(search_batch_fused)",
             "n_queries": len(log),
             "sec_lo": round(best_f[8], 2),

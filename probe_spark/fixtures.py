@@ -245,24 +245,38 @@ def oracle_corpus(n_docs: int, workers: int = 1):
 
 
 def query_log(n_queries: int = 200) -> dict[str, str]:
-    """Deterministic bag-query LOG over the corpus lexicon -- the shape a
-    relevance-labeling / offline-eval batch has (1-3 plain terms, drawn
-    from the same Zipf-skewed vocabulary as the corpus, so hot terms
-    dominate like real query logs).  Only fused-eligible queries are
-    emitted (pure disjunctive bags after tokenization: no compound
-    splits, no stem collisions) so the serving-scaling trials measure
-    the queries-as-data join plan, not its fallback."""
+    """Deterministic MIXED-SHAPE query LOG over the corpus lexicon -- the
+    shape a relevance-labeling / offline-eval batch has: 1-3 terms drawn
+    from the same Zipf-skewed vocabulary as the corpus (hot terms
+    dominate like real logs), ~70% plain bags plus the other dominant
+    log shapes (+required prefix, -excluded tail, explicit AND).  Only
+    fused-eligible queries are emitted (_fused_chain_gates: left-deep
+    single-keyword chains, no compound splits, no stem collisions) so
+    the serving-scaling trials measure the queries-as-data join plan,
+    not its fallback."""
     from probe_spark import elastic
-    from probe_spark.engine import _is_disjunctive_bag
+    from probe_spark.engine import SearchEngine, _fused_chain_gates
 
     rng = random.Random(SEED + 7)
     words = sorted({w for w in _CORE_WORDS if w.isalpha() and w.islower()})
     out: dict[str, str] = {}
     while len(out) < n_queries:
         k = rng.choice((1, 2, 2, 3))
-        q = " ".join(rng.sample(words, k))
+        terms = rng.sample(words, k)
+        shape = rng.random()
+        if shape < 0.70 or k == 1:
+            q = " ".join(terms)
+        elif shape < 0.82:
+            q = "+" + " ".join(terms)  # required first term
+        elif shape < 0.92:
+            q = " ".join(terms[:-1]) + " -" + terms[-1]  # excluded tail
+        else:
+            q = " AND ".join(terms)  # conjunctive chain
         plan = elastic.create_query_plan(q, False)
-        if _is_disjunctive_bag(plan) and plan.term_indices:
+        if not plan.term_indices:
+            continue
+        g = _fused_chain_gates(plan, SearchEngine._excl_only_rescues(plan))
+        if g is not None:
             out[f"log{len(out):04d}"] = q
     return out
 
