@@ -176,6 +176,18 @@ def make_page(i: int) -> Page:
     return Page(url, warc_ts, html_bytes, extract_text(html_bytes), lang)
 
 
+def page_url(i: int) -> str:
+    """URL of page ``i`` without building the page.  Replicates exactly
+    make_page's first rng draw (slug is the first choice off the
+    per-page rng), so ``page_url(i) == make_page(i).url`` always -- the
+    sharded oracle sorts 10M+ urls to derive doc_ids without holding
+    10M rendered pages (oracle_shard.url_rank_permutation)."""
+    rng = random.Random((SEED << 32) + i)
+    topic = _TOPICS[i % len(_TOPICS)]
+    slug = rng.choice(_SLUG_WORDS)
+    return f"https://site{i % 97}.example.com/{topic}/{slug}-{i}"
+
+
 def make_pages(n: int) -> list[Page]:
     return [make_page(i) for i in range(n)]
 

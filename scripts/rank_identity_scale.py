@@ -55,6 +55,64 @@ def _oracle_shard(doc_range):
     }
 
 
+def _in_ram_oracle(n_docs: int, workers: int, out: dict, os) -> dict:
+    """Legacy whole-corpus oracle path (<=5M docs): build the in-RAM
+    CorpusIndex, warm the rescue memo in the parent, evaluate queries in
+    a doc-range-sharded fork pool, and free the corpus before returning
+    (the 25 top-10 lists are all the engine phase needs; at 5M docs the
+    corpus is ~56 GB resident and holding it across the Spark session is
+    what ran this box out of memory)."""
+    import time
+
+    from probe_spark.fixtures import oracle_corpus
+
+    t0 = time.time()
+    oracle_ix = oracle_corpus(n_docs, workers=workers)
+    out["oracle_build_sec"] = round(time.time() - t0, 1)
+
+    # oracle query evaluation in a fork pool, sharded by DOC RANGE
+    # (not by query): COW refcount dirtying stays one-corpus-scan
+    # total regardless of worker count (see _oracle_shard), which is
+    # what lets a 5M-doc run fit this box -- per-query workers capped
+    # out at 2M.  Override worker count with
+    # PROBE_ORACLE_QUERY_WORKERS.
+    t0 = time.time()
+    global _ORACLE_IX
+    _ORACLE_IX = oracle_ix
+    # warm the rescue-df memo in the PARENT before forking: quoted/
+    # excluded terms need one O(corpus) containment scan each, and a
+    # shard worker recomputing it per shard (or even once per worker)
+    # would re-dirty the whole corpus's COW pages in every process
+    from probe_spark import elastic as _elastic
+    from probe_spark.oracle import global_df as _global_df
+
+    for _q in QUERIES.values():
+        _global_df(oracle_ix, _elastic.create_query_plan(_q, False))
+    out["oracle_rescue_warm_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    from multiprocessing import get_context
+
+    q_workers = int(
+        os.environ.get("PROBE_ORACLE_QUERY_WORKERS", min(workers, 16))
+    )
+    n = oracle_ix.n_docs
+    n_shards = max(1, min(q_workers * 4, n))
+    step = (n + n_shards - 1) // n_shards
+    ranges = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    with get_context("fork").Pool(q_workers) as pool:
+        shard_results = pool.map(_oracle_shard, ranges)
+    expected_all = {}
+    for qid in QUERIES:
+        merged = [t for sr in shard_results for t in sr[qid]]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        expected_all[qid] = merged[:10]
+    out["oracle_queries_sec"] = round(time.time() - t0, 1)
+    out["oracle_mode"] = "in_ram"
+    _ORACLE_IX = None
+    del oracle_ix
+    return expected_all
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -64,7 +122,7 @@ def main() -> None:
 
     from probe_spark.compaction import compact_index
     from probe_spark.engine import SearchEngine
-    from probe_spark.fixtures import oracle_corpus, pages_df
+    from probe_spark.fixtures import pages_df
     from probe_spark.indexer import build_index
     from probe_spark.oracle import search as oracle_search
     from probe_spark.session import get_spark
@@ -123,55 +181,61 @@ def main() -> None:
                 "PROBE_ORACLE_BUILD_WORKERS", os.cpu_count() or 1
             )
         )
-        t0 = time.time()
-        oracle_ix = oracle_corpus(n_docs, workers=workers)
-        out["oracle_build_sec"] = round(time.time() - t0, 1)
 
-        # oracle query evaluation in a fork pool, sharded by DOC RANGE
-        # (not by query): COW refcount dirtying stays one-corpus-scan
-        # total regardless of worker count (see _oracle_shard), which is
-        # what lets a 5M-doc run fit this box -- per-query workers capped
-        # out at 2M.  Override worker count with
-        # PROBE_ORACLE_QUERY_WORKERS.
-        t0 = time.time()
-        global _ORACLE_IX
-        _ORACLE_IX = oracle_ix
-        # warm the rescue-df memo in the PARENT before forking: quoted/
-        # excluded terms need one O(corpus) containment scan each, and a
-        # shard worker recomputing it per shard (or even once per worker)
-        # would re-dirty the whole corpus's COW pages in every process
-        from probe_spark import elastic as _elastic
-        from probe_spark.oracle import global_df as _global_df
-
-        for _q in QUERIES.values():
-            _global_df(oracle_ix, _elastic.create_query_plan(_q, False))
-        out["oracle_rescue_warm_sec"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        from multiprocessing import get_context
-
-        q_workers = int(
-            os.environ.get("PROBE_ORACLE_QUERY_WORKERS", min(workers, 16))
+        # STREAMING SHARDED ORACLE (default at >5M docs, or
+        # PROBE_ORACLE_SHARDED=1): two passes that never hold more than
+        # workers x shard_size docs of tokens -- the in-RAM oracle needs
+        # ~11 GB per million docs and OOM'd twice at 5M on this box.
+        # f64-identical by construction and pinned by
+        # tests/test_oracle_shard.py.
+        sharded = os.environ.get("PROBE_ORACLE_SHARDED")
+        use_sharded = (
+            sharded == "1" or (sharded is None and n_docs > 5_000_000)
         )
-        n = oracle_ix.n_docs
-        n_shards = max(1, min(q_workers * 4, n))
-        step = (n + n_shards - 1) // n_shards
-        ranges = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
-        with get_context("fork").Pool(q_workers) as pool:
-            shard_results = pool.map(_oracle_shard, ranges)
-        expected_all = {}
-        for qid in QUERIES:
-            merged = [t for sr in shard_results for t in sr[qid]]
-            merged.sort(key=lambda x: (-x[1], x[0]))
-            expected_all[qid] = merged[:10]
-        out["oracle_queries_sec"] = round(time.time() - t0, 1)
+        if use_sharded:
+            from probe_spark.oracle_shard import (
+                global_stats,
+                sharded_oracle_topk,
+                url_rank_permutation,
+            )
+            from probe_spark import elastic as _elastic
+            from probe_spark.oracle import rescue_terms as _rescue_terms
 
-        # expected_all (25 tiny top-10 lists) is all the engine phase
-        # needs: free the oracle corpus BEFORE starting the query-phase
-        # JVM -- at 5M docs the corpus is ~56 GB resident (kernel
-        # OOM-kill receipts on this box) and holding it across the Spark
-        # session is what ran the box out of memory
-        _ORACLE_IX = None
-        del oracle_ix
+            shard_size = int(
+                os.environ.get("PROBE_ORACLE_SHARD_SIZE", "100000")
+            )
+            t0 = time.time()
+            perm = url_rank_permutation(n_docs, workers)
+            out["oracle_perm_sec"] = round(time.time() - t0, 1)
+            needles = sorted(
+                {
+                    t
+                    for q in QUERIES.values()
+                    for t in _rescue_terms(
+                        _elastic.create_query_plan(q, False)
+                    )
+                }
+            )
+            t0 = time.time()
+            stats = global_stats(
+                n_docs, perm, needles, workers, shard_size
+            )
+            out["oracle_stats_sec"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            expected_all = sharded_oracle_topk(
+                n_docs,
+                dict(QUERIES),
+                k=10,
+                workers=workers,
+                shard_size=shard_size,
+                perm=perm,
+                stats=stats,
+            )
+            out["oracle_queries_sec"] = round(time.time() - t0, 1)
+            out["oracle_mode"] = "sharded"
+            del perm, stats
+        else:
+            expected_all = _in_ram_oracle(n_docs, workers, out, os)
         import gc
 
         gc.collect()
