@@ -419,25 +419,35 @@ def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+BATCH_QUERIES: dict[str, str] = {
     # stemming-invariant terms so the elastic pipeline resolves them to
-    # the same strings the simple-tokenizer index stores
-    "qa": ("spark", "join"),
-    "qb": ("hash", "key"),
-    "qc": ("scan", "filter", "sort"),
-    "qd": ("stream", "batch"),
+    # the same strings the simple-tokenizer index stores; the shapes
+    # cover every fused-plan match rule (bag / required-first /
+    # conjunctive AND / exclusion tail -- engine._fused_chain_gates)
+    "qa": "spark join",
+    "qb": "hash key",
+    "qc": "scan filter sort",
+    "qd": "stream batch",
+    "qe": "+spark hash",          # required-first gate
+    "qf": "scan AND sort",        # conjunctive gate
+    "qg": "stream batch -window",  # bag + exclusion drop-pairs
 }
 
 
 def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A query SET served through the inverted index by the FUSED
     queries-as-data plan (SearchEngine.search_batch_fused): the batch
-    becomes a broadcast (query_id, term, idf, pos) table joined once
-    against the term-pruned postings -- one scan + one shuffle regardless
-    of batch size, the serving plan whose throughput scales with cores
-    (bench scaling.serving).  Row-identical to the per-branch
-    search_batch (pinned by test_search_batch_fused_identity); DuckDB
-    oracle = UNION ALL of the per-query BM25 SQL blocks."""
+    becomes a broadcast (query_id, term, idf, pos, gate, n_gate) table
+    joined once against the term-pruned postings -- one scan + one
+    shuffle regardless of batch size, the serving plan whose throughput
+    scales with cores (bench scaling.serving).  The set covers every
+    fused match rule: bags, a required-first gate, a conjunctive AND
+    gate, and an exclusion drop-pair anti-join.  Row-identical to the
+    per-branch search_batch (pinned by test_search_batch_fused_identity);
+    DuckDB oracle = UNION ALL of per-query BM25 blocks with the gating
+    expressed as HAVING counts / NOT IN (see _batch_sql).  Containment ==
+    token semantics for the exclusion on this corpus (no vocabulary
+    superstrings of 'window'; doc:// urls share no letters with it)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -445,9 +455,7 @@ def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = _documents_simple_index(spark, sf_dir)
     eng = SearchEngine(spark, ix)
-    hits = eng.search_batch_fused(
-        {qid: " ".join(ts) for qid, ts in BATCH_QUERIES.items()}, k=50
-    )
+    hits = eng.search_batch_fused(dict(BATCH_QUERIES), k=50)
     # same 6dp rounding + re-rank as _rounded_topk, partitioned per query
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -465,16 +473,51 @@ def probe_index_batch_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_in(terms) -> str:
+    """('a', 'b') -> "('a', 'b')" -- repr() of a 1-tuple has a trailing
+    comma DuckDB rejects."""
+    return "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+
+
 def _batch_sql() -> str:
+    """Per-query BM25 blocks with the fused plan's match rules expressed
+    in SQL: gating terms as a HAVING count(DISTINCT term) subquery,
+    exclusions as a NOT IN over the excluded token's docs.  Shapes are
+    derived from the SAME classifier the engine uses
+    (engine._fused_chain_gates), so entry and oracle cannot drift."""
+    from probe_spark import elastic
+    from probe_spark.engine import SearchEngine, _fused_chain_gates
     from probe_spark.entry_queries import _BM25_CTE
 
     parts = []
-    for qid, terms in sorted(BATCH_QUERIES.items()):
+    for qid, q in sorted(BATCH_QUERIES.items()):
+        plan = elastic.create_query_plan(q, False)
+        gates = _fused_chain_gates(
+            plan, SearchEngine._excl_only_rescues(plan)
+        )
+        assert gates is not None, f"{qid} must be fused-eligible: {q!r}"
+        excl = sorted(set(plan.excluded_terms))
+        pos = tuple(t for t in plan.term_indices if t not in set(excl))
+        sql = _BM25_CTE.format(terms=_sql_in(pos))
+        tail = "SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc"
+        if gates:
+            sql += (
+                f", gate AS (SELECT doc_id FROM tf "
+                f"WHERE term IN {_sql_in(gates)} GROUP BY doc_id "
+                f"HAVING count(DISTINCT term) = {len(gates)})\n"
+            )
+            tail += " JOIN gate USING (doc_id)"
+        if excl:
+            sql += (
+                f", exc AS (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term IN {_sql_in(excl)})\n"
+            )
+            tail += " WHERE sc.doc_id NOT IN (SELECT doc_id FROM exc)"
         parts.append(
             f"SELECT '{qid}' AS query_id, doc_id, score FROM (\n"
-            + _BM25_CTE.format(terms=repr(terms))
-            + "SELECT doc_id, round(score, 6) AS score FROM sc "
-            "ORDER BY score DESC, doc_id ASC LIMIT 10)"
+            + sql
+            + tail
+            + " ORDER BY score DESC, doc_id ASC LIMIT 10)"
         )
     return (
         " UNION ALL ".join(parts)
