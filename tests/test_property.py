@@ -101,3 +101,71 @@ def test_decompound_parts_are_vocab_or_empty(word):
         assert len(parts) >= 2
         assert "".join(parts) == word
         assert all(p.lower() in textkit.VOCABULARY for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# Fused-batch gate classifier vs the reference boolean evaluator
+# ---------------------------------------------------------------------------
+
+_FUSE_WORDS = st.sampled_from(
+    ["spark", "join", "hash", "key", "scan", "sort", "stream", "batch"]
+)
+_FUSE_FLAG = st.sampled_from(["", "+", "-"])
+_FUSE_CONN = st.sampled_from([" ", " AND ", " OR "])
+
+
+@st.composite
+def _fuse_query(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    words = draw(
+        st.lists(_FUSE_WORDS, min_size=n, max_size=n, unique=True)
+    )
+    parts = [draw(_FUSE_FLAG) + w for w in words]
+    q = parts[0]
+    for p in parts[1:]:
+        q += draw(_FUSE_CONN) + p
+    return q
+
+
+@settings(max_examples=300, deadline=None)
+@given(_fuse_query())
+def test_fused_gates_match_evaluate_exhaustively(query):
+    """Whenever _fused_chain_gates classifies a query, its match rule --
+    all gates present AND no excluded present AND any positive present --
+    must equal elastic.evaluate over EVERY possible matched subset.  This
+    is the boolean half of the fused batch plan's correctness, checked
+    exhaustively (2^n subsets) per generated query."""
+    from itertools import combinations
+
+    from probe_spark.engine import SearchEngine, _fused_chain_gates
+
+    try:
+        plan = elastic.create_query_plan(query)
+    except elastic.ParseError:
+        return
+    if plan.ast is None or not plan.term_indices:
+        return
+    gates = _fused_chain_gates(
+        plan, SearchEngine._excl_only_rescues(plan)
+    )
+    if gates is None:
+        return
+    excl = set(plan.excluded_terms)
+    pos = [t for t in plan.term_indices if t not in excl]
+    gate_idx = {plan.term_indices[t] for t in gates}
+    excl_idx = {plan.term_indices[t] for t in plan.term_indices if t in excl}
+    pos_idx = [plan.term_indices[t] for t in pos]
+    all_idx = sorted(set(plan.term_indices.values()))
+    for r in range(len(all_idx) + 1):
+        for subset in combinations(all_idx, r):
+            matched = frozenset(subset)
+            fused_match = (
+                gate_idx <= matched
+                and not (excl_idx & matched)
+                and any(i in matched for i in pos_idx)
+            )
+            ref = elastic.evaluate(plan.ast, matched, plan.term_indices)
+            assert fused_match == ref, (
+                f"{query!r} matched={sorted(matched)}: "
+                f"fused={fused_match} evaluate={ref}"
+            )
