@@ -44,6 +44,25 @@ from probe_spark.config import DEFAULT_BM25, BM25Params
 from probe_spark.elastic import QueryPlan, Term, walk_terms
 
 
+def _term_in(col: str, values) -> "F.Column":
+    """``col IN (...)`` as ONE JVM-parsed SQL expression.
+
+    ``Column.isin(values)`` converts each Python literal through py4j
+    (~2 ms per element of driver time); fine for a single query's <=20
+    terms, but the fused batch path filters postings by the term UNION
+    of a whole query log (hundreds of terms), where the per-literal cost
+    becomes a fixed driver stall that no executor can absorb.  The
+    parsed expression is the same Catalyst ``In`` predicate, so parquet
+    row-group pruning is unchanged."""
+    vals = sorted(values)
+    if not vals:
+        return F.lit(False)
+    quoted = ",".join(
+        "'%s'" % v.replace("\\", "\\\\").replace("'", "\\'") for v in vals
+    )
+    return F.expr("%s IN (%s)" % (col, quoted))
+
+
 def _is_disjunctive_bag(plan: QueryPlan) -> bool:
     """True when the query is a pure OR-bag of optional non-exact terms:
     score == sum of per-term BM25 and match == any term present.  This is
@@ -1140,7 +1159,7 @@ class SearchEngine:
                 "query_id string, term string, idf double, pos int, "
                 "gate int, n_gate int",
             )
-            post = self._postings_df.filter(F.col("term").isin(all_terms))
+            post = self._postings_df.filter(_term_in("term", all_terms))
             if exclude_filenames:
                 if "tf_url" not in self._postings_df.columns:
                     raise ValueError(
@@ -1211,7 +1230,7 @@ class SearchEngine:
                     xt_rows, "query_id string, term string"
                 )
                 post_excl = self._postings_df.filter(
-                    F.col("term").isin(all_excl)
+                    _term_in("term", all_excl)
                 )
                 if ex_fn:
                     post_excl = post_excl.filter(
