@@ -49,6 +49,27 @@ def get_spark(
         "false",
     ):
         builder = builder.config("spark.python.worker.reuse", "false")
+    # Straggler speculation, ON by default (kill switch
+    # PROBE_SPARK_SPECULATION=0).  Motivation: twice at >=5M-doc scale a
+    # single task wedged forever in a stuck loopback TCP window (JVM
+    # Send-Q full, Python worker blocked in recv with an empty Recv-Q --
+    # kernel-level, not application-level), stalling a 32-task stage at
+    # 31/32 with the whole box idle.  A speculative second attempt runs
+    # the same partition in a fresh worker and wins; Spark then kills the
+    # wedged attempt.  Conservative thresholds (only tasks >=4x the
+    # median after 90% of the stage finished) keep duplicate work ~zero
+    # in healthy runs; every write path goes through Spark's commit
+    # protocol, so a losing attempt's output is discarded atomically.
+    # On a real cluster this is the standard straggler defense.
+    if os.environ.get("PROBE_SPARK_SPECULATION", "1").lower() not in (
+        "0",
+        "false",
+    ):
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "4")
+            .config("spark.speculation.quantile", "0.9")
+        )
     spark = (
         builder
         .appName(app_name)
