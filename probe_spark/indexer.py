@@ -38,8 +38,9 @@ Scale design notes (explicitly, per the north rule):
     independent sorted runs merged at query or compaction time (SURVEY.md
     SS4 skew handling).
   * global aggregates need no extra passes over data: doc counts and
-    doc_len sums ride the doc_lens write as Observations (stats is written
-    driver-side from lineage sums), and the term dictionary is re-aggregated
+    doc_len sums come from committed parquet footers / a one-pass metrics
+    agg (stats is written driver-side from lineage sums; exact under task
+    retries and speculation), and the term dictionary is re-aggregated
     from per-bucket partials computed while the tokenization is cached.
   * builds are resumable: each bucket commits a lineage row after its
     files land; re-running skips completed buckets (kill-resume tested).
@@ -317,9 +318,37 @@ def _dir_bytes(path: Path) -> int:
     return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
 
 
+def _committed_parquet_rows(path: Path) -> int:
+    """Exact row count of a committed parquet dir from file footers
+    (driver-side metadata read, no Spark job).  Unlike ``observe`` on the
+    write, this counts only files the commit protocol kept, so it stays
+    exact under task retries and speculative duplicates (Observation rows
+    from a losing attempt are merged into the metric even though its
+    files are discarded)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows for f in Path(path).rglob("*.parquet")
+    )
+
+
+def _committed_column_sum(path: Path, col: str) -> int:
+    """Sum one integer column of a committed parquet dir via a driver-side
+    pyarrow column read (single-column projection; retry/speculation-proof
+    for the same reason as _committed_parquet_rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    files = sorted(str(f) for f in Path(path).rglob("*.parquet"))
+    if not files:
+        return 0
+    t = ds.dataset(files, format="parquet").to_table(columns=[col])
+    return int(pc.sum(t.column(col)).as_py() or 0)
+
+
 def write_stats(index_dir: str, n_docs: int, avgdl: float) -> None:
     """Write the singleton stats table driver-side (pyarrow) -- the inputs
-    already rode the doc_lens writes as Observations, so no Spark job."""
+    already landed in lineage during phase B, so no Spark job."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -501,8 +530,6 @@ def build_index(
 
     done = set(_read_lineage(index_dir)) if resume else set()
 
-    from pyspark.sql import Observation
-
     # Phase B: per-bucket tokenize + write (resumable unit).  Buckets are
     # independent jobs; submit them from driver threads so Spark's
     # scheduler interleaves their tasks and keeps all cores busy across
@@ -566,13 +593,13 @@ def build_index(
         # then read from cache.  Hash repartition by term (no sampling
         # pass, unlike repartitionByRange) keeps a term's postings in one
         # file per bucket; sortWithinPartitions gives tight row-group
-        # term ranges for query-time pruning.  Row counts ride the write
-        # actions as Observations -- no separate count jobs.
-        obs_p = Observation()
+        # term ranges for query-time pruning.  Row counts/sums come from
+        # the COMMITTED parquet footers after each write (exact under task
+        # retries and speculation, unlike observe on the write) -- still
+        # no separate count jobs.
         postings_b = (
             rows.filter(F.col("term").isNotNull())
             .select("term", "doc_id", "tf", "tf_url", "doc_len")
-            .observe(obs_p, F.count(F.lit(1)).alias("n"))
             # postings bytes track input text bytes (~1 posting row per
             # ~10 input bytes, heavily compressed); size the term-hash
             # shuffle so each output file stays row-group friendly
@@ -582,17 +609,11 @@ def build_index(
             .sortWithinPartitions("term", "doc_id")
         )
         postings_b.write.mode("overwrite").parquet(str(postings_dir))
-        obs_d = Observation()
         lens_b = (
             rows.filter(F.col("term").isNull())
             .select(
                 "doc_id", "doc_len",
                 *(["tri_bloom"] if emit_bloom else []),
-            )
-            .observe(
-                obs_d,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"),
             )
         )
         lens_b.coalesce(2).write.mode("overwrite").parquet(str(lens_dir))
@@ -616,9 +637,9 @@ def build_index(
             .write.mode("overwrite")
             .parquet(str(tpart_dir))
         )
-        n_postings = int(obs_p.get["n"])
-        n_docs = int(obs_d.get["n"])
-        sum_dl = int(obs_d.get["sum_dl"])
+        n_postings = _committed_parquet_rows(postings_dir)
+        n_docs = _committed_parquet_rows(lens_dir)
+        sum_dl = _committed_column_sum(lens_dir, "doc_len")
         rows.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         _append_lineage(
@@ -892,7 +913,7 @@ def build_index(
     # Phase C: finalize global aggregates (idempotent overwrite).  The term
     # dictionary re-aggregates the per-bucket partials (vocab-sized input,
     # not the postings table); stats needs NO job -- counts and doc_len
-    # sums rode the phase-B writes as Observations into lineage.
+    # sums already landed in lineage during phase B.
     tpart_root = out / "terms_partial"
     terms_schema = "term string, df long, cf long"
     if tpart_root.exists() and any(tpart_root.iterdir()):

@@ -20,8 +20,8 @@ Design:
     term dictionary incrementally (current terms + the new bucket's
     partials -- NOT a re-scan of every historical partial) and update
     stats from running totals carried in stream_state.json (doc counts and
-    doc_len sums ride the writes as Observations -- no extra jobs over the
-    index);
+    doc_len sums come from the committed delta's parquet footers -- no
+    extra jobs over the index, and exact under retries/speculation);
   * the flat-postings query engine sees appended postings immediately;
     compaction folds deltas into block-max blocks on demand.
 """
@@ -255,8 +255,6 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
     than silently skipped).  _reconcile at batch start rolls interrupted
     batches back (no commit marker) or forward (committed but not folded
     into terms/stats)."""
-    from pyspark.sql import Observation
-
     out = Path(index_dir)
     manifest_path = out / "manifest.json"
     manifest = {}
@@ -312,17 +310,23 @@ def ingest_batch(spark: SparkSession, batch_df, index_dir: str, epoch_id: int) -
         .write.mode("overwrite")
         .parquet(str(out / "postings" / f"bucket={bucket}"))
     )
-    obs = Observation()
+    lens_delta = out / "doc_lens" / f"bucket={bucket}"
     (
         # bloom-free layout: the tri_postings delta below serves rescue
         rows.filter(F.col("term").isNull())
         .select("doc_id", "doc_len")
-        .observe(obs, F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(str(out / "doc_lens" / f"bucket={bucket}"))
+        .parquet(str(lens_delta))
     )
-    sum_dl = int(obs.get["sum_dl"])
+    # sum from the COMMITTED delta files, not an Observation riding the
+    # write: observe() merges metric rows from every completed task
+    # attempt, so a retried or speculative duplicate would inflate sum_dl
+    # (and through it avgdl and every BM25 score) even though the commit
+    # protocol discarded the losing attempt's files
+    from probe_spark.indexer import _committed_column_sum
+
+    sum_dl = _committed_column_sum(lens_delta, "doc_len")
     # trigram substring-index lane for the delta (rescue serving): explode
     # of the cached tokenize output's tris arrays (indexer.tri_rows)
     tri_delta = out / "tri_postings" / f"bucket={bucket}"
