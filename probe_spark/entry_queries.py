@@ -1779,6 +1779,72 @@ FROM per GROUP BY ng HAVING count(*) >= 5
 """
 
 
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark set -- the standard pre-training
+    hygiene pass (GPT-3 used 13-grams, Llama 8-grams; k=3 here because
+    the synthetic corpus has a ~30-word vocabulary, so longer grams are
+    all unique and the gate would be vacuous).  The "eval set" is a
+    deterministic slice of the corpus (doc_id % 97 == 0 -- no external
+    data); everything else is the training side.  Returns one row per
+    CONTAMINATED training doc: distinct-n-gram hit count, the doc's
+    distinct-n-gram total, and the contamination ratio.
+
+    Scale plan: n-grams are built doc-locally (map-only) and deduped
+    per doc BEFORE the explode; the eval n-gram set is tiny relative to
+    the corpus by construction (benchmarks are ~1e4 docs vs 1e12), so
+    the membership probe is a BROADCAST semi-join -- no shuffle of the
+    training side at any size; the only shuffle is the final per-doc
+    groupBy, over hit rows only (contamination is rare at scale)."""
+    K = 3
+    docs = _docs(spark, sf_dir)
+    w, n = F.col("ws"), F.size("ws")
+    grams = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.array_distinct(_word_ngrams(w, n, K)).alias("g")
+    )
+    ev = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("g").alias("ng"))
+        .distinct()
+    )
+    tr = grams.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("g").alias("n_ngrams"), F.explode("g").alias("ng")
+    )
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max("n_ngrams").cast("long").alias("n_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_ngrams",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias(
+                "contam_ratio"
+            ),
+        )
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          ELSE []::VARCHAR[] END AS g
+      FROM w),
+e AS (SELECT DISTINCT unnest(g) AS ng FROM h WHERE doc_id % 97 = 0),
+t AS (SELECT doc_id, len(g) AS n_ngrams, unnest(g) AS ng
+      FROM h WHERE doc_id % 97 != 0)
+SELECT doc_id, count(*)::BIGINT AS n_hits, max(n_ngrams)::BIGINT AS n_ngrams,
+       round(count(*)::DOUBLE / max(n_ngrams), 6) AS contam_ratio
+FROM t JOIN e USING (ng) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -1855,5 +1921,6 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_boilerplate_ngrams": (text_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "sample_lang_temperature": (sample_lang_temperature, SAMPLE_LANG_TEMPERATURE_SQL),
+    "pipeline_decontaminate": (pipeline_decontaminate, DECONTAMINATE_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

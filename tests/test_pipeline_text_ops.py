@@ -92,3 +92,41 @@ def test_lang_temperature_rebalances_and_is_deterministic(spark, tmp_path):
     # the mix must be flatter than the 9:1 input
     assert n_fr > 0 and n_en < 90
     assert n_en / max(n_fr, 1) < 9
+
+
+def test_decontaminate_hand_computed(spark, tmp_path):
+    # Eval slice = doc_id % 97 == 0 -> doc 0 only ("a b c d e": 3-grams
+    # {a b c, b c d, c d e}).  doc 1 shares one gram, doc 3 is an exact
+    # copy (all 3), doc 2 shares none, doc 4 is too short for any gram.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c d e", "en", "s", 9),
+            (1, "a b c x y", "en", "s", 9),
+            (2, "x y z w", "en", "s", 7),
+            (3, "a b c d e", "en", "s", 9),
+            (4, "q", "en", "s", 1),
+        ],
+    )
+    from probe_spark.entry_queries import pipeline_decontaminate
+
+    df = pipeline_decontaminate(spark, sf)
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert set(got) == {1, 3}  # only contaminated training docs
+    assert got[1] == {
+        "doc_id": 1,
+        "n_hits": 1,
+        "n_ngrams": 3,
+        "contam_ratio": round(1 / 3, 6),
+    }
+    assert got[3] == {
+        "doc_id": 3,
+        "n_hits": 3,
+        "n_ngrams": 3,
+        "contam_ratio": 1.0,
+    }
+    # scale contract: the eval-set membership probe must be a broadcast
+    # join (no shuffle of the training side), not a sort-merge join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
