@@ -514,6 +514,7 @@ def main() -> None:
     # round-4 pipeline text ops, timed OUTSIDE the headline sum so the
     # "value" series stays comparable across rounds; min-of-2
     from probe_spark.entry_queries import (
+        pipeline_decontaminate,
         sample_lang_temperature,
         text_boilerplate_ngrams,
         text_repetition,
@@ -524,6 +525,7 @@ def main() -> None:
         ("op_text_repetition", text_repetition),
         ("op_boilerplate_ngrams", text_boilerplate_ngrams),
         ("op_lang_temperature", sample_lang_temperature),
+        ("op_decontaminate", pipeline_decontaminate),
     ):
         ts = []
         for _ in range(2):
