@@ -514,9 +514,11 @@ def main() -> None:
     # round-4 pipeline text ops, timed OUTSIDE the headline sum so the
     # "value" series stays comparable across rounds; min-of-2
     from probe_spark.entry_queries import (
+        dedup_span_exact,
         pipeline_decontaminate,
         sample_lang_temperature,
         text_boilerplate_ngrams,
+        text_pii_redact,
         text_repetition,
     )
 
@@ -526,6 +528,8 @@ def main() -> None:
         ("op_boilerplate_ngrams", text_boilerplate_ngrams),
         ("op_lang_temperature", sample_lang_temperature),
         ("op_decontaminate", pipeline_decontaminate),
+        ("op_span_dedup", dedup_span_exact),
+        ("op_pii_redact", text_pii_redact),
     ):
         ts = []
         for _ in range(2):

@@ -1845,6 +1845,197 @@ FROM t JOIN e USING (ng) GROUP BY doc_id
 """
 
 
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (duplicated-span) dedup statistics, the Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"
+    pass adapted to word k-grams: any k-word span whose exact text also
+    appears in ANOTHER document is marked for removal everywhere except
+    in its canonical owner (the min doc_id containing it -- the
+    deterministic "keep one copy" rule).  k=8 here (the paper uses
+    50-token spans; this corpus has a ~30-word vocabulary, so 8 already
+    gives a non-vacuous duplicate set).  Returns one row per document:
+    word count, duplicated-span count, the number of words covered by
+    the union of duplicated spans (overlaps counted once), and the
+    removal fraction -- exactly what a span-rewrite pass would cut.
+
+    Scale plan: grams are built doc-locally (map-only explode); the
+    cross-corpus step is ONE shuffle -- a window over ``ng`` computing
+    min/max doc_id (min != max <=> appears in >= 2 docs, min = owner),
+    which replaces the groupBy(ng) + join-back pair (two shuffles + a
+    re-scan of the gram stream) with a single exchange + sort.  The
+    span-union length is computed per doc with JVM higher-order
+    functions (flatten/array_distinct over position ranges), never in
+    Python.  A boilerplate mega-gram lands in one ng partition; AQE
+    skew-split handles it (caps as in dedup_minhash_pairs would apply
+    if rewrite payloads were carried -- only positions are).
+    """
+    K = 8
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select("doc_id", F.col("ws"), F.size("ws").alias("n_words"))
+    w, n = F.col("ws"), F.col("n_words")
+    idx = F.sequence(F.lit(1), n - (K - 1))
+    grams = F.when(
+        n >= K,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + off) for off in range(K)]
+                ).alias("ng"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,ng:string>>"))
+    ex = base.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.ng").alias("ng")
+    )
+    from pyspark.sql.window import Window
+
+    wn = Window.partitionBy("ng")
+    dup = (
+        ex.withColumn("owner", F.min("doc_id").over(wn))
+        .withColumn("mx", F.max("doc_id").over(wn))
+        .where((F.col("owner") != F.col("mx")) & (F.col("doc_id") != F.col("owner")))
+    )
+    per = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + F.lit(K - 1))
+                    )
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_removed_words"),
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_removed_words", F.lit(0))
+            .cast("long")
+            .alias("n_removed_words"),
+            F.round(
+                F.coalesce("n_removed_words", F.lit(0)) / F.col("n_words"), 6
+            ).alias("removed_frac"),
+        )
+    )
+
+
+DEDUP_SPAN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS ng
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+s AS (SELECT ng, min(doc_id) AS owner FROM g
+      GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN s USING (ng)
+      WHERE g.doc_id != s.owner),
+spans AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans FROM d GROUP BY doc_id),
+cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS n_removed_words
+        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM d)
+        GROUP BY doc_id)
+SELECT w.doc_id, len(ws)::BIGINT AS n_words,
+       coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(n_removed_words, 0)::BIGINT AS n_removed_words,
+       round(coalesce(n_removed_words, 0)::DOUBLE / len(ws), 6) AS removed_frac
+FROM w LEFT JOIN spans USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+# PII patterns: kept to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB) -- ASCII classes, bounded quantifiers, \\b, no
+# lookaround/backreferences (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d-]{5,}\d"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4s, phone numbers) -- the
+    standard pre-training scrub (C4/Dolma-style regex pass).  The
+    synthetic corpus contains no PII, so each doc_id deterministically
+    injects its own (docs with doc_id % 3 == 2 stay clean) -- both
+    engines apply the SAME injection expression, making the md5-of-
+    redacted-text comparison a real byte-level gate on redaction
+    semantics, not a trivially-empty match.  Returns per-doc match
+    counts per category and the md5 of the redacted text (email -> IP
+    -> phone replacement order, fixed on both sides).
+
+    Scale plan: pure map-only column math -- three regexp_counts and a
+    three-deep regexp_replace chain, all JVM-side inside whole-stage
+    codegen; zero shuffles, zero Python, trivially partition-parallel
+    at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 != 2,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail"),
+                (d % 7).cast("string"),
+                F.lit(".example.com from 10."),
+                (d % 200).cast("string"),
+                F.lit(".0."),
+                ((d * 7) % 250).cast("string"),
+                F.lit(" call +1-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", inj.alias("s"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("s", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("s", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count("s", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 != 2 THEN
+           ' contact user' || doc_id::VARCHAR
+           || '@mail' || (doc_id % 7)::VARCHAR
+           || '.example.com from 10.' || (doc_id % 200)::VARCHAR
+           || '.0.' || ((doc_id * 7) % 250)::VARCHAR
+           || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END AS s
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(s, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(s, '{PII_IP_RE}'))::BIGINT AS n_ips,
+  len(regexp_extract_all(s, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(s,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IP_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -1922,5 +2113,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_boilerplate_ngrams": (text_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "sample_lang_temperature": (sample_lang_temperature, SAMPLE_LANG_TEMPERATURE_SQL),
     "pipeline_decontaminate": (pipeline_decontaminate, DECONTAMINATE_SQL),
+    "dedup_span_exact": (dedup_span_exact, DEDUP_SPAN_SQL),
+    "text_pii_redact": (text_pii_redact, PII_REDACT_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -130,3 +130,77 @@ def test_decontaminate_hand_computed(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_span_exact_hand_computed(spark, tmp_path):
+    # K=8 word spans.  doc 0 owns (min doc_id) both grams it shares with
+    # doc 1, so doc 0 keeps everything; doc 1 loses the union of its two
+    # overlapping duplicated spans (positions 1..8 and 2..9 -> 9 words,
+    # overlaps counted once).  doc 2 is too short for any 8-gram.  doc 3
+    # repeats an 8-gram three times WITHIN itself only -- within-doc
+    # repetition is not cross-corpus duplication (df counts distinct
+    # docs), so it must stay untouched.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c d e f g h i j", "en", "s", 19),
+            (1, "z a b c d e f g h i", "en", "s", 19),
+            (2, "p q r", "en", "s", 5),
+            (3, "m m m m m m m m m m", "en", "s", 19),
+        ],
+    )
+    from probe_spark.entry_queries import dedup_span_exact
+
+    got = {
+        r["doc_id"]: r.asDict() for r in dedup_span_exact(spark, sf).collect()
+    }
+    assert got[0] == {
+        "doc_id": 0,
+        "n_words": 10,
+        "n_dup_spans": 0,
+        "n_removed_words": 0,
+        "removed_frac": 0.0,
+    }
+    assert got[1] == {
+        "doc_id": 1,
+        "n_words": 10,
+        "n_dup_spans": 2,
+        "n_removed_words": 9,
+        "removed_frac": 0.9,
+    }
+    assert got[2]["n_words"] == 3 and got[2]["n_removed_words"] == 0
+    assert got[3]["n_dup_spans"] == 0 and got[3]["n_removed_words"] == 0
+
+
+def test_pii_redact_hand_computed(spark, tmp_path):
+    import hashlib
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "hello world", "en", "s", 11),
+            (2, "clean doc", "en", "s", 9),  # % 3 == 2: no injection
+            (7, "x", "en", "s", 1),
+        ],
+    )
+    from probe_spark.entry_queries import text_pii_redact
+
+    got = {
+        r["doc_id"]: r.asDict() for r in text_pii_redact(spark, sf).collect()
+    }
+    assert got[0]["n_emails"] == 1
+    assert got[0]["n_ips"] == 1
+    assert got[0]["n_phones"] == 1
+    want0 = "hello world contact <EMAIL> from <IP> call <PHONE>"
+    assert got[0]["redacted_md5"] == hashlib.md5(want0.encode()).hexdigest()
+    # untouched doc: zero counts, md5 of the original text
+    assert got[2] == {
+        "doc_id": 2,
+        "n_emails": 0,
+        "n_ips": 0,
+        "n_phones": 0,
+        "redacted_md5": hashlib.md5(b"clean doc").hexdigest(),
+    }
+    # lpad: 7 -> "0007"; injected IP 10.7.0.49 -- all redacted
+    want7 = "x contact <EMAIL> from <IP> call <PHONE>"
+    assert got[7]["redacted_md5"] == hashlib.md5(want7.encode()).hexdigest()
