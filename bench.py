@@ -520,6 +520,7 @@ def main() -> None:
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
+        text_unigram_nll,
     )
 
     extra = {}
@@ -530,6 +531,7 @@ def main() -> None:
         ("op_decontaminate", pipeline_decontaminate),
         ("op_span_dedup", dedup_span_exact),
         ("op_pii_redact", text_pii_redact),
+        ("op_unigram_nll", text_unigram_nll),
     ):
         ts = []
         for _ in range(2):

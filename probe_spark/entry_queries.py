@@ -2036,6 +2036,58 @@ FROM t
 """
 
 
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document -- the
+    self-contained analog of the CCNet/KenLM perplexity quality filter
+    (no external model: the LM is the corpus's own unigram distribution,
+    logprob(w) = ln(count(w) / total_tokens)).  Returns per doc the word
+    count and the average negative log-likelihood (low = typical text,
+    high = unusual word mix); training pipelines bucket or threshold on
+    exactly this signal.
+
+    Scale plan: the "model" is the word-count table -- vocabulary-sized
+    (bounded by the language, NOT the corpus), produced by one map-side-
+    combined groupBy(word); it is then BROADCAST back onto the token
+    stream, so the corpus-sized side is never shuffled for scoring; the
+    only corpus-sized shuffle is the final per-doc aggregation.  At
+    100 TB the vocab table is still a few million rows -- comfortably
+    broadcastable -- and both the count and the score pass are one scan
+    each."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.explode("ws").alias("w"),
+    )
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = cnt.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.round(-F.sum("lp") / F.max("n_words"), 6).alias("avg_nll"),
+        )
+    )
+
+
+UNIGRAM_NLL_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT w, count(*)::BIGINT AS cnt FROM t GROUP BY w),
+lpw AS (SELECT w, ln(cnt / (SELECT sum(cnt)::DOUBLE FROM c)) AS lp FROM c)
+SELECT doc_id, max(n_words)::BIGINT AS n_words,
+       round(-sum(lp) / max(n_words), 6) AS avg_nll
+FROM t JOIN lpw USING (w) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -2115,5 +2167,6 @@ ALL_QUERIES: dict[str, tuple] = {
     "pipeline_decontaminate": (pipeline_decontaminate, DECONTAMINATE_SQL),
     "dedup_span_exact": (dedup_span_exact, DEDUP_SPAN_SQL),
     "text_pii_redact": (text_pii_redact, PII_REDACT_SQL),
+    "text_unigram_nll": (text_unigram_nll, UNIGRAM_NLL_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

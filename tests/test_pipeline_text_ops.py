@@ -204,3 +204,31 @@ def test_pii_redact_hand_computed(spark, tmp_path):
     # lpad: 7 -> "0007"; injected IP 10.7.0.49 -- all redacted
     want7 = "x contact <EMAIL> from <IP> call <PHONE>"
     assert got[7]["redacted_md5"] == hashlib.md5(want7.encode()).hexdigest()
+
+
+def test_unigram_nll_hand_computed(spark, tmp_path):
+    import math
+
+    # corpus unigram LM: counts a=3 b=2 c=1, total=6
+    #   lp(a)=ln(1/2)  lp(b)=ln(1/3)  lp(c)=ln(1/6)
+    # doc 0 = "a a b": avg_nll = -(2*ln(1/2) + ln(1/3)) / 3
+    # doc 1 = "a b c": avg_nll = -(ln(1/2) + ln(1/3) + ln(1/6)) / 3
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a a b", "en", "s", 5),
+            (1, "a b c", "en", "s", 5),
+        ],
+    )
+    from probe_spark.entry_queries import text_unigram_nll
+
+    got = {
+        r["doc_id"]: r.asDict() for r in text_unigram_nll(spark, sf).collect()
+    }
+    lp_a, lp_b, lp_c = math.log(1 / 2), math.log(1 / 3), math.log(1 / 6)
+    assert got[0]["n_words"] == 3
+    assert got[0]["avg_nll"] == round(-(2 * lp_a + lp_b) / 3, 6)
+    assert got[1]["n_words"] == 3
+    assert got[1]["avg_nll"] == round(-(lp_a + lp_b + lp_c) / 3, 6)
+    # rare-word doc scores strictly worse (higher NLL) than common-word doc
+    assert got[1]["avg_nll"] > got[0]["avg_nll"]
