@@ -516,6 +516,8 @@ def main() -> None:
     from probe_spark.entry_queries import (
         dedup_span_exact,
         pipeline_decontaminate,
+        pipeline_decontaminate_fuzzy,
+        pipeline_pack_chunks,
         sample_lang_temperature,
         text_boilerplate_ngrams,
         text_pii_redact,
@@ -532,6 +534,8 @@ def main() -> None:
         ("op_span_dedup", dedup_span_exact),
         ("op_pii_redact", text_pii_redact),
         ("op_unigram_nll", text_unigram_nll),
+        ("op_decontaminate_fuzzy", pipeline_decontaminate_fuzzy),
+        ("op_pack_chunks", pipeline_pack_chunks),
     ):
         ts = []
         for _ in range(2):

@@ -2088,6 +2088,186 @@ FROM t JOIN lpw USING (w) GROUP BY doc_id
 """
 
 
+def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval-set decontamination: per training document, the best
+    (highest) exact Jaccard similarity of its distinct word-bigram set
+    against any document of a held-out benchmark slice, kept when it
+    clears a threshold -- the Llama-2/GPT-4-style *similarity*
+    decontamination pass that catches paraphrased or partially-copied
+    eval items which the exact-n-gram probe (pipeline_decontaminate)
+    misses.  The "eval set" is the same deterministic slice (doc_id %
+    97 == 0; no external data); k=2 grams and threshold 0.05 because the
+    synthetic corpus's ~30-word vocabulary makes longer grams all-unique
+    and higher thresholds vacuous.  Ties on Jaccard break to the lowest
+    eval doc_id, so the winner is deterministic.
+
+    Scale plan: this is NOT an all-pairs similarity join.  Grams are
+    built doc-locally and deduped per doc (map-only); the eval side --
+    tiny by construction (benchmarks are ~1e4 docs vs 1e12) -- is
+    exploded to (gram, eval_id, eval_set_size) and BROADCAST, so the
+    training side never shuffles for the probe; intersection counts per
+    (train, eval) pair exist only for pairs sharing >=1 gram, and the
+    per-pair groupBy shuffles those hit rows only.  Jaccard then needs
+    no second pass: |A| rides the training rows, |B| rides the broadcast
+    side, J = inter / (|A| + |B| - inter)."""
+    from pyspark.sql.window import Window
+
+    K, THRESH = 2, 0.05
+    docs = _docs(spark, sf_dir)
+    w, n = F.col("ws"), F.size("ws")
+    grams = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.array_distinct(_word_ngrams(w, n, K)).alias("g")
+    )
+    ev = grams.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("g").alias("ev_n"),
+        F.explode("g").alias("ng"),
+    )
+    tr = grams.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("g").alias("n_g"), F.explode("g").alias("ng")
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("n_g").alias("n_g"),
+            F.max("ev_n").alias("ev_n"),
+        )
+        .select(
+            "doc_id",
+            "eval_id",
+            (
+                F.col("inter")
+                / (F.col("n_g") + F.col("ev_n") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("j").desc(), F.col("eval_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(best))
+        .where((F.col("rn") == 1) & (F.col("j") >= THRESH))
+        .select(
+            "doc_id",
+            F.col("eval_id").alias("eval_doc_id"),
+            F.round("j", 6).alias("jaccard"),
+        )
+    )
+
+
+DECONTAMINATE_FUZZY_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 2
+          THEN list_distinct(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1]))
+          ELSE []::VARCHAR[] END AS g
+      FROM w),
+e AS (SELECT doc_id AS eval_id, len(g) AS ev_n, unnest(g) AS ng
+      FROM h WHERE doc_id % 97 = 0),
+t AS (SELECT doc_id, len(g) AS n_g, unnest(g) AS ng
+      FROM h WHERE doc_id % 97 != 0),
+p AS (SELECT t.doc_id, e.eval_id, count(*) AS inter,
+             max(t.n_g) AS n_g, max(e.ev_n) AS ev_n
+      FROM t JOIN e USING (ng) GROUP BY 1, 2),
+j AS (SELECT doc_id, eval_id,
+             inter::DOUBLE / (n_g + ev_n - inter) AS j,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY inter::DOUBLE / (n_g + ev_n - inter)
+                                         DESC, eval_id ASC) AS rn
+      FROM p)
+SELECT doc_id, eval_id AS eval_doc_id, round(j, 6) AS jaccard
+FROM j WHERE rn = 1 AND j >= 0.05
+"""
+
+
+def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout: concatenate the corpus in doc_id order
+    and cut it into fixed L-token training sequences (the GPT-style
+    "pack documents into 2048-token rows" pre-training step; L=128 here
+    to fit the synthetic docs' ~54-word mean).  Returns one row per
+    document: token count, its absolute start offset in the packed
+    stream, its first chunk id, how many chunks it spans, and whether it
+    crosses a chunk boundary (the attention-masking / doc-boundary
+    bookkeeping a packing job must emit).
+
+    Scale plan: the naive form is ONE global window (sum(n) OVER (ORDER
+    BY doc_id)) -- a single-partition sort at any size, exactly the
+    WindowExec "moving all data to a single partition" failure.  This
+    implementation is the standard two-level distributed prefix sum:
+    docs are range-grouped (doc_id // G), per-group token totals -- a
+    table |corpus|/G rows, G sized so it fits one node; hierarchy
+    extends this to any depth -- take ONE tiny window, and the exclusive
+    group prefixes are broadcast back; within-group offsets come from a
+    window PARTITIONED by group (parallel, no global sort).  Absolute
+    offset = group prefix + within-group prefix, all integer math, so
+    the result is bit-identical to the naive global window the oracle
+    runs."""
+    from pyspark.sql.window import Window
+
+    L, G = 128, 64
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") - (F.col("doc_id") % G)).alias("grp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    gwin = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gpre = (
+        toks.groupBy("grp")
+        .agg(F.sum("n_tokens").alias("gsum"))
+        .select(
+            "grp",
+            F.coalesce(F.sum("gsum").over(gwin), F.lit(0)).alias("gstart"),
+        )
+    )
+    dwin = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = toks.join(F.broadcast(gpre), "grp").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("gstart")
+            + F.coalesce(F.sum("n_tokens").over(dwin), F.lit(0))
+        ).alias("start_offset"),
+    )
+    first = F.floor(F.col("start_offset") / L)
+    last = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / L)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        first.alias("start_chunk"),
+        (last - first + 1).alias("n_chunks"),
+        (last > first).alias("crosses_boundary"),
+    )
+
+
+PACK_CHUNKS_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // 128)::BIGINT AS start_chunk,
+       ((start_offset + n_tokens - 1) // 128
+         - start_offset // 128 + 1)::BIGINT AS n_chunks,
+       ((start_offset + n_tokens - 1) // 128
+         > start_offset // 128) AS crosses_boundary
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -2168,5 +2348,10 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_span_exact": (dedup_span_exact, DEDUP_SPAN_SQL),
     "text_pii_redact": (text_pii_redact, PII_REDACT_SQL),
     "text_unigram_nll": (text_unigram_nll, UNIGRAM_NLL_SQL),
+    "pipeline_decontaminate_fuzzy": (
+        pipeline_decontaminate_fuzzy,
+        DECONTAMINATE_FUZZY_SQL,
+    ),
+    "pipeline_pack_chunks": (pipeline_pack_chunks, PACK_CHUNKS_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -232,3 +232,71 @@ def test_unigram_nll_hand_computed(spark, tmp_path):
     assert got[1]["avg_nll"] == round(-(lp_a + lp_b + lp_c) / 3, 6)
     # rare-word doc scores strictly worse (higher NLL) than common-word doc
     assert got[1]["avg_nll"] > got[0]["avg_nll"]
+
+
+def test_decontaminate_fuzzy_hand_computed(spark, tmp_path):
+    # eval slice = doc_id % 97 == 0 -> docs 0 and 97, identical bigram
+    # sets {a b, b c, c d}.  train doc 1 shares 2 of 3 bigrams with both
+    # (J = 2/(3+3-2) = 0.5) -> tie breaks to the LOWER eval id (0).
+    # train doc 3 shares 1 (J = 1/(3+2-1) = 0.25).  train doc 2 shares
+    # nothing -> absent (below threshold / no candidate pair at all).
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c d", "en", "s", 7),
+            (97, "a b c d", "en", "s", 7),
+            (1, "a b c x", "en", "s", 7),
+            (2, "z z z", "en", "s", 5),
+            (3, "c d e", "en", "s", 5),
+        ],
+    )
+    from probe_spark.entry_queries import pipeline_decontaminate_fuzzy
+
+    df = pipeline_decontaminate_fuzzy(spark, sf)
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == {"doc_id": 1, "eval_doc_id": 0, "jaccard": 0.5}
+    assert got[3] == {"doc_id": 3, "eval_doc_id": 0, "jaccard": 0.25}
+    # scale contract: the eval probe must be a broadcast join, and the
+    # training side must never sort-merge
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_chunks_hand_computed(spark, tmp_path):
+    # L=128, G=64.  Word counts 100/50/30 in group 0 and 20 in group 64:
+    # offsets 0/100/150/180.  doc 1 straddles the chunk-0|1 boundary at
+    # token 128; everything else fits one chunk.  doc 65's offset (180)
+    # exercises the cross-group broadcast prefix path.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, " ".join(["w"] * 100), "en", "s", 199),
+            (1, " ".join(["w"] * 50), "en", "s", 99),
+            (2, " ".join(["w"] * 30), "en", "s", 59),
+            (65, " ".join(["w"] * 20), "en", "s", 39),
+        ],
+    )
+    from probe_spark.entry_queries import pipeline_pack_chunks
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pipeline_pack_chunks(spark, sf).collect()
+    }
+    assert got[0] == {
+        "doc_id": 0, "n_tokens": 100, "start_offset": 0,
+        "start_chunk": 0, "n_chunks": 1, "crosses_boundary": False,
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 50, "start_offset": 100,
+        "start_chunk": 0, "n_chunks": 2, "crosses_boundary": True,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 30, "start_offset": 150,
+        "start_chunk": 1, "n_chunks": 1, "crosses_boundary": False,
+    }
+    assert got[65] == {
+        "doc_id": 65, "n_tokens": 20, "start_offset": 180,
+        "start_chunk": 1, "n_chunks": 1, "crosses_boundary": False,
+    }
