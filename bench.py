@@ -519,6 +519,7 @@ def main() -> None:
         pipeline_decontaminate_fuzzy,
         pipeline_pack_chunks,
         sample_lang_temperature,
+        split_leakage_report,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -536,6 +537,7 @@ def main() -> None:
         ("op_unigram_nll", text_unigram_nll),
         ("op_decontaminate_fuzzy", pipeline_decontaminate_fuzzy),
         ("op_pack_chunks", pipeline_pack_chunks),
+        ("op_split_leakage", split_leakage_report),
     ):
         ts = []
         for _ in range(2):

@@ -2268,6 +2268,105 @@ FROM o
 """
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage report: for every TRAIN document that shares at
+    least one (df-capped) shingle with a VAL/TEST document, the most
+    similar eval doc by exact shingle Jaccard and whether it crosses the
+    leak threshold (0.5) -- the audit a leakage-safe split actually runs
+    before training: the md5-bucket split (sample_split) is leakage-free
+    by *assignment*, but near-duplicate documents can still straddle the
+    boundary, silently turning held-out examples into memorized training
+    text.  Flagged docs are the eviction set.  Ties on Jaccard break to
+    the lowest eval doc_id, so the report is deterministic.
+
+    Scale plan: the eval side is 1-2 % of the corpus by construction --
+    too big to broadcast at 1e12 docs, so candidates come from a
+    shuffle join on the capped shingle key (the _SHINGLE_DF_CAP
+    heavy-hitter cut bounds the hottest key, same guard as
+    dedup_ngram_jaccard); per-pair intersection counts shuffle candidate
+    rows only, and the final argmax is a window partitioned by train
+    doc -- never a global sort."""
+    THRESH = 0.5
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    sh = _capped_shingles(docs).join(
+        docs.select("doc_id", bucket.alias("b")), "doc_id"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tr = sh.where(F.col("b") < 98).select("doc_id", "shingle")
+    ev = sh.where(F.col("b") >= 98).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    pairs = (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        pairs.join(sizes.select("doc_id", F.col("n").alias("nt")), "doc_id")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("eval_id"), F.col("n").alias("ne")
+            ),
+            "eval_id",
+        )
+        .select(
+            "doc_id",
+            "eval_id",
+            (
+                F.col("inter")
+                / (F.col("nt") + F.col("ne") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("j").desc(), F.col("eval_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("eval_id").alias("eval_doc_id"),
+            F.round("j", 6).alias("jaccard"),
+            (F.col("j") >= THRESH).alias("is_leak"),
+        )
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+shc0 AS ({_SQL_CAPPED_SHINGLES}),
+shc AS (SELECT s.doc_id, s.shingle,
+               ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+                 % 100 AS b
+        FROM shc0 s),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id),
+pairs AS (SELECT t.doc_id, e.doc_id AS eval_id, count(*)::BIGINT AS inter
+          FROM shc t JOIN shc e USING (shingle)
+          WHERE t.b < 98 AND e.b >= 98
+          GROUP BY 1, 2),
+j AS (SELECT pairs.doc_id AS doc_id, eval_id,
+             inter::DOUBLE / (st.n + se.n - inter) AS j,
+             row_number() OVER (PARTITION BY pairs.doc_id
+                                ORDER BY inter::DOUBLE / (st.n + se.n - inter)
+                                         DESC, eval_id ASC) AS rn
+      FROM pairs
+      JOIN sizes st ON st.doc_id = pairs.doc_id
+      JOIN sizes se ON se.doc_id = pairs.eval_id)
+SELECT doc_id, eval_id AS eval_doc_id, round(j, 6) AS jaccard,
+       j >= 0.5 AS is_leak
+FROM j WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -2353,5 +2452,6 @@ ALL_QUERIES: dict[str, tuple] = {
         DECONTAMINATE_FUZZY_SQL,
     ),
     "pipeline_pack_chunks": (pipeline_pack_chunks, PACK_CHUNKS_SQL),
+    "split_leakage_report": (split_leakage_report, SPLIT_LEAKAGE_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -300,3 +300,35 @@ def test_pack_chunks_hand_computed(spark, tmp_path):
         "doc_id": 65, "n_tokens": 20, "start_offset": 180,
         "start_chunk": 1, "n_chunks": 1, "crosses_boundary": False,
     }
+
+
+def test_split_leakage_report_hand_computed(spark, tmp_path):
+    # md5(doc_id) buckets put 30 and 40 in the eval split (>= 98) and
+    # 0/1/2 in train.  Shingles are word 3-grams.  Train doc 0 is an
+    # exact copy of eval doc 30 (J = 1.0 -> leak); train doc 1 shares
+    # exactly one shingle with BOTH eval docs (J = 1/5 each) -- the tie
+    # must break to the lower eval id and stay below threshold; train
+    # doc 2 shares nothing and must be absent from the report.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (30, "a b c d e", "en", "s", 9),
+            (40, "a b c x y", "en", "s", 9),
+            (0, "a b c d e", "en", "s", 9),
+            (1, "a b c q r", "en", "s", 9),
+            (2, "z z z z", "en", "s", 7),
+        ],
+    )
+    from probe_spark.entry_queries import split_leakage_report
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in split_leakage_report(spark, sf).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] == {
+        "doc_id": 0, "eval_doc_id": 30, "jaccard": 1.0, "is_leak": True,
+    }
+    assert got[1] == {
+        "doc_id": 1, "eval_doc_id": 30, "jaccard": 0.2, "is_leak": False,
+    }
