@@ -399,9 +399,9 @@ def _shingles(docs: DataFrame, n: int = _SHINGLES_SPARK_N) -> DataFrame:
     arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     idx = arr.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+        _explode_nn(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
         "w",
-    )
+    ).where(F.col("i").isNotNull())
     return idx.select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("shingle"),
@@ -1588,6 +1588,24 @@ def _word_ngrams(w, n, k: int):
     )
 
 
+def _explode_nn(col):
+    """``explode_outer`` + not-null filter instead of plain ``explode``.
+
+    Semantically identical for arrays without null elements (ours never
+    hold any: concat_ws is never null), but plain explode triggers the
+    optimizer's InferFiltersFromGenerate rule, which INLINES the whole
+    generator-child expression into a pre-Generate ``size(..) > 0 AND
+    isnotnull(..)`` Filter.  When that child is an expensive computed
+    array (split + transform + array_distinct), the filter re-evaluates
+    it twice more per input row -- and the CodegenFallback expressions
+    drop the stage out of whole-stage codegen, so all three evaluations
+    run interpreted: measured 9-12 s vs 0.5-1.4 s at sf0.1 for the
+    decontamination ops.  The rule skips OUTER generates, so the array
+    is built once per row and the cheap not-null filter runs on the
+    exploded column instead."""
+    return F.explode_outer(col)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style per-document repetition signals (Rae et
     al. 2021, table A1): fraction of duplicated word 2-grams and 3-grams
@@ -1751,8 +1769,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(g3, lambda y: y == x)).cast("long").alias("cnt"),
         ),
     )
-    ex = arrs.select(F.explode(pairs).alias("p")).select(
-        F.col("p.ng").alias("ngram"), F.col("p.cnt").alias("cnt")
+    ex = (
+        arrs.select(_explode_nn(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.ng").alias("ngram"), F.col("p.cnt").alias("cnt"))
     )
     return (
         ex.groupBy("ngram")
@@ -1804,12 +1824,13 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         grams.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("g").alias("ng"))
+        .select(_explode_nn("g").alias("ng"))
+        .where(F.col("ng").isNotNull())
         .distinct()
     )
     tr = grams.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.size("g").alias("n_ngrams"), F.explode("g").alias("ng")
-    )
+        "doc_id", F.size("g").alias("n_ngrams"), _explode_nn("g").alias("ng")
+    ).where(F.col("ng").isNotNull())
     return (
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
@@ -1888,8 +1909,12 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,ng:string>>"))
-    ex = base.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.ng").alias("ng")
+    ex = (
+        base.select("doc_id", _explode_nn(grams).alias("g"))
+        .where(F.col("g").isNotNull())
+        .select(
+            "doc_id", F.col("g.pos").alias("pos"), F.col("g.ng").alias("ng")
+        )
     )
     from pyspark.sql.window import Window
 
@@ -2121,11 +2146,11 @@ def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = grams.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"),
         F.size("g").alias("ev_n"),
-        F.explode("g").alias("ng"),
-    )
+        _explode_nn("g").alias("ng"),
+    ).where(F.col("ng").isNotNull())
     tr = grams.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.size("g").alias("n_g"), F.explode("g").alias("ng")
-    )
+        "doc_id", F.size("g").alias("n_g"), _explode_nn("g").alias("ng")
+    ).where(F.col("ng").isNotNull())
     pairs = (
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id", "eval_id")
