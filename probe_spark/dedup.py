@@ -148,9 +148,14 @@ MINHASH_N = 8  # 4 bands x 2 rows
 
 def _shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # explode_outer + not-null: plain explode lets InferFiltersFromGenerate
+    # inline the computed child into a pre-Generate filter that re-evaluates
+    # split() per row (see entry_queries._explode_nn)
     idx = arr.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"), "w"
-    )
+        "doc_id",
+        F.explode_outer(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+        "w",
+    ).where(F.col("i").isNotNull())
     return idx.select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("shingle"),
