@@ -518,8 +518,10 @@ def main() -> None:
         pipeline_decontaminate,
         pipeline_decontaminate_fuzzy,
         pipeline_pack_chunks,
+        corpus_mixture,
         sample_lang_temperature,
         split_leakage_report,
+        text_tfidf_topk,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -538,6 +540,8 @@ def main() -> None:
         ("op_decontaminate_fuzzy", pipeline_decontaminate_fuzzy),
         ("op_pack_chunks", pipeline_pack_chunks),
         ("op_split_leakage", split_leakage_report),
+        ("op_tfidf_topk", text_tfidf_topk),
+        ("op_corpus_mixture", corpus_mixture),
     ):
         ts = []
         for _ in range(2):

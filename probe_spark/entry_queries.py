@@ -2392,6 +2392,111 @@ FROM j WHERE rn = 1
 """
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 whitespace terms by
+    tf-idf (tf = in-doc count, idf = ln(N / df) with df = number of docs
+    containing the term), ties broken by term ascending -- the standard
+    cheap doc-tagging / topic-droplet pass over a training corpus (and
+    the exact weighting BM25 generalizes; reference idf semantics in
+    probe_spark.oracle).
+
+    Scale plan: tf is one map-side-combinable groupBy((doc, term)); df
+    is vocabulary-sized (bounded by the language, not the corpus) and
+    BROADCAST back onto the tf rows, so the corpus-sized side shuffles
+    once for tf and never for the idf join; top-3 is a window
+    partitioned by doc -- never a global sort."""
+    from pyspark.sql.window import Window
+
+    K = 3
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", _explode_nn(F.split("text", " ")).alias("w")
+    ).where(F.col("w").isNotNull())
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("s"),
+        )
+    )
+    top = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(top))
+        .where(F.col("rank") <= K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.round("s", 6).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_TOPK_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT doc_id, tf.term AS term,
+                  tf * ln((SELECT count(*)::DOUBLE FROM documents) / df) AS s
+           FROM tf JOIN df ON tf.term = df.term),
+ranked AS (SELECT doc_id, term, s,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, rank::BIGINT AS rank, term, round(s, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per (lang, source) cell, document count,
+    token count, and the cell's share of all corpus tokens in integer
+    ppm -- the table every pre-training data card publishes and every
+    mixture-rebalancing decision starts from (integer ppm so the gate
+    compares exactly; sample_lang_temperature consumes shares like
+    these).
+
+    Scale plan: one map-side-combined groupBy over (lang, source) --
+    cells are bounded by languages x registrable sources, orders of
+    magnitude below the corpus -- then a broadcast of the 1-row total;
+    a single scan, a single small shuffle."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        # divide FIRST: n_tokens * 1e6 in int64 overflows at ~1e13 tokens
+        F.floor(F.col("n_tokens") / F.col("tot") * 1000000)
+        .cast("long")
+        .alias("token_share_ppm"),
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+                      sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+               FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_tokens,
+       floor(n_tokens / (SELECT sum(n_tokens)::DOUBLE FROM cells)
+             * 1000000)::BIGINT AS token_share_ppm
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -2478,5 +2583,7 @@ ALL_QUERIES: dict[str, tuple] = {
     ),
     "pipeline_pack_chunks": (pipeline_pack_chunks, PACK_CHUNKS_SQL),
     "split_leakage_report": (split_leakage_report, SPLIT_LEAKAGE_SQL),
+    "text_tfidf_topk": (text_tfidf_topk, TFIDF_TOPK_SQL),
+    "corpus_mixture": (corpus_mixture, CORPUS_MIXTURE_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -332,3 +332,59 @@ def test_split_leakage_report_hand_computed(spark, tmp_path):
     assert got[1] == {
         "doc_id": 1, "eval_doc_id": 30, "jaccard": 0.2, "is_leak": False,
     }
+
+
+def test_tfidf_topk_hand_computed(spark, tmp_path):
+    import math
+
+    # N=3; df: a=2 b=1 c=2.  doc 0 "a a b": b wins (1*ln3 > 2*ln1.5);
+    # doc 1 "a c": exact tf-idf tie -> term-asc tie-break; doc 2 "c c c"
+    # has a single distinct term -> one row only.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a a b", "en", "s", 5),
+            (1, "a c", "en", "s", 3),
+            (2, "c c c", "en", "s", 5),
+        ],
+    )
+    from probe_spark.entry_queries import text_tfidf_topk
+
+    rows = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tfidf"])
+        for r in text_tfidf_topk(spark, sf).collect()
+    )
+    ln15, ln3 = math.log(3 / 2), math.log(3.0)
+    assert rows == [
+        (0, 1, "b", round(ln3, 6)),
+        (0, 2, "a", round(2 * ln15, 6)),
+        (1, 1, "a", round(ln15, 6)),
+        (1, 2, "c", round(ln15, 6)),
+        (2, 1, "c", round(3 * ln15, 6)),
+    ]
+
+
+def test_corpus_mixture_hand_computed(spark, tmp_path):
+    # 6 corpus tokens: (en,s1)=2, (en,s2)=1, (de,s1)=3
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (0, "a b", "en", "s1", 3),
+            (1, "a", "en", "s2", 1),
+            (2, "x y z", "de", "s1", 5),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    from probe_spark.entry_queries import corpus_mixture
+
+    got = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in corpus_mixture(spark, str(tmp_path)).collect()
+    }
+    assert got[("en", "s1")]["n_docs"] == 1
+    assert got[("en", "s1")]["n_tokens"] == 2
+    assert got[("en", "s1")]["token_share_ppm"] == 333333
+    assert got[("en", "s2")]["token_share_ppm"] == 166666
+    assert got[("de", "s1")]["token_share_ppm"] == 500000
