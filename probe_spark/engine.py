@@ -395,6 +395,10 @@ class SearchEngine:
         # Invalidation: this dict lives in _reopen, so any on-disk index
         # change (check_refresh fingerprint) drops it with the others.
         self._verified_cache: dict[tuple[str, bool], DataFrame | None] = {}
+        # raw verified id lists beside the literal frames (same keys /
+        # lifecycle): lets batch callers build ONE combined literal frame
+        # for B warm needles instead of B one-task union branches
+        self._verified_ids: dict[tuple[str, bool], list[int] | None] = {}
         # rescue-term df memo (same keying/invalidation): the df of a
         # rescue term is a corpus-wide constant of the index, so the
         # per-query df-count action is only paid on first sight
@@ -724,6 +728,7 @@ class SearchEngine:
             rows = sel.limit(cap + 1).collect()
             if len(rows) > cap:
                 self._verified_cache[key] = None  # known too large
+                self._verified_ids[key] = None
                 return scan_frame
         doc_ids = sorted(int(r["doc_id"]) for r in rows)
         if doc_ids:
@@ -739,13 +744,200 @@ class SearchEngine:
         )
         if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
             self._verified_cache.clear()
+            self._verified_ids.clear()
         self._verified_cache[key] = lit
+        self._verified_ids[key] = doc_ids
         return lit if doc_ids else None
 
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
         containment rescue for exact/excluded terms."""
         return self._term_rows(plan, list(plan.term_indices))
+
+    def warm_rescue_needles(self, needles: list[str], ex_fn: bool) -> None:
+        """Batch-verify COLD rescue needles in ONE Spark action.
+
+        The per-needle path (_rescue_frames -> _try_verify_cache) pays up
+        to two serialized driver round-trips per cold needle: the trigram
+        candidate collect and the verified-set collect.  A query BATCH
+        with B distinct excluded/exact needles therefore spends O(B)
+        actions of pure driver latency before its single data action --
+        measured 43 s of serial plan-build time for a 200-query log at
+        150k docs, the Amdahl fraction behind the 0.37 serving-scaling
+        efficiency in BENCH r4.  Here every cold needle's verify scan
+        becomes ONE union job: trigram-pruned branches (doc_id IN
+        pushdown from a single batched candidate collect) plus one shared
+        full-scan branch for lane-declined / sub-trigram needles, capped
+        per needle by a row_number window so the driver collect stays
+        bounded exactly as the per-needle path bounds it.  Results
+        populate _verified_cache with the same three states the
+        per-needle path produces (literal frame / empty frame / None =
+        known too large), so _rescue_frames afterwards is cache-hits
+        only.  Single queries and legacy bloom-only layouts keep the
+        per-needle path."""
+        import pandas as pd
+
+        from probe_spark.trigram import needle_tri_codes
+
+        ex_key = bool(ex_fn)
+        cold = sorted(
+            {t for t in needles if (t, ex_key) not in self._verified_cache}
+        )
+        if len(cold) < 2 or self._tri_post_df is None:
+            return
+        cap = self._BLOOM_ISIN_CAP
+        pair_rows: list[tuple[str, int]] = []
+        n_sel: dict[str, int] = {}
+        fullscan: list[str] = []
+        for t in cold:
+            tris = needle_tri_codes(t)
+            if not tris:
+                fullscan.append(t)  # sub-trigram needle: plain verify scan
+                continue
+            dfs = self._tri_dfs(tris)
+            if any(dfs[x] == 0 for x in tris):
+                # refuted corpus-wide: cache the empty frame now
+                self._verified_cache[(t, ex_key)] = self.spark.createDataFrame(
+                    [], "term string, doc_id long, tf int"
+                ).select(
+                    F.lit(t).alias("term"),
+                    F.col("doc_id"),
+                    F.lit(1).cast("int").alias("tf"),
+                )
+                self._verified_ids[(t, ex_key)] = []
+                self._tri_cand_cache.setdefault(t, [])
+                continue
+            if min(dfs.values()) > max(
+                self._TRI_DIRECT_FRAC * self.n_docs, self._TRI_DIRECT_FLOOR
+            ):
+                fullscan.append(t)  # lane declines: plain verify scan
+                continue
+            sel = sorted(tris, key=lambda x: dfs[x])[: self._TRI_INTERSECT]
+            if min(dfs[x] for x in sel) > cap:
+                # provably more candidates than an IN pushdown takes: the
+                # per-needle path keeps the candidate frame LAZY and
+                # semi-joins it; mirror that as a lazy verify branch
+                n_sel[t] = -len(sel)
+            else:
+                n_sel[t] = len(sel)
+            pair_rows += [(t, int(x)) for x in sel]
+        from pyspark.sql.window import Window
+
+        def _cand_df(terms: dict[str, int]):
+            """Lazy (term, doc_id) candidate pairs for the given needles
+            (|n| selected trigrams each) -- no action."""
+            rows_ = [(t, c) for t, c in pair_rows if t in terms]
+            qt = self.spark.createDataFrame(rows_, "term string, tri int")
+            codes = sorted({c for _, c in rows_})
+            post = self._tri_post_df.filter(F.col("tri").isin(codes))
+            nsel_df = self.spark.createDataFrame(
+                [(t, abs(n)) for t, n in sorted(terms.items())],
+                "term string, n int",
+            )
+            return (
+                post.join(F.broadcast(qt), "tri")
+                .groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .join(F.broadcast(nsel_df), "term")
+                .filter(F.col("c") == F.col("n"))
+                .select("term", "doc_id")
+            )
+
+        # batched trigram candidates: ONE Arrow collect for every needle
+        # whose candidate set is bounded (<= rarest trigram df <= cap)
+        cand_ids: dict[str, list[int]] = {}
+        small = {t: n for t, n in n_sel.items() if n > 0}
+        lazy = {t: n for t, n in n_sel.items() if n < 0}
+        if small:
+            pdf = _cand_df(small).toPandas()
+            for t in small:
+                cand_ids[t] = []
+            for t, d in pdf.groupby("term")["doc_id"]:
+                cand_ids[t] = [int(x) for x in d]
+            for t, ids in cand_ids.items():
+                if not ids:
+                    # trigrams individually present but never co-located
+                    self._verified_cache[(t, ex_key)] = (
+                        self.spark.createDataFrame(
+                            [], "term string, doc_id long, tf int"
+                        )
+                    )
+                    self._verified_ids[(t, ex_key)] = []
+            cand_ids = {t: ids for t, ids in cand_ids.items() if ids}
+        # batched verify: one union job over pruned branches + full scan
+        docs = self._docs_text().select(
+            "doc_id",
+            F.lower(F.col("text")).alias("_t"),
+            F.lower(F.col("url")).alias("_u"),
+        )
+
+        def _hit(term_lit):
+            c = F.col("_t").contains(term_lit)
+            return c if ex_key else c | F.col("_u").contains(term_lit)
+
+        branches: list[DataFrame] = []
+        for t, ids in sorted(cand_ids.items()):
+            branches.append(
+                docs.filter(
+                    F.expr("doc_id IN (%s)" % ",".join(map(str, ids)))
+                )
+                .filter(_hit(F.lit(t)))
+                .select(F.lit(t).alias("term"), "doc_id")
+            )
+        if lazy:
+            branches.append(
+                docs.join(_cand_df(lazy), "doc_id", "inner")
+                .filter(_hit(F.col("term")))
+                .select("term", "doc_id")
+            )
+        if fullscan:
+            fs = self.spark.createDataFrame(
+                [(t,) for t in sorted(set(fullscan))], "term string"
+            )
+            branches.append(
+                docs.crossJoin(F.broadcast(fs))
+                .filter(_hit(F.col("term")))
+                .select("term", "doc_id")
+            )
+        if not branches:
+            return
+        allv = branches[0]
+        for b in branches[1:]:
+            allv = allv.unionByName(b)
+        wv = Window.partitionBy("term").orderBy("doc_id")
+        vdf = (
+            allv.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") <= cap + 1)
+            .select("term", "doc_id")
+            .toPandas()
+        )
+        verified: dict[str, list[int]] = {
+            t: [] for t in list(cand_ids) + list(lazy) + fullscan
+        }
+        for t, d in vdf.groupby("term")["doc_id"]:
+            verified[t] = [int(x) for x in d]
+        for t, ids in verified.items():
+            key = (t, ex_key)
+            if len(ids) > cap:
+                self._verified_cache[key] = None  # known too large
+                self._verified_ids[key] = None
+                continue
+            if ids:
+                lit = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": pd.Series(sorted(ids), dtype="int64")})
+                )
+            else:
+                lit = self.spark.createDataFrame([], "doc_id long")
+            lit = lit.select(
+                F.lit(t).alias("term"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(1).cast("int").alias("tf"),
+            )
+            if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
+                self._verified_cache.clear()
+                self._verified_ids.clear()
+            self._verified_cache[key] = lit
+            self._verified_ids[key] = sorted(ids)
 
     def _rescue_frames(
         self, rescues: list[str], ex_fn: bool
@@ -1021,6 +1213,11 @@ class SearchEngine:
         )
         if plain:
             self.term_dfs(plain)
+        # batch-verify the union of cold rescue needles once (one action
+        # instead of two driver round-trips per needle per branch)
+        rescues = sorted({t for p in plans.values() for t in oracle.rescue_terms(p)})
+        if rescues:
+            self.warm_rescue_needles(rescues, bool(exclude_filenames))
         parts = []
         for qid in sorted(queries):
             hits = self.search(
@@ -1152,14 +1349,41 @@ class SearchEngine:
                             pos,
                             1 if kw in gates else 0,
                             len(gates),
+                            0,
                         )
                     )
+            # exclusions fuse as DATA in the same shuffle: each excluded
+            # term contributes MARKER rows (idf 0, pos -1, excl 1) from
+            # its token postings union its containment-match frames, and
+            # the per-(query, doc) agg adds one max(excl) column -- a doc
+            # survives iff no marker row reached it.  The 0.0 marker
+            # contributions keep the ordered f64 sum bit-identical
+            # (0.0 + 0.0 == 0.0 precedes every real term), and the
+            # pre-refactor LeftAnti sort-merge join over the full scored
+            # set -- the measured serving bottleneck -- disappears.
+            ex_fn = bool(exclude_filenames)
+            all_excl = sorted(
+                {t for qid in fused for t in excl_terms_by_q[qid]}
+            )
+            if all_excl:
+                # batch-verify cold needles in one action instead of two
+                # driver round-trips per needle
+                self.warm_rescue_needles(all_excl, ex_fn)
+            xt_rows = sorted(
+                (qid, t) for qid in fused for t in excl_terms_by_q[qid]
+            )
+            for qid, t in xt_rows:
+                qt_rows.append(
+                    (qid, t, 0.0, -1, 0, len(set(gates_by_q[qid])), 1)
+                )
             qt = self.spark.createDataFrame(
                 qt_rows,
                 "query_id string, term string, idf double, pos int, "
-                "gate int, n_gate int",
+                "gate int, n_gate int, excl int",
             )
-            post = self._postings_df.filter(_term_in("term", all_terms))
+            post = self._postings_df.filter(
+                _term_in("term", sorted(set(all_terms) | set(all_excl)))
+            )
             if exclude_filenames:
                 if "tf_url" not in self._postings_df.columns:
                     raise ValueError(
@@ -1167,6 +1391,66 @@ class SearchEngine:
                         "this index predates it -- rebuild with build_index()"
                     )
                 post = post.filter((F.col("tf") - F.col("tf_url")) > 0)
+            post = post.select(
+                "term",
+                "doc_id",
+                "tf",
+                "doc_len",
+                F.lit(0).alias("src"),
+            )
+            if all_excl:
+                dl_t = post.schema["doc_len"].dataType
+                tf_t = post.schema["tf"].dataType
+                # ONE combined literal frame for every warm needle with a
+                # known verified-id list (one stage instead of one
+                # one-task stage per needle); per-needle frames only for
+                # uncacheable (too-large) or unwarmed needles
+                lit_terms: list[str] = []
+                lit_ids: list[int] = []
+                rest_needles: list[str] = []
+                for t in all_excl:
+                    ids = self._verified_ids.get((t, ex_fn), None)
+                    if isinstance(ids, list):
+                        lit_terms += [t] * len(ids)
+                        lit_ids += ids
+                    else:
+                        rest_needles.append(t)
+                frames: list[DataFrame] = []
+                if lit_terms:
+                    import pandas as pd
+
+                    frames.append(
+                        self.spark.createDataFrame(
+                            pd.DataFrame(
+                                {
+                                    "term": lit_terms,
+                                    "doc_id": pd.Series(
+                                        lit_ids, dtype="int64"
+                                    ),
+                                    "tf": pd.Series(
+                                        1, index=range(len(lit_ids)),
+                                        dtype="int32",
+                                    ),
+                                }
+                            )
+                        )
+                    )
+                if rest_needles:
+                    frames += self._rescue_frames(rest_needles, ex_fn)
+                for frame in frames:
+                    # markers never score, so doc_len is a placeholder;
+                    # src=1 restricts these rows to marker qt rows below
+                    # (a containment hit is part of a term's DROP set,
+                    # never of its scoring postings)
+                    post = post.unionByName(
+                        frame.select(
+                            "term",
+                            "doc_id",
+                            F.col("tf").cast(tf_t).alias("tf"),
+                            F.lit(1).cast(dl_t).alias("doc_len"),
+                            F.lit(1).alias("src"),
+                        )
+                    )
             p_ = self.params
             tf = F.col("tf").cast("double")
             tf_part = (tf * F.lit(p_.k1 + 1.0)) / (
@@ -1178,8 +1462,11 @@ class SearchEngine:
                     * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
                 )
             )
-            joined = post.select("term", "doc_id", "tf", "doc_len").join(
-                F.broadcast(qt), "term"
+            joined = post.join(F.broadcast(qt), "term").filter(
+                # containment-marker rows (src=1) pair only with marker qt
+                # rows; token postings pair with both (a token hit both
+                # scores a positive term and drops an excluded one)
+                ~((F.col("src") == 1) & (F.col("excl") == 0))
             )
             scored = (
                 joined.select(
@@ -1188,7 +1475,12 @@ class SearchEngine:
                     "pos",
                     "gate",
                     "n_gate",
-                    (F.col("idf") * tf_part).alias("term_score"),
+                    "excl",
+                    # marker rows contribute an exact 0.0 (never idf *
+                    # tf_part: their placeholder doc_len must not leak)
+                    F.when(F.col("excl") == 1, F.lit(0.0))
+                    .otherwise(F.col("idf") * tf_part)
+                    .alias("term_score"),
                 )
                 .groupBy("query_id", "doc_id")
                 .agg(
@@ -1197,12 +1489,19 @@ class SearchEngine:
                     ).alias("arr"),
                     F.sum("gate").alias("gates_hit"),
                     F.first("n_gate").alias("n_gate"),
+                    F.max("excl").alias("excl_hit"),
                 )
                 # gate-count match rule: required / conjunctive-AND chains
                 # need every gating term present (postings are unique per
                 # (term, doc_id), so gates_hit counts present gate terms);
-                # pure bags have n_gate 0 and pass through
-                .filter(F.col("gates_hit") == F.col("n_gate"))
+                # pure bags have n_gate 0 and pass through.  excl_hit = 1
+                # means some excluded term's postings or containment set
+                # reached this doc: the boolean drop rule, applied in the
+                # SAME shuffle
+                .filter(
+                    (F.col("gates_hit") == F.col("n_gate"))
+                    & (F.col("excl_hit") == 0)
+                )
                 .select(
                     "query_id",
                     "doc_id",
@@ -1212,41 +1511,6 @@ class SearchEngine:
                 )
                 .filter(F.col("score") > 0.0)
             )
-            xt_rows = sorted(
-                (qid, t)
-                for qid in fused
-                for t in excl_terms_by_q[qid]
-            )
-            if xt_rows:
-                # drop set per excluded term = token postings UNION
-                # containment-match frames (memoized / trigram-lane-served
-                # after a term's first sighting) -- _match_bag_excluded's
-                # semantics, tagged with query_id by a broadcast join so a
-                # single left-anti applies every query's exclusions; pure
-                # bags have no xt rows and pass through untouched
-                ex_fn = bool(exclude_filenames)
-                all_excl = sorted({t for _, t in xt_rows})
-                xt = self.spark.createDataFrame(
-                    xt_rows, "query_id string, term string"
-                )
-                post_excl = self._postings_df.filter(
-                    _term_in("term", all_excl)
-                )
-                if ex_fn:
-                    post_excl = post_excl.filter(
-                        (F.col("tf") - F.col("tf_url")) > 0
-                    )
-                drop_src = post_excl.select("term", "doc_id")
-                for frame in self._rescue_frames(all_excl, ex_fn):
-                    drop_src = drop_src.unionByName(
-                        frame.select("term", "doc_id")
-                    )
-                drop_pairs = drop_src.join(F.broadcast(xt), "term").select(
-                    "query_id", "doc_id"
-                )
-                scored = scored.join(
-                    drop_pairs, ["query_id", "doc_id"], "left_anti"
-                )
             from pyspark.sql.window import Window
 
             w = Window.partitionBy("query_id").orderBy(
