@@ -1476,16 +1476,23 @@ class SearchEngine:
                     "gate",
                     "n_gate",
                     "excl",
-                    # marker rows contribute an exact 0.0 (never idf *
-                    # tf_part: their placeholder doc_len must not leak)
-                    F.when(F.col("excl") == 1, F.lit(0.0))
-                    .otherwise(F.col("idf") * tf_part)
-                    .alias("term_score"),
+                    # marker rows contribute NULL (collect_list skips
+                    # nulls, so they never enter the score array; a 0.0
+                    # prefix would sum identically -- 0.0 + 0.0 == 0.0 --
+                    # but bloats every dropped doc's array for nothing)
+                    F.when(
+                        F.col("excl") == 0, F.col("idf") * tf_part
+                    ).alias("term_score"),
                 )
                 .groupBy("query_id", "doc_id")
                 .agg(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "term_score"))
+                        F.collect_list(
+                            F.when(
+                                F.col("excl") == 0,
+                                F.struct("pos", "term_score"),
+                            )
+                        )
                     ).alias("arr"),
                     F.sum("gate").alias("gates_hit"),
                     F.first("n_gate").alias("n_gate"),
