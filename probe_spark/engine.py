@@ -731,9 +731,28 @@ class SearchEngine:
                 self._verified_ids[key] = None
                 return scan_frame
         doc_ids = sorted(int(r["doc_id"]) for r in rows)
-        if doc_ids:
+        if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
+            self._verified_cache.clear()
+            self._verified_ids.clear()
+        lit = self._cache_verified(key, doc_ids)
+        return lit if doc_ids else None
+
+    def _cache_verified(
+        self, key: tuple[str, bool], ids: list[int] | None
+    ) -> DataFrame | None:
+        """Materialize a verified id list into the literal-frame caches --
+        the single constructor for the three cache states (literal frame /
+        empty frame / None = known too large).  Callers manage capacity."""
+        if ids is None:
+            self._verified_cache[key] = None
+            self._verified_ids[key] = None
+            return None
+        import pandas as pd
+
+        ids = sorted(ids)
+        if ids:
             lit = self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64")})
+                pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
             )
         else:
             lit = self.spark.createDataFrame([], "doc_id long")
@@ -742,12 +761,9 @@ class SearchEngine:
             F.col("doc_id").cast("long").alias("doc_id"),
             F.lit(1).cast("int").alias("tf"),
         )
-        if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
-            self._verified_cache.clear()
-            self._verified_ids.clear()
         self._verified_cache[key] = lit
-        self._verified_ids[key] = doc_ids
-        return lit if doc_ids else None
+        self._verified_ids[key] = ids
+        return lit
 
     def _candidate_rows(self, plan: QueryPlan) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for every query term, incl.
@@ -775,8 +791,6 @@ class SearchEngine:
         known too large), so _rescue_frames afterwards is cache-hits
         only.  Single queries and legacy bloom-only layouts keep the
         per-needle path."""
-        import pandas as pd
-
         from probe_spark.trigram import needle_tri_codes
 
         ex_key = bool(ex_fn)
@@ -785,6 +799,14 @@ class SearchEngine:
         )
         if len(cold) < 2 or self._tri_post_df is None:
             return
+        if len(self._verified_cache) + len(cold) > self._VERIFIED_NEEDLE_CAP:
+            # make room for the WHOLE batch up front: the per-insert
+            # eviction would otherwise wipe needles warmed earlier in this
+            # same call (a batch may transiently exceed the cap; the next
+            # per-needle insert restores the bound)
+            self._verified_cache.clear()
+            self._verified_ids.clear()
+            cold = sorted(set(needles))
         cap = self._BLOOM_ISIN_CAP
         pair_rows: list[tuple[str, int]] = []
         n_sel: dict[str, int] = {}
@@ -797,14 +819,7 @@ class SearchEngine:
             dfs = self._tri_dfs(tris)
             if any(dfs[x] == 0 for x in tris):
                 # refuted corpus-wide: cache the empty frame now
-                self._verified_cache[(t, ex_key)] = self.spark.createDataFrame(
-                    [], "term string, doc_id long, tf int"
-                ).select(
-                    F.lit(t).alias("term"),
-                    F.col("doc_id"),
-                    F.lit(1).cast("int").alias("tf"),
-                )
-                self._verified_ids[(t, ex_key)] = []
+                self._cache_verified((t, ex_key), [])
                 self._tri_cand_cache.setdefault(t, [])
                 continue
             if min(dfs.values()) > max(
@@ -857,12 +872,7 @@ class SearchEngine:
             for t, ids in cand_ids.items():
                 if not ids:
                     # trigrams individually present but never co-located
-                    self._verified_cache[(t, ex_key)] = (
-                        self.spark.createDataFrame(
-                            [], "term string, doc_id long, tf int"
-                        )
-                    )
-                    self._verified_ids[(t, ex_key)] = []
+                    self._cache_verified((t, ex_key), [])
             cand_ids = {t: ids for t, ids in cand_ids.items() if ids}
         # batched verify: one union job over pruned branches + full scan
         docs = self._docs_text().select(
@@ -918,26 +928,7 @@ class SearchEngine:
             verified[t] = [int(x) for x in d]
         for t, ids in verified.items():
             key = (t, ex_key)
-            if len(ids) > cap:
-                self._verified_cache[key] = None  # known too large
-                self._verified_ids[key] = None
-                continue
-            if ids:
-                lit = self.spark.createDataFrame(
-                    pd.DataFrame({"doc_id": pd.Series(sorted(ids), dtype="int64")})
-                )
-            else:
-                lit = self.spark.createDataFrame([], "doc_id long")
-            lit = lit.select(
-                F.lit(t).alias("term"),
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.lit(1).cast("int").alias("tf"),
-            )
-            if len(self._verified_cache) > self._VERIFIED_NEEDLE_CAP:
-                self._verified_cache.clear()
-                self._verified_ids.clear()
-            self._verified_cache[key] = lit
-            self._verified_ids[key] = sorted(ids)
+            self._cache_verified(key, None if len(ids) > cap else ids)
 
     def _rescue_frames(
         self, rescues: list[str], ex_fn: bool
@@ -1214,9 +1205,12 @@ class SearchEngine:
         if plain:
             self.term_dfs(plain)
         # batch-verify the union of cold rescue needles once (one action
-        # instead of two driver round-trips per needle per branch)
+        # instead of two driver round-trips per needle per branch);
+        # check_refresh FIRST so the warm scan reads current files and
+        # the warmed cache is not wiped by the first search()'s _reopen
         rescues = sorted({t for p in plans.values() for t in oracle.rescue_terms(p)})
         if rescues:
+            self.check_refresh()
             self.warm_rescue_needles(rescues, bool(exclude_filenames))
         parts = []
         for qid in sorted(queries):

@@ -394,18 +394,13 @@ _SHINGLES_SPARK_N = 3
 
 
 def _shingles(docs: DataFrame, n: int = _SHINGLES_SPARK_N) -> DataFrame:
-    """Word n-gram shingles via posexplode + self-join-free window-less
-    construction: slice the token array."""
-    arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    idx = arr.select(
-        "doc_id",
-        _explode_nn(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
-        "w",
-    ).where(F.col("i").isNotNull())
-    return idx.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("shingle"),
-    ).distinct()
+    """Word n-gram shingles -- ONE implementation shared with the dedup
+    module (probe_spark.dedup._shingles), so optimizer workarounds and
+    shingle-definition changes land in one place (the round-4
+    explode_outer fix originally needed two commits for two copies)."""
+    from probe_spark.dedup import _shingles as _dedup_shingles
+
+    return _dedup_shingles(docs, n)
 
 
 _SQL_SHINGLES = f"""
@@ -1356,6 +1351,20 @@ ORDER BY user_id, session_start
 # ---------------------------------------------------------------------------
 
 
+def _md5_bucket(col, mod: int):
+    """Deterministic bucket in [0, mod): first 8 hex chars of
+    md5(str(col)) as an integer, modulo ``mod``.  The ONE bucketing rule
+    shared by the split assignment (sample_split), the temperature
+    sampler's uniform draw, and the leakage report's train/eval sides --
+    these MUST agree or the leakage audit inspects the wrong split."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % mod
+    )
+
+
 def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-free train/val/test split (98/1/1) by
     md5(doc_id) bucket -- the standard assignment for training corpora
@@ -1363,12 +1372,7 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends never move a document across splits).  Pure column math; at
     100 TB this is a map-only pass with a 3-group aggregate."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 98, F.lit("train"))
         .when(bucket < 99, F.lit("val"))
@@ -1717,12 +1721,7 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rate_ppm"),
         )
     )
-    u_ppm = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 1000000
-    )
+    u_ppm = _md5_bucket(F.col("doc_id"), 1000000)
     return (
         docs.join(F.broadcast(rate), "lang")
         .where(u_ppm < F.col("rate_ppm"))
@@ -2227,12 +2226,22 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends this to any depth -- take ONE tiny window, and the exclusive
     group prefixes are broadcast back; within-group offsets come from a
     window PARTITIONED by group (parallel, no global sort).  Absolute
-    offset = group prefix + within-group prefix, all integer math, so
-    the result is bit-identical to the naive global window the oracle
-    runs."""
+    offset = group prefix + within-group prefix, all integer math
+    (chunk ids via integer DIV, never double division -- exact past
+    2^53 tokens), so the result is bit-identical to the naive global
+    window the oracle runs.
+
+    G here is 64 so the tiny test corpora exercise the cross-group
+    path; at production scale size G so |corpus|/G fits one node's
+    window (e.g. G ~ 1e6 at 1e12 docs -- override via
+    PROBE_PACK_GROUP_DOCS), with the same two-level construction
+    stacking hierarchically if even that table outgrows a node."""
+    import os
+
     from pyspark.sql.window import Window
 
-    L, G = 128, 64
+    L = 128
+    G = int(os.environ.get("PROBE_PACK_GROUP_DOCS", "64"))
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
@@ -2263,8 +2272,8 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.sum("n_tokens").over(dwin), F.lit(0))
         ).alias("start_offset"),
     )
-    first = F.floor(F.col("start_offset") / L)
-    last = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / L)
+    first = F.expr(f"start_offset DIV {L}")
+    last = F.expr(f"(start_offset + n_tokens - 1) DIV {L}")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -2315,12 +2324,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     sh = _capped_shingles(docs).join(
         docs.select("doc_id", bucket.alias("b")), "doc_id"
     )
