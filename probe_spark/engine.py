@@ -170,7 +170,8 @@ def _fused_chain_gates(
     ALL be present for a doc to match -- or None when the query cannot
     ride the fused plan.  An empty list means pure any-keyword matching
     (the score>0 filter implements it).  Exclusions are handled
-    separately (drop-pair anti-join) and are not gates.
+    separately (idf-0 marker rows + max(excl) drop rule in the fused
+    aggregation) and are not gates.
 
     Probe's parser emits LEFT-DEEP operator chains (elastic_query.rs
     grammar: implicit/explicit operators left-associate; only explicit
@@ -1268,12 +1269,16 @@ class SearchEngine:
         GATE COUNT: the broadcast query-term table carries a per-term
         gate flag and the per-query gate total, and docs survive iff
         they matched every gating term (one extra agg column, no extra
-        shuffle).  Exclusions fuse as a broadcast (query_id, term) table
-        joins the excluded terms' match rows (postings union memoized
-        containment frames, exactly _match_bag_excluded's drop set) into
-        (query_id, doc_id) pairs, and ONE left-anti join on the scored
-        frame applies every query's exclusions at once -- kept docs get
-        exactly 0.0 from excluded terms so scores stay f64-identical.
+        shuffle).  Exclusions fuse as DATA in the same aggregation: each
+        excluded term's match rows (postings union memoized containment
+        frames, exactly _match_bag_excluded's drop set) ride the same
+        broadcast query-term table as idf-0 marker rows, and max(excl)
+        applies the drop rule -- no anti-join, no second sort of the
+        scored set; marker rows never enter the score array (null-skipped
+        by collect_list) so kept docs' scores stay f64-identical.  Cold
+        containment needles batch-verify in one union job first
+        (warm_rescue_needles) and warm needles merge into one combined
+        literal frame.
         Everything else (required/exact/compound/filtered) falls back to
         the branch-union plan and the outputs are unioned.  Rows are
         value-identical to search_batch -- f64-exact: a one-element
@@ -1308,7 +1313,8 @@ class SearchEngine:
         parts = []
         if fused:
             # per-query split: positives feed the scoring join, excluded
-            # terms feed the drop-pair anti-join (empty for pure bags)
+            # terms become idf-0 marker rows in the same join (empty for
+            # pure bags)
             pos_terms_by_q: dict[str, list[str]] = {}
             excl_terms_by_q: dict[str, list[str]] = {}
             for qid in fused:
