@@ -522,6 +522,9 @@ def main() -> None:
         sample_lang_temperature,
         split_leakage_report,
         text_tfidf_topk,
+        dedup_semantic,
+        filter_domain_spam,
+        filter_length_percentile,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -542,6 +545,9 @@ def main() -> None:
         ("op_split_leakage", split_leakage_report),
         ("op_tfidf_topk", text_tfidf_topk),
         ("op_corpus_mixture", corpus_mixture),
+        ("op_length_percentile", filter_length_percentile),
+        ("op_domain_spam", filter_domain_spam),
+        ("op_semantic_dedup", dedup_semantic),
     ):
         ts = []
         for _ in range(2):

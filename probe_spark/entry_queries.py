@@ -1087,30 +1087,18 @@ WHERE round(d.dot / (na.vn * nb.vn), 6) >= 0.35
 """
 
 
-def ivf_topk(
-    spark: SparkSession,
-    emb: DataFrame,
-    query_vec_id: int = 0,
-    k_cells: int = 8,
-    nprobe: int = 2,
-    topk: int = 5,
-    iters: int = 2,
-) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: k-means over the corpus
-    (strata init on vec_id % k, ``iters`` Lloyd iterations of
-    assign-by-cosine -> per-dimension mean), then probe the ``nprobe``
-    cells nearest the query and rerank exactly by cosine within them.
+def _quantizer_sims(emb: DataFrame, k_cells: int, iters: int):
+    """Trained coarse quantizer shared by ivf_topk and semantic_dedup:
+    k-means over the corpus (strata init on vec_id % k, ``iters`` Lloyd
+    iterations of assign-by-cosine -> per-dimension mean), all in
+    long-format DataFrame algebra so the identical computation is
+    expressible in the DuckDB oracle.  Determinism across hosts and
+    summation orders: centroid components round to 6dp, assignment
+    similarities to 9dp with (sim desc, cell asc) tie-breaks.
 
-    Everything is long-format DataFrame algebra (explode -> join -> agg),
-    so the identical computation is expressible in the DuckDB oracle.
-    Determinism across hosts/summation orders: centroid components round to
-    6dp, assignment similarities to 9dp with (sim desc, cell asc)
-    tie-breaks.  On clustered data recall is high at small nprobe
-    (tests/test_ivf_recall.py pins >= 0.9); on uniform random vectors NO
-    coarse quantizer beats the probed-fraction baseline (curse of
-    dimensionality) -- the synthetic fixture embeddings are uniform, so the
-    entry's recall there reflects the data, not the machinery, and
-    nprobe=k_cells reproduces brute force exactly (also pinned)."""
+    Returns ``(ed, vnorm, sims, w)`` where ``ed`` (long-format vectors)
+    and ``sims`` (final-iteration vec x cell cosine) are PERSISTED -- the
+    caller must unpersist both after materializing its answer."""
     from pyspark.sql.window import Window
 
     ed = emb.select(
@@ -1161,6 +1149,29 @@ def ivf_topk(
             .agg(F.round(F.avg("v"), 6).alias("c"))
         )
     sims = assign_sims(cents).persist()
+    return ed, vnorm, sims, w
+
+
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k_cells: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (``_quantizer_sims``),
+    probing the ``nprobe`` cells nearest the query and reranking exactly
+    by cosine within them.
+
+    On clustered data recall is high at small nprobe
+    (tests/test_ivf_recall.py pins >= 0.9); on uniform random vectors NO
+    coarse quantizer beats the probed-fraction baseline (curse of
+    dimensionality) -- the synthetic fixture embeddings are uniform, so the
+    entry's recall there reflects the data, not the machinery, and
+    nprobe=k_cells reproduces brute force exactly (also pinned)."""
+    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters)
     assign = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -2501,6 +2512,293 @@ FROM cells
 """
 
 
+def filter_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-percentile length filter: keep documents whose word count
+    lies within the exact discrete [p05, p95] of the corpus -- the
+    relative-length trim every web-corpus recipe applies (absolute
+    length cuts a la Gopher mislabel whole languages; percentiles adapt
+    to the corpus).
+
+    The thresholds are DISCRETE percentiles computed from the length
+    HISTOGRAM with pure integer rank arithmetic (rank = (p*N + 99) DIV
+    100, threshold = smallest length whose cumulative count reaches the
+    rank) so both engines agree bit-for-bit -- no engine-defined
+    interpolation semantics anywhere.
+
+    Scale plan: the corpus-sized side is touched exactly twice, both
+    map-only (word count, final flag); the histogram groupBy is bounded
+    by the number of DISTINCT lengths (thousands, not corpus-sized), its
+    cumulative window runs over that tiny table, and the 1-row threshold
+    frame broadcasts back.  No global sort, no corpus-sized shuffle."""
+    from pyspark.sql.window import Window
+
+    per = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    hist = per.groupBy("n_words").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("n_words").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    total = hist.agg(F.sum("cnt").alias("tot"))
+    th = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(5 * tot + 99) DIV 100"),
+                    F.col("n_words"),
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(95 * tot + 99) DIV 100"),
+                    F.col("n_words"),
+                )
+            ).alias("hi"),
+        )
+    )
+    return per.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_words",
+        ((F.col("n_words") >= F.col("lo")) & (F.col("n_words") <= F.col("hi"))).alias(
+            "kept"
+        ),
+    )
+
+
+LENGTH_PERCENTILE_SQL = """
+WITH per AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words
+             FROM documents),
+hist AS (SELECT n_words, count(*) AS cnt FROM per GROUP BY n_words),
+cum AS (SELECT n_words, sum(cnt) OVER (ORDER BY n_words) AS cum FROM hist),
+tot AS (SELECT sum(cnt) AS tot FROM hist),
+th AS (SELECT min(CASE WHEN cum >= (5 * tot + 99) // 100 THEN n_words END) AS lo,
+              min(CASE WHEN cum >= (95 * tot + 99) // 100 THEN n_words END) AS hi
+       FROM cum CROSS JOIN tot)
+SELECT doc_id, n_words, (n_words >= lo AND n_words <= hi) AS kept
+FROM per CROSS JOIN th
+"""
+
+
+def filter_domain_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filter (the C4 / Gopher move lifted from doc
+    granularity to source granularity): aggregate per-source quality
+    signals, flag low-quality SOURCES, and filter every document from a
+    flagged source.  Signals: mean words per doc < 50 (Gopher's
+    min-length rule at domain level) or pooled type-token ratio
+    sum(unique)/sum(words) < 0.42 (domain-scale repetition -- template
+    farms and boilerplate mills repeat vocabulary).  Pooled ratios, not
+    means of per-doc ratios: integer sums divide once, so both engines
+    agree bit-for-bit with no float-summation-order hazard.
+
+    Scale plan: two passes over the corpus, both map-only except ONE
+    map-side-combined groupBy(source) whose output is bounded by the
+    number of registrable domains (millions, not corpus-sized); the
+    source verdicts BROADCAST back onto the corpus -- the corpus-sized
+    side never shuffles."""
+    per = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.size("ws").cast("long").alias("n"),
+            F.size(F.array_distinct("ws")).cast("long").alias("u"),
+        )
+    )
+    verdicts = (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_n"),
+            F.sum("u").alias("sum_u"),
+        )
+        .select(
+            "source",
+            F.round(F.col("sum_n") / F.col("n_docs"), 2).alias("mean_words"),
+            F.round(F.col("sum_u") / F.col("sum_n"), 4).alias("ttr"),
+        )
+        .select(
+            "source",
+            ((F.col("mean_words") < 50) | (F.col("ttr") < 0.42)).alias("is_spam"),
+        )
+    )
+    return per.join(F.broadcast(verdicts), "source").select(
+        "doc_id", "source", (~F.col("is_spam")).alias("kept")
+    )
+
+
+DOMAIN_SPAM_SQL = """
+WITH per AS (SELECT doc_id, source, count(*)::BIGINT AS n,
+                    count(DISTINCT t)::BIGINT AS u
+             FROM (SELECT doc_id, source,
+                          unnest(string_split(text, ' ')) AS t
+                   FROM documents)
+             GROUP BY doc_id, source),
+verdicts AS (SELECT source,
+                    (round(sum(n) * 1.0 / count(*), 2) < 50
+                     OR round(sum(u) * 1.0 / sum(n), 4) < 0.42) AS is_spam
+             FROM per GROUP BY source)
+SELECT doc_id, per.source AS source, NOT is_spam AS kept
+FROM per JOIN verdicts ON per.source = verdicts.source
+"""
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cells: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings with the SAME trained quantizer as IVF
+    (``_quantizer_sims``), then WITHIN each cluster mark a vector a
+    semantic duplicate if its cosine to a kept cluster-mate is >= tau.
+    Per the paper, the member FARTHEST from its centroid wins a dup
+    group: within a cluster, members rank by (centroid-sim asc, vec_id
+    asc) and a vector is dropped iff some LOWER-ranked cluster-mate is
+    within tau.  tau=0.35 against the synthetic embeddings' ~0.51 max
+    off-diagonal cosine (same threshold as dedup_embed_cosine).
+
+    Scale plan: this is exactly why SemDeDup clusters first -- the pair
+    join is per-cell (sum of cell_size^2, bounded by the quantizer's
+    balance), NEVER corpus-quadratic; the centroid join broadcasts; the
+    only corpus-sized shuffles are the k-means assignment aggs.  At
+    100TB the cell count scales with the corpus (paper uses ~100k
+    cells) keeping cells ~constant-sized."""
+    from pyspark.sql.window import Window
+
+    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters)
+    ranked = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.asc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .select("vec_id", "cell", "rank")
+    )
+    ma = ed.join(ranked, "vec_id").select(
+        "cell", "i", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
+        F.col("v").alias("va"),
+    )
+    mb = ed.join(ranked, "vec_id").select(
+        "cell", "i", F.col("vec_id").alias("b"), F.col("rank").alias("rb"),
+        F.col("v").alias("vb"),
+    )
+    dots = (
+        ma.join(mb, ["cell", "i"])
+        .filter(F.col("ra") < F.col("rb"))
+        .groupBy("cell", "a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = vnorm.select(F.col("vec_id").alias("a"), F.col("vn").alias("na"))
+    nb = vnorm.select(F.col("vec_id").alias("b"), F.col("vn").alias("nb"))
+    dups = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("b")
+        .distinct()
+    )
+    result = (
+        ranked.join(dups, ranked.vec_id == dups.b, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("b").isNull().alias("kept"),
+        )
+    )
+    rows = result.collect()
+    ed.unpersist()
+    sims.unpersist()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup entry: 8-cell trained quantizer (2 Lloyd iterations),
+    within-cell cosine >= 0.35 drops the closer-to-centroid member (see
+    semantic_dedup for the paper semantics and the scale plan)."""
+    return semantic_dedup(spark, _emb(spark, sf_dir))
+
+
+# quantizer CTE chain (ed..a2) mirrors SIM_IVF_SQL / _quantizer_sims
+# exactly: strata init, 2 unrolled Lloyd iterations (assign by 9dp-rounded
+# cosine, 6dp-rounded per-dim means); then SemDeDup's within-cell ranked
+# pair sweep
+DEDUP_SEMANTIC_SQL = """
+WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   unnest(embedding)::DOUBLE AS v FROM embeddings),
+vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vn FROM ed GROUP BY vec_id),
+c0 AS (SELECT cell, i, round(avg(v), 6) AS c
+       FROM (SELECT (vec_id % 8)::INT AS cell, i, v FROM ed)
+       GROUP BY cell, i),
+n0 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c0 GROUP BY cell),
+d0 AS (SELECT ed.vec_id, c0.cell, sum(ed.v * c0.c) AS dot
+       FROM ed JOIN c0 USING (i) GROUP BY ed.vec_id, c0.cell),
+s0 AS (SELECT vec_id, cell, round(dot / (vn.vn * n0.cn), 9) AS sim
+       FROM d0 JOIN vn USING (vec_id) JOIN n0 USING (cell)),
+a0 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s0)
+       WHERE rn = 1),
+c1 AS (SELECT a0.cell, ed.i, round(avg(ed.v), 6) AS c
+       FROM ed JOIN a0 USING (vec_id) GROUP BY a0.cell, ed.i),
+n1 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c1 GROUP BY cell),
+d1 AS (SELECT ed.vec_id, c1.cell, sum(ed.v * c1.c) AS dot
+       FROM ed JOIN c1 USING (i) GROUP BY ed.vec_id, c1.cell),
+s1 AS (SELECT vec_id, cell, round(dot / (vn.vn * n1.cn), 9) AS sim
+       FROM d1 JOIN vn USING (vec_id) JOIN n1 USING (cell)),
+a1 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s1)
+       WHERE rn = 1),
+c2 AS (SELECT a1.cell, ed.i, round(avg(ed.v), 6) AS c
+       FROM ed JOIN a1 USING (vec_id) GROUP BY a1.cell, ed.i),
+n2 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c2 GROUP BY cell),
+d2 AS (SELECT ed.vec_id, c2.cell, sum(ed.v * c2.c) AS dot
+       FROM ed JOIN c2 USING (i) GROUP BY ed.vec_id, c2.cell),
+s2 AS (SELECT vec_id, cell, round(dot / (vn.vn * n2.cn), 9) AS sim
+       FROM d2 JOIN vn USING (vec_id) JOIN n2 USING (cell)),
+a2 AS (SELECT vec_id, cell, sim FROM (
+         SELECT vec_id, cell, sim, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+       WHERE rn = 1),
+ranked AS (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY cell
+                                     ORDER BY sim ASC, vec_id ASC) AS rank
+           FROM a2),
+dots AS (SELECT ra.cell, ra.vec_id AS a, rb.vec_id AS b,
+                sum(ea.v * eb.v) AS dot
+         FROM ranked ra
+         JOIN ranked rb ON ra.cell = rb.cell AND ra.rank < rb.rank
+         JOIN ed ea ON ea.vec_id = ra.vec_id
+         JOIN ed eb ON eb.vec_id = rb.vec_id AND eb.i = ea.i
+         GROUP BY 1, 2, 3),
+dups AS (SELECT DISTINCT b
+         FROM dots JOIN vn vna ON vna.vec_id = a
+                   JOIN vn vnb ON vnb.vec_id = b
+         WHERE round(dot / (vna.vn * vnb.vn), 6) >= 0.35)
+SELECT vec_id, cell::BIGINT AS cell,
+       (vec_id NOT IN (SELECT b FROM dups)) AS kept
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -2589,5 +2887,11 @@ ALL_QUERIES: dict[str, tuple] = {
     "split_leakage_report": (split_leakage_report, SPLIT_LEAKAGE_SQL),
     "text_tfidf_topk": (text_tfidf_topk, TFIDF_TOPK_SQL),
     "corpus_mixture": (corpus_mixture, CORPUS_MIXTURE_SQL),
+    "filter_length_percentile": (
+        filter_length_percentile,
+        LENGTH_PERCENTILE_SQL,
+    ),
+    "filter_domain_spam": (filter_domain_spam, DOMAIN_SPAM_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -1,0 +1,101 @@
+"""Round-4 corpus-filter operators: percentile length trim, domain-level
+spam filter, SemDeDup semantic dedup.
+
+Each entry is also under the driver's DuckDB gate (ALL_QUERIES); these
+tests pin hand-computed expectations on tiny corpora so a regression is
+caught without the oracle, plus the keep-the-farthest SemDeDup paper
+semantics and the tau monotonicity contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from probe_spark.entry_queries import (
+    filter_domain_spam,
+    filter_length_percentile,
+    semantic_dedup,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_length_percentile_hand_computed(spark, tmp_path):
+    # 20 docs with word counts 1..20.  rank_lo = (5*20+99)//100 = 1 ->
+    # lo = 1; rank_hi = (95*20+99)//100 = 19 -> hi = 19.  Only the
+    # 20-word doc is trimmed.
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i)), "en", "s", 5 * i)
+        for i in range(1, 21)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in filter_length_percentile(spark, sf).collect()
+    }
+    assert out == {i: i <= 19 for i in range(1, 21)}
+
+
+def test_length_percentile_single_length_keeps_all(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path, [(i, "a b c", "en", "s", 5) for i in range(4)]
+    )
+    out = filter_length_percentile(spark, sf).collect()
+    assert all(r["kept"] for r in out) and len(out) == 4
+
+
+def test_domain_spam_hand_computed(spark, tmp_path):
+    # 'mill' repeats one word (ttr = 2/40 < 0.42), 'short' averages 3
+    # words (< 50), 'good' is long and diverse -> only 'good' survives.
+    long_diverse = " ".join(f"t{i}" for i in range(60))
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "spam " + "spam " * 38 + "x", "en", "mill", 10),
+            (1, "a b c", "en", "short", 5),
+            (2, long_diverse, "en", "good", 100),
+            (3, long_diverse + " extra", "en", "good", 100),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["kept"] for r in filter_domain_spam(spark, sf).collect()
+    }
+    assert out == {0: False, 1: False, 2: True, 3: True}
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    # One cell: centroid ~ [2/3, 1/3]; ranks by centroid-sim asc are
+    # v2 (farthest), v0, v1.  cos(v0, v1) = 1 >= tau drops v1 (v0 is the
+    # lower-ranked of the identical pair); cos(v2, v0) = 0 keeps both.
+    emb = _emb_df(spark, [[1, 0], [1, 0], [0, 1]])
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(spark, emb, k_cells=1, iters=1, tau=0.9).collect()
+    }
+    assert out == {0: True, 1: False, 2: True}
+
+
+def test_semantic_dedup_tau_monotone(spark):
+    emb = _emb_df(
+        spark, [[1, 0], [0.9, 0.1], [0, 1], [0.1, 0.9], [0.5, 0.5]]
+    )
+    dropped = {}
+    for tau in (0.8, 0.95, 1.1):
+        out = semantic_dedup(spark, emb, k_cells=2, iters=1, tau=tau)
+        dropped[tau] = {r["vec_id"] for r in out.collect() if not r["kept"]}
+    # raising tau only shrinks the dup set; above max cosine all survive
+    assert dropped[0.95] <= dropped[0.8]
+    assert dropped[1.1] == set()
