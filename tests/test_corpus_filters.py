@@ -99,3 +99,22 @@ def test_semantic_dedup_tau_monotone(spark):
     # raising tau only shrinks the dup set; above max cosine all survive
     assert dropped[0.95] <= dropped[0.8]
     assert dropped[1.1] == set()
+
+
+def test_filter_plans_broadcast_not_sortmerge(spark, tmp_path):
+    # scale contract: the verdict/threshold joins back onto the corpus
+    # must be broadcast (hash or nested-loop for the 1-row threshold
+    # frame), never a sort-merge shuffle of the corpus side
+    sf = _write_docs(
+        tmp_path,
+        [(i, " ".join(f"w{j}" for j in range(i + 2)), "en", f"s{i % 2}", 9)
+         for i in range(8)],
+    )
+    spam = filter_domain_spam(spark, sf)
+    spam_plan = spam._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in spam_plan
+    assert "SortMergeJoin" not in spam_plan
+    trim = filter_length_percentile(spark, sf)
+    trim_plan = trim._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in trim_plan
+    assert "SortMergeJoin" not in trim_plan
