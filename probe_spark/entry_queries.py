@@ -1209,10 +1209,12 @@ def ivf_topk(
     # materialize the (tiny, <= topk) answer so the caches backing the
     # iterative quantizer can be released -- returning the lazy plan would
     # leak ed/sims persisted partitions on every call in a long session
-    rows = result.collect()
-    ed.unpersist()
-    sims.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    try:
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        ed.unpersist()
+        sims.unpersist()
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2658,13 +2660,13 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embeddings with the SAME trained quantizer as IVF
-    (``_quantizer_sims``), then WITHIN each cluster mark a vector a
-    semantic duplicate if its cosine to a kept cluster-mate is >= tau.
-    Per the paper, the member FARTHEST from its centroid wins a dup
-    group: within a cluster, members rank by (centroid-sim asc, vec_id
-    asc) and a vector is dropped iff some LOWER-ranked cluster-mate is
-    within tau.  tau=0.35 against the synthetic embeddings' ~0.51 max
-    off-diagonal cosine (same threshold as dedup_embed_cosine).
+    (``_quantizer_sims``), then WITHIN each cluster members rank by
+    (centroid-sim asc, vec_id asc) -- farthest from centroid first, per
+    the paper -- and a vector is dropped iff some LOWER-ranked
+    cluster-mate (kept or itself dropped: the paper's upper-triangular
+    max rule) is within cosine tau.  tau=0.35 against the synthetic
+    embeddings' ~0.51 max off-diagonal cosine (same threshold as
+    dedup_embed_cosine).
 
     Scale plan: this is exactly why SemDeDup clusters first -- the pair
     join is per-cell (sum of cell_size^2, bounded by the quantizer's
@@ -2675,6 +2677,8 @@ def semantic_dedup(
     from pyspark.sql.window import Window
 
     ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters)
+    # ranked feeds three consumers (ma, mb, the final left join) -- persist
+    # so its two corpus-sized window shuffles run once, not three times
     ranked = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -2687,6 +2691,7 @@ def semantic_dedup(
             ),
         )
         .select("vec_id", "cell", "rank")
+        .persist()
     )
     ma = ed.join(ranked, "vec_id").select(
         "cell", "i", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
@@ -2723,10 +2728,15 @@ def semantic_dedup(
             F.col("b").isNull().alias("kept"),
         )
     )
-    rows = result.collect()
-    ed.unpersist()
-    sims.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    # the answer is CORPUS-sized (one row per vector) -- never collect it
+    # to the driver; localCheckpoint materializes it executor-side and
+    # cuts the lineage so the quantizer caches can be released
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        sims.unpersist()
+        ranked.unpersist()
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
