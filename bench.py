@@ -525,6 +525,7 @@ def main() -> None:
         dedup_semantic,
         filter_domain_spam,
         filter_length_percentile,
+        sample_dsir,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -548,6 +549,7 @@ def main() -> None:
         ("op_length_percentile", filter_length_percentile),
         ("op_domain_spam", filter_domain_spam),
         ("op_semantic_dedup", dedup_semantic),
+        ("op_dsir_sampling", sample_dsir),
     ):
         ts = []
         for _ in range(2):

@@ -2651,6 +2651,86 @@ FROM per JOIN verdicts ON per.source = verdicts.source
 """
 
 
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every training document by the
+    log-likelihood ratio between a TARGET-domain language model and the
+    raw-corpus language model, and select documents that look more
+    target-like than corpus-like.  Feature space here is unigrams with
+    add-one smoothing over the shared corpus vocabulary (the paper uses
+    hashed n-grams; unigrams keep the oracle exact on the ~30-word
+    synthetic vocabulary).  The target is a deterministic corpus slice
+    (doc_id % 97 == 0, the same no-external-data convention as the
+    decontamination ops); the raw model is the remaining training side.
+    weight = sum_tokens ln(p_tgt(w)/p_raw(w)) / n_words; selected =
+    rounded weight > 0 (map-only decision -- no global sort, unlike a
+    top-K cut, so selection stays scale-free).
+
+    Scale plan: both LMs are vocabulary-sized count tables (bounded by
+    the language, not the corpus) from one map-side-combined
+    groupBy(word) each, BROADCAST back onto the token stream; the
+    corpus-sized side never shuffles for scoring and the only
+    corpus-sized shuffle is the final per-doc aggregation -- identical
+    shape to text_unigram_nll, which is the same machinery with a
+    different numerator."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.size("ws").alias("n_words"), F.explode("ws").alias("w")
+    )
+    is_tgt = F.col("doc_id") % 97 == 0
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).cast("long").alias("cc"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cc").alias("tc"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.col("nv")))
+            - F.log((F.col("cc") + 1) / (F.col("tc") + F.col("nv")))
+        ).alias("lr"),
+    )
+    return (
+        toks.where(~is_tgt)
+        .join(F.broadcast(lr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.round(F.sum("lr") / F.max("n_words"), 6).alias("weight"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "weight",
+            (F.col("weight") > 0).alias("selected"),
+        )
+    )
+
+
+SAMPLE_DSIR_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents),
+counts AS (SELECT w,
+                  sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS ct,
+                  sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END)::BIGINT AS cc
+           FROM t GROUP BY w),
+tot AS (SELECT sum(ct) AS tt, sum(cc) AS tc, count(*) AS nv FROM counts),
+lr AS (SELECT w, ln((ct + 1) / (tt + nv)) - ln((cc + 1) / (tc + nv)) AS lr
+       FROM counts CROSS JOIN tot)
+SELECT doc_id, max(n_words)::BIGINT AS n_words,
+       round(sum(lr) / max(n_words), 6) AS weight,
+       (round(sum(lr) / max(n_words), 6) > 0) AS selected
+FROM t JOIN lr USING (w)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+"""
+
+
 def semantic_dedup(
     spark: SparkSession,
     emb: DataFrame,
@@ -2903,5 +2983,6 @@ ALL_QUERIES: dict[str, tuple] = {
     ),
     "filter_domain_spam": (filter_domain_spam, DOMAIN_SPAM_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "sample_dsir": (sample_dsir, SAMPLE_DSIR_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

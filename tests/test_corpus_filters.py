@@ -118,3 +118,26 @@ def test_filter_plans_broadcast_not_sortmerge(spark, tmp_path):
     trim_plan = trim._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in trim_plan
     assert "SortMergeJoin" not in trim_plan
+
+
+def test_sample_dsir_hand_computed(spark, tmp_path):
+    # doc 0 is the target slice (0 % 97 == 0).  Vocabulary {apple,
+    # banana, zebra, yak}, V=4, target tokens tt=3, train tokens tc=4.
+    # lr(apple) = ln(3/7) - ln(2/8) > 0, lr(banana) = ln(2/7) - ln(2/8)
+    # > 0, lr(zebra) = lr(yak) = ln(1/7) - ln(2/8) < 0 -> doc 1
+    # (target-like words) is selected, doc 2 (words absent from the
+    # target) is not.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "apple apple banana", "en", "s", 18),
+            (1, "apple banana", "en", "s", 12),
+            (2, "zebra yak", "en", "s", 9),
+        ],
+    )
+    from probe_spark.entry_queries import sample_dsir
+
+    out = {r["doc_id"]: r for r in sample_dsir(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["selected"] and out[1]["weight"] > 0
+    assert not out[2]["selected"] and out[2]["weight"] < 0
