@@ -526,6 +526,7 @@ def main() -> None:
         filter_domain_spam,
         filter_length_percentile,
         sample_dsir,
+        sim_knn_join,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -550,6 +551,7 @@ def main() -> None:
         ("op_domain_spam", filter_domain_spam),
         ("op_semantic_dedup", dedup_semantic),
         ("op_dsir_sampling", sample_dsir),
+        ("op_knn_join", sim_knn_join),
     ):
         ts = []
         for _ in range(2):

@@ -1016,19 +1016,13 @@ ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
-def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at scale: LSH band buckets -> candidate
-    pairs (share >= 1 band) -> exact cosine verify >= 0.35.  The scale
-    replacement for dedup_embed_cosine's exhaustive self-join: the pair
-    join runs on band buckets capped at BAND_BUCKET_CAP lowest vec_ids
-    (probe_spark.dedup.capped_bands, mirrored in the oracle -- the residual
-    guard against a flood of near-identical embeddings saturating one
-    bucket), verification touches candidates only.  Recall < 1 by design
-    (the LSH curve), so the oracle mirrors the banding + cap rather than
-    the exhaustive definition."""
+def _lsh_candidate_cos(emb: DataFrame) -> DataFrame:
+    """Shared LSH candidate machinery (dedup_embed_lsh, sim_knn_join):
+    capped band buckets -> distinct candidate pairs (share >= 1 band,
+    a < b) -> exact 6dp-rounded cosine per candidate pair.  Returns
+    (a, b, cos) UNFILTERED -- callers threshold or rank."""
     from probe_spark.dedup import capped_bands
 
-    emb = _emb(spark, sf_dir)
     bands, ed, vnorm = _lsh_bands(emb)
     bands = capped_bands(bands)
     cand = (
@@ -1057,7 +1051,51 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.35)
+    )
+
+
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH band buckets -> candidate
+    pairs (share >= 1 band) -> exact cosine verify >= 0.35.  The scale
+    replacement for dedup_embed_cosine's exhaustive self-join: the pair
+    join runs on band buckets capped at BAND_BUCKET_CAP lowest vec_ids
+    (probe_spark.dedup.capped_bands, mirrored in the oracle -- the residual
+    guard against a flood of near-identical embeddings saturating one
+    bucket), verification touches candidates only.  Recall < 1 by design
+    (the LSH curve), so the oracle mirrors the banding + cap rather than
+    the exhaustive definition."""
+    return _lsh_candidate_cos(_emb(spark, sf_dir)).filter(F.col("cos") >= 0.35)
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN SELF-join: top-3 approximate nearest neighbours
+    for EVERY vector at once -- the batch primitive behind hard-negative
+    mining, diversity analysis, and graph-based curation (single-query
+    ANN is sim_lsh_topk / sim_ivf_topk; pipelines need all rows scored
+    in one job, not a driver loop).  Candidates come from the SAME
+    capped LSH band buckets as dedup_embed_lsh (`_lsh_candidate_cos`),
+    symmetrized, then ranked per vector by (cos desc, nbr asc); vectors
+    with no band collision simply emit no rows (the LSH recall curve,
+    mirrored in the oracle).
+
+    Scale plan: candidate generation is bucket-join + cap -- NEVER the
+    corpus-quadratic cross join a naive knn-join does; the top-k is a
+    window partitioned by vec_id, never a global sort; at 100TB band
+    width/count tune recall exactly as in dedup_embed_lsh."""
+    from pyspark.sql.window import Window
+
+    K = 3
+    cc = _lsh_candidate_cos(_emb(spark, sf_dir))
+    sym = cc.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("nbr"), "cos"
+    ).unionByName(
+        cc.select(F.col("b").alias("vec_id"), F.col("a").alias("nbr"), "cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("vec_id", F.col("rank").cast("long").alias("rank"), "nbr", "cos")
     )
 
 
@@ -1084,6 +1122,33 @@ dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
 SELECT d.a, d.b, round(d.dot / (na.vn * nb.vn), 6) AS cos
 FROM dots d JOIN vn na ON na.vec_id = d.a JOIN vn nb ON nb.vec_id = d.b
 WHERE round(d.dot / (na.vn * nb.vn), 6) >= 0.35
+"""
+
+
+# same capped-band candidate machinery as DEDUP_EMBED_LSH_SQL, then
+# symmetrize and rank per vector (sim_knn_join)
+SIM_KNN_SQL = f"""
+WITH {_SQL_LSH_BANDS},
+{_sql_capped_bands()},
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM cbands x JOIN cbands y USING (bi, bv)
+         WHERE x.vec_id < y.vec_id),
+dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
+         FROM cand c
+         JOIN ed ea ON ea.vec_id = c.a
+         JOIN ed eb ON eb.vec_id = c.b AND eb.i = ea.i
+         GROUP BY c.a, c.b),
+cc AS (SELECT d.a, d.b, round(d.dot / (na.vn * nb.vn), 6) AS cos
+       FROM dots d JOIN vn na ON na.vec_id = d.a
+                   JOIN vn nb ON nb.vec_id = d.b),
+sym AS (SELECT a AS vec_id, b AS nbr, cos FROM cc
+        UNION ALL
+        SELECT b AS vec_id, a AS nbr, cos FROM cc),
+r AS (SELECT vec_id, nbr, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr ASC) AS rank
+      FROM sym)
+SELECT vec_id, rank::BIGINT AS rank, nbr, cos FROM r WHERE rank <= 3
 """
 
 
@@ -2984,5 +3049,6 @@ ALL_QUERIES: dict[str, tuple] = {
     "filter_domain_spam": (filter_domain_spam, DOMAIN_SPAM_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "sample_dsir": (sample_dsir, SAMPLE_DSIR_SQL),
+    "sim_knn_join": (sim_knn_join, SIM_KNN_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -141,3 +141,42 @@ def test_sample_dsir_hand_computed(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[1]["selected"] and out[1]["weight"] > 0
     assert not out[2]["selected"] and out[2]["weight"] < 0
+
+
+def test_sim_knn_join_twins_rank_first(spark, tmp_path):
+    # Two pairs of identical vectors (all 24 sign bits match within a
+    # pair, so band collision is guaranteed) plus noise dims to keep the
+    # clusters apart: every vector's top neighbour must be its twin at
+    # cos 1.0, and ranks per vector are dense from 1.
+    import pandas as pd
+
+    vecs = [
+        [1.0, 0.1, 0.0, 0.0],
+        [1.0, 0.1, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.2],
+        [0.0, 0.0, 1.0, 0.2],
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(4), "embedding": vecs, "label": [0] * 4}
+    )
+    pdf["embedding"] = pdf["embedding"].apply(
+        lambda v: [float(x) for x in v]
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    from probe_spark.entry_queries import sim_knn_join
+
+    rows = sim_knn_join(spark, str(tmp_path)).collect()
+    twin = {0: 1, 1: 0, 2: 3, 3: 2}
+    top1 = {r["vec_id"]: r for r in rows if r["rank"] == 1}
+    for v, t in twin.items():
+        assert top1[v]["nbr"] == t and top1[v]["cos"] == 1.0
+    # ranks dense and ordered by cos desc within each vector
+    by_vec = {}
+    for r in sorted(rows, key=lambda r: (r["vec_id"], r["rank"])):
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for v, rs in by_vec.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r["cos"] for r in rs] == sorted(
+            (r["cos"] for r in rs), reverse=True
+        )
