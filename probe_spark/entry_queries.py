@@ -1086,10 +1086,25 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 3
     cc = _lsh_candidate_cos(_emb(spark, sf_dir))
-    sym = cc.select(
-        F.col("a").alias("vec_id"), F.col("b").alias("nbr"), "cos"
-    ).unionByName(
-        cc.select(F.col("b").alias("vec_id"), F.col("a").alias("nbr"), "cos")
+    # symmetrize via ONE explode of a two-struct array, not a union of two
+    # selects over cc -- a union would evaluate the whole candidate-cosine
+    # subtree once per branch
+    sym = (
+        cc.select(
+            _explode_nn(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("vec_id"), F.col("b").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col("b").alias("vec_id"), F.col("a").alias("nbr")
+                    ),
+                )
+            ).alias("p"),
+            "cos",
+        )
+        .where(F.col("p").isNotNull())
+        .select("p.vec_id", "p.nbr", "cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr"))
     return (
@@ -1108,29 +1123,10 @@ def _sql_capped_bands() -> str:
   FROM bands) WHERE rn <= {BAND_BUCKET_CAP})"""
 
 
-DEDUP_EMBED_LSH_SQL = f"""
-WITH {_SQL_LSH_BANDS},
-{_sql_capped_bands()},
-cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         FROM cbands x JOIN cbands y USING (bi, bv)
-         WHERE x.vec_id < y.vec_id),
-dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
-         FROM cand c
-         JOIN ed ea ON ea.vec_id = c.a
-         JOIN ed eb ON eb.vec_id = c.b AND eb.i = ea.i
-         GROUP BY c.a, c.b)
-SELECT d.a, d.b, round(d.dot / (na.vn * nb.vn), 6) AS cos
-FROM dots d JOIN vn na ON na.vec_id = d.a JOIN vn nb ON nb.vec_id = d.b
-WHERE round(d.dot / (na.vn * nb.vn), 6) >= 0.35
-"""
-
-
-# same capped-band candidate machinery as DEDUP_EMBED_LSH_SQL, then
-# symmetrize and rank per vector (sim_knn_join)
-SIM_KNN_SQL = f"""
-WITH {_SQL_LSH_BANDS},
-{_sql_capped_bands()},
-cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+# shared CTE text mirroring _lsh_candidate_cos (capped-band candidate
+# pairs -> exact 6dp cosine); composed into both DEDUP_EMBED_LSH_SQL and
+# SIM_KNN_SQL
+_SQL_LSH_CAND_COS = """cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          FROM cbands x JOIN cbands y USING (bi, bv)
          WHERE x.vec_id < y.vec_id),
 dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
@@ -1140,7 +1136,23 @@ dots AS (SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
          GROUP BY c.a, c.b),
 cc AS (SELECT d.a, d.b, round(d.dot / (na.vn * nb.vn), 6) AS cos
        FROM dots d JOIN vn na ON na.vec_id = d.a
-                   JOIN vn nb ON nb.vec_id = d.b),
+                   JOIN vn nb ON nb.vec_id = d.b)"""
+
+
+DEDUP_EMBED_LSH_SQL = f"""
+WITH {_SQL_LSH_BANDS},
+{_sql_capped_bands()},
+{_SQL_LSH_CAND_COS}
+SELECT a, b, cos FROM cc WHERE cos >= 0.35
+"""
+
+
+# same capped-band candidate machinery as DEDUP_EMBED_LSH_SQL, then
+# symmetrize and rank per vector (sim_knn_join)
+SIM_KNN_SQL = f"""
+WITH {_SQL_LSH_BANDS},
+{_sql_capped_bands()},
+{_SQL_LSH_CAND_COS},
 sym AS (SELECT a AS vec_id, b AS nbr, cos FROM cc
         UNION ALL
         SELECT b AS vec_id, a AS nbr, cos FROM cc),
@@ -2838,11 +2850,12 @@ def semantic_dedup(
         .select("vec_id", "cell", "rank")
         .persist()
     )
-    ma = ed.join(ranked, "vec_id").select(
+    m = ed.join(ranked, "vec_id")
+    ma = m.select(
         "cell", "i", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
         F.col("v").alias("va"),
     )
-    mb = ed.join(ranked, "vec_id").select(
+    mb = m.select(
         "cell", "i", F.col("vec_id").alias("b"), F.col("rank").alias("rb"),
         F.col("v").alias("vb"),
     )
