@@ -180,3 +180,33 @@ def test_sim_knn_join_twins_rank_first(spark, tmp_path):
         assert [r["cos"] for r in rs] == sorted(
             (r["cos"] for r in rs), reverse=True
         )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "lengths",
+    [
+        list(range(1, 41)),                     # distinct ramp
+        [5] * 30 + [500],                       # heavy ties + one outlier
+        [1] * 3 + [10] * 34 + [9999] * 3,       # mass at one length
+        [7, 7, 7, 7],                           # degenerate single length
+    ],
+)
+def test_length_percentile_trims_at_most_ten_percent(spark, tmp_path, lengths):
+    # invariant of the integer rank arithmetic: fewer than ceil(5%N) docs
+    # fall below lo and at most floor(5%N) above hi, so kept >= 0.9N - 1
+    # for ANY length distribution (ties can only widen the kept band)
+    import shutil
+
+    d = tmp_path / f"c{len(lengths)}_{lengths[0]}_{lengths[-1]}"
+    d.mkdir()
+    sf = _write_docs(
+        d, [(i, " ".join(["w"] * n), "en", "s", n) for i, n in enumerate(lengths)]
+    )
+    out = filter_length_percentile(spark, sf).collect()
+    n = len(lengths)
+    kept = sum(1 for r in out if r["kept"])
+    assert len(out) == n
+    assert kept >= 0.9 * n - 1
