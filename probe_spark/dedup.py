@@ -501,6 +501,73 @@ def lsh_band_signatures(
     return emb.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
+def incremental_dedup(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 6,
+) -> DataFrame:
+    """Incremental exact dedup of a new crawl batch against an existing
+    corpus snapshot via a Bloom-filter prefilter with an exact repair pass
+    -- the Dolma "BFF" (Bloom Filter Filtering) pattern, made EXACT: the
+    bloom's false positives are repaired by an anti-join over only the
+    bloom-positive rows, and bloom false negatives are impossible, so the
+    result equals the plain anti-join on md5(text) bit for bit (which is
+    exactly what the DuckDB oracle computes -- no banding mirror needed).
+
+    Everything stays JVM-side: the "bloom" is a DataFrame of the DISTINCT
+    set bit positions (bounded by min(k*|snapshot|, m_bits) rows
+    regardless of corpus size), derived from k 5-hex-digit slices of each
+    snapshot doc's md5 -- built once per snapshot and broadcast; the batch
+    explodes the same k positions map-side and left-joins the broadcast
+    bit table; a doc is bloom-positive iff all k positions hit.
+    Bloom-negative docs are provably new and keep WITHOUT ANY SHUFFLE of
+    the batch side; only the positives (true dups + the (1-e^(-kn/m))^k
+    false-positive sliver) shuffle into the exact md5 anti-join.
+
+    Scale plan (1e12-doc snapshot): a single broadcast bloom saturates --
+    shard the bit table by md5-prefix bucket exactly like the postings
+    buckets (indexer.py bucket-as-salt layout) so each executor joins only
+    its bucket's slice, and size m_bits per bucket; the snapshot-side bit
+    table is persisted with the corpus and incrementally OR-ed (unioned)
+    as batches commit, so steady-state cost is ONE scan of each new batch
+    plus a dup-sized shuffle.
+
+    Returns the kept batch rows as (doc_id, h=md5(text))."""
+    def positions(col):
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(col, 1 + 5 * j, 5), 16, 10).cast(
+                        "long"
+                    )
+                    % m_bits
+                ).alias(f"p{j}")
+                for j in range(k_hashes)
+            ]
+        )
+
+    snap_h = snapshot.select(F.md5("text").alias("h"))
+    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
+    bits = (
+        snap_h.select(F.explode(positions(F.col("h"))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        batch_h.select("doc_id", "h", F.explode(positions(F.col("h"))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    fresh = probed.filter(F.col("n_hit") < k_hashes).select("doc_id", "h")
+    candidates = probed.filter(F.col("n_hit") == k_hashes).select(
+        "doc_id", "h"
+    )
+    survivors = candidates.join(snap_h, "h", "left_anti").select("doc_id", "h")
+    return fresh.unionByName(survivors)
+
+
 def capped_bands(bands: DataFrame, id_col: str = "vec_id", cap: int | None = None) -> DataFrame:
     """Keep the ``cap`` lowest ids per (bi, bv) band bucket — the lossy
     residual flood guard for operators whose oracle mirrors the banding."""

@@ -1301,10 +1301,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, _emb(spark, sf_dir))
 
 
-# mirrors ivf_topk exactly: strata init, 2 unrolled Lloyd iterations
-# (assign by 9dp-rounded cosine, 6dp-rounded per-dim means), probe 2 cells,
-# exact rerank in the probed cells
-SIM_IVF_SQL = """
+# shared quantizer CTE chain mirroring _quantizer_sims exactly: strata
+# init, 2 unrolled Lloyd iterations (assign by 9dp-rounded cosine,
+# 6dp-rounded per-dim means); consumers append their own a2 projection
+_QUANTIZER_CTES = """
 WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                    unnest(embedding)::DOUBLE AS v FROM embeddings),
 vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vn FROM ed GROUP BY vec_id),
@@ -1338,6 +1338,12 @@ d2 AS (SELECT ed.vec_id, c2.cell, sum(ed.v * c2.c) AS dot
        FROM ed JOIN c2 USING (i) GROUP BY ed.vec_id, c2.cell),
 s2 AS (SELECT vec_id, cell, round(dot / (vn.vn * n2.cn), 9) AS sim
        FROM d2 JOIN vn USING (vec_id) JOIN n2 USING (cell)),
+"""
+
+
+# mirrors ivf_topk exactly: the shared quantizer chain, probe 2 cells,
+# exact rerank in the probed cells
+SIM_IVF_SQL = f"""{_QUANTIZER_CTES}
 a2 AS (SELECT vec_id, cell FROM (
          SELECT vec_id, cell, row_number() OVER (
            PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
@@ -2904,44 +2910,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, _emb(spark, sf_dir))
 
 
-# quantizer CTE chain (ed..a2) mirrors SIM_IVF_SQL / _quantizer_sims
-# exactly: strata init, 2 unrolled Lloyd iterations (assign by 9dp-rounded
-# cosine, 6dp-rounded per-dim means); then SemDeDup's within-cell ranked
-# pair sweep
-DEDUP_SEMANTIC_SQL = """
-WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-                   unnest(embedding)::DOUBLE AS v FROM embeddings),
-vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vn FROM ed GROUP BY vec_id),
-c0 AS (SELECT cell, i, round(avg(v), 6) AS c
-       FROM (SELECT (vec_id % 8)::INT AS cell, i, v FROM ed)
-       GROUP BY cell, i),
-n0 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c0 GROUP BY cell),
-d0 AS (SELECT ed.vec_id, c0.cell, sum(ed.v * c0.c) AS dot
-       FROM ed JOIN c0 USING (i) GROUP BY ed.vec_id, c0.cell),
-s0 AS (SELECT vec_id, cell, round(dot / (vn.vn * n0.cn), 9) AS sim
-       FROM d0 JOIN vn USING (vec_id) JOIN n0 USING (cell)),
-a0 AS (SELECT vec_id, cell FROM (
-         SELECT vec_id, cell, row_number() OVER (
-           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s0)
-       WHERE rn = 1),
-c1 AS (SELECT a0.cell, ed.i, round(avg(ed.v), 6) AS c
-       FROM ed JOIN a0 USING (vec_id) GROUP BY a0.cell, ed.i),
-n1 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c1 GROUP BY cell),
-d1 AS (SELECT ed.vec_id, c1.cell, sum(ed.v * c1.c) AS dot
-       FROM ed JOIN c1 USING (i) GROUP BY ed.vec_id, c1.cell),
-s1 AS (SELECT vec_id, cell, round(dot / (vn.vn * n1.cn), 9) AS sim
-       FROM d1 JOIN vn USING (vec_id) JOIN n1 USING (cell)),
-a1 AS (SELECT vec_id, cell FROM (
-         SELECT vec_id, cell, row_number() OVER (
-           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s1)
-       WHERE rn = 1),
-c2 AS (SELECT a1.cell, ed.i, round(avg(ed.v), 6) AS c
-       FROM ed JOIN a1 USING (vec_id) GROUP BY a1.cell, ed.i),
-n2 AS (SELECT cell, sqrt(sum(c*c)) AS cn FROM c2 GROUP BY cell),
-d2 AS (SELECT ed.vec_id, c2.cell, sum(ed.v * c2.c) AS dot
-       FROM ed JOIN c2 USING (i) GROUP BY ed.vec_id, c2.cell),
-s2 AS (SELECT vec_id, cell, round(dot / (vn.vn * n2.cn), 9) AS sim
-       FROM d2 JOIN vn USING (vec_id) JOIN n2 USING (cell)),
+# shared quantizer CTE chain (_QUANTIZER_CTES, mirrors _quantizer_sims
+# exactly); then SemDeDup's within-cell ranked pair sweep
+DEDUP_SEMANTIC_SQL = f"""{_QUANTIZER_CTES}
 a2 AS (SELECT vec_id, cell, sim FROM (
          SELECT vec_id, cell, sim, row_number() OVER (
            PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
@@ -2963,6 +2934,170 @@ dups AS (SELECT DISTINCT b
          WHERE round(dot / (vna.vn * vnb.vn), 6) >= 0.35)
 SELECT vec_id, cell::BIGINT AS cell,
        (vec_id NOT IN (SELECT b FROM dups)) AS kept
+FROM ranked
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: treat the first third of the corpus (by
+    doc_id) as the already-ingested snapshot and the rest as the new crawl
+    batch; keep the batch docs whose text does not already exist in the
+    snapshot.  The engine runs the Bloom-prefilter + exact-repair path
+    (``dedup.incremental_dedup`` -- Dolma-BFF shape, exact by
+    construction); the oracle is the plain NOT EXISTS anti-join the bloom
+    path must equal bit for bit, so the driver gate directly proves the
+    bloom introduces no false drops and the repair removes every false
+    positive."""
+    from probe_spark.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    spl = docs.agg(
+        F.floor((F.max("doc_id") + 1) / 3).cast("long").alias("split_id")
+    )
+    d = docs.select("doc_id", "text").crossJoin(F.broadcast(spl))
+    snapshot = d.filter(F.col("doc_id") < F.col("split_id"))
+    batch = d.filter(F.col("doc_id") >= F.col("split_id"))
+    return incremental_dedup(snapshot, batch)
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents),
+spl AS (SELECT (max(doc_id) + 1) // 3 AS s FROM t)
+SELECT d.doc_id, d.h
+FROM t d CROSS JOIN spl
+WHERE d.doc_id >= spl.s
+  AND NOT EXISTS (SELECT 1 FROM t s2 CROSS JOIN spl
+                  WHERE s2.doc_id < spl.s AND s2.h = d.h)
+"""
+
+
+def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic-cluster mixture report: assign every embedding to its
+    nearest trained-quantizer centroid (the SAME 8-cell / 2-Lloyd-iteration
+    k-means as sim_ivf_topk / dedup_semantic via ``_quantizer_sims``) and
+    report each cluster's size, corpus share in integer ppm, and the
+    min/max assignment cosine -- the by-topic companion of
+    ``corpus_mixture`` (data cards publish both; cluster shares drive
+    topic rebalancing the way lang/source shares drive
+    sample_lang_temperature).
+
+    Determinism across engines: counts and ppm are integer math
+    (divide-before-multiply like corpus_mixture); cohesion is reported as
+    min/max of the 9dp-rounded assignment sims -- order-independent
+    exactly, unlike a float mean.
+
+    Scale plan: the quantizer's corpus-sized work is the k-means
+    assignment aggs (already the IVF build cost -- amortized when both
+    run); the report itself is one groupBy(cell) with map-side combine
+    into k rows, and the total joins back as a broadcast 1-row agg of
+    those k rows, never a second corpus scan."""
+    emb = _emb(spark, sf_dir)
+    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2)
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "sim")
+    )
+    cells = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+    total = cells.agg(F.sum("n_vecs").cast("double").alias("tot"))
+    result = cells.crossJoin(F.broadcast(total)).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vecs",
+        F.floor(F.col("n_vecs") / F.col("tot") * 1000000)
+        .cast("long")
+        .alias("share_ppm"),
+        "min_sim",
+        "max_sim",
+    )
+    # k rows; materialize so the iterative quantizer caches can be freed
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        sims.unpersist()
+
+
+CLUSTER_ASSIGN_SQL = f"""{_QUANTIZER_CTES}
+a2 AS (SELECT vec_id, cell, sim FROM (
+         SELECT vec_id, cell, sim, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+       WHERE rn = 1),
+cells AS (SELECT cell, count(*)::BIGINT AS n_vecs,
+                 min(sim) AS min_sim, max(sim) AS max_sim
+          FROM a2 GROUP BY cell),
+tot AS (SELECT sum(n_vecs)::DOUBLE AS tot FROM cells)
+SELECT cell::BIGINT AS cell, n_vecs,
+       floor(n_vecs / tot * 1000000)::BIGINT AS share_ppm,
+       min_sim, max_sim
+FROM cells CROSS JOIN tot
+"""
+
+
+def filter_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, arXiv:2206.14486
+    -- the pruning half of D4, Tirumala et al. 2023, whose dedup half is
+    dedup_semantic): within each trained-quantizer cluster rank members by
+    cosine-to-centroid DESCENDING (most prototypical = easiest first) and
+    drop the top 10% of every cluster -- in the abundant-data regime the
+    paper shows pruning the easiest (most prototypical) examples beats
+    random and keeps the hard tail that carries the learning signal.
+
+    Determinism: ranks use the 9dp-rounded assignment sims with a vec_id
+    tie-break; the cut is integer floor division (n_cell DIV 10), exact in
+    both engines.
+
+    Scale plan: reuses the IVF quantizer's assignment (amortized); the
+    prune itself is two windows keyed by cell -- partition count = cell
+    count, which the paper scales with the corpus keeping cells
+    ~constant-sized, so no window partition ever exceeds a cell."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2)
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "sim")
+    )
+    cw = Window.partitionBy("cell")
+    result = (
+        assign.withColumn(
+            "rank",
+            F.row_number().over(
+                cw.orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+        .withColumn("n_cell", F.count(F.lit(1)).over(cw))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("rank") > F.expr("n_cell DIV 10")).alias("kept"),
+        )
+    )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        sims.unpersist()
+
+
+FILTER_PROTO_PRUNE_SQL = f"""{_QUANTIZER_CTES}
+a2 AS (SELECT vec_id, cell, sim FROM (
+         SELECT vec_id, cell, sim, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM s2)
+       WHERE rn = 1),
+ranked AS (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY cell
+                                     ORDER BY sim DESC, vec_id ASC) AS rank,
+                  count(*) OVER (PARTITION BY cell) AS n_cell
+           FROM a2)
+SELECT vec_id, cell::BIGINT AS cell, rank::BIGINT AS rank,
+       (rank > n_cell // 10) AS kept
 FROM ranked
 """
 
@@ -3063,5 +3198,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "sample_dsir": (sample_dsir, SAMPLE_DSIR_SQL),
     "sim_knn_join": (sim_knn_join, SIM_KNN_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "cluster_assign": (cluster_assign, CLUSTER_ASSIGN_SQL),
+    "filter_proto_prune": (filter_proto_prune, FILTER_PROTO_PRUNE_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }
