@@ -527,6 +527,9 @@ def main() -> None:
         filter_length_percentile,
         sample_dsir,
         sim_knn_join,
+        dedup_incremental,
+        cluster_assign,
+        filter_proto_prune,
         text_boilerplate_ngrams,
         text_pii_redact,
         text_repetition,
@@ -552,6 +555,9 @@ def main() -> None:
         ("op_semantic_dedup", dedup_semantic),
         ("op_dsir_sampling", sample_dsir),
         ("op_knn_join", sim_knn_join),
+        ("op_incremental_dedup", dedup_incremental),
+        ("op_cluster_assign", cluster_assign),
+        ("op_proto_prune", filter_proto_prune),
     ):
         ts = []
         for _ in range(2):
