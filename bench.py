@@ -534,6 +534,10 @@ def main() -> None:
         text_pii_redact,
         text_repetition,
         text_unigram_nll,
+        filter_ccnet_buckets,
+        text_bigram_nll,
+        text_oov_rate,
+        dedup_snapshot_latest,
     )
 
     extra = {}
@@ -558,6 +562,10 @@ def main() -> None:
         ("op_incremental_dedup", dedup_incremental),
         ("op_cluster_assign", cluster_assign),
         ("op_proto_prune", filter_proto_prune),
+        ("op_ccnet_buckets", filter_ccnet_buckets),
+        ("op_bigram_nll", text_bigram_nll),
+        ("op_oov_rate", text_oov_rate),
+        ("op_snapshot_latest", dedup_snapshot_latest),
     ):
         ts = []
         for _ in range(2):

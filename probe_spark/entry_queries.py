@@ -3103,6 +3103,316 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# Language-model quality scoring, vocabulary coverage, snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+def filter_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): per LANGUAGE, score every document with a corpus-trained
+    language model and split the language's corpus into three perplexity
+    buckets -- head (most LM-typical third), middle, tail.  CCNet trains
+    a KenLM per language; here the LM is the corpus's own per-language
+    unigram distribution (the same self-contained stand-in as
+    text_unigram_nll, which this op extends from a raw score to the
+    bucketing decision pipelines actually consume).
+
+    Thresholds are DISCRETE: the score is binned to an integer
+    (floor(avg_nll * 100)), the per-language bin histogram is cumulated,
+    and t1/t2 are the smallest bins whose cumulative count reaches
+    ceil(N/3) / ceil(2N/3) -- pure integer rank arithmetic, so both
+    engines agree bit-for-bit with no quantile-interpolation semantics.
+
+    Scale plan: the LM is a per-language vocabulary table (bounded by
+    the languages, not the corpus) built by one map-side-combined
+    groupBy and BROADCAST back, so the corpus side never shuffles for
+    scoring; the only corpus-sized shuffle is the per-doc aggregation.
+    The bin histogram is bounded by langs x distinct bins (thousands),
+    its cumulative window runs per language over that tiny table, and
+    the per-language thresholds broadcast back onto the scored docs
+    (map-only).  No global sort anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("ws").alias("n_words"),
+        F.explode("ws").alias("w"),
+    )
+    cnt = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("cnt").cast("double").alias("total"))
+    lp = cnt.join(F.broadcast(tot), "lang").select(
+        "lang", "w", F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    per = (
+        toks.join(F.broadcast(lp), ["lang", "w"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(-F.sum("lp") / F.max("n_words"), 6).alias("avg_nll"),
+        )
+        .withColumn("bin", F.floor(F.col("avg_nll") * 100).cast("long"))
+    )
+    hist = per.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("lang")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot2 = hist.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    th = (
+        cum.join(F.broadcast(tot2), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(tot + 2) DIV 3"), F.col("bin"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * tot + 2) DIV 3"), F.col("bin")
+                )
+            ).alias("t2"),
+        )
+    )
+    return per.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(F.col("bin") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT lang, w, count(*)::BIGINT AS cnt FROM t GROUP BY lang, w),
+tot AS (SELECT lang, sum(cnt)::DOUBLE AS total FROM c GROUP BY lang),
+lpw AS (SELECT c.lang, c.w, ln(c.cnt / tot.total) AS lp
+        FROM c JOIN tot USING (lang)),
+per AS (SELECT doc_id, t.lang,
+               round(-sum(lp) / max(n_words), 6) AS avg_nll
+        FROM t JOIN lpw ON t.lang = lpw.lang AND t.w = lpw.w
+        GROUP BY doc_id, t.lang),
+pb AS (SELECT doc_id, lang, avg_nll,
+              floor(avg_nll * 100)::BIGINT AS bin FROM per),
+hist AS (SELECT lang, bin, count(*) AS cnt FROM pb GROUP BY lang, bin),
+cum AS (SELECT lang, bin, sum(cnt) OVER (
+          PARTITION BY lang ORDER BY bin) AS cum FROM hist),
+tot2 AS (SELECT lang, sum(cnt) AS tot FROM hist GROUP BY lang),
+th AS (SELECT lang,
+              min(CASE WHEN cum >= (tot + 2) // 3 THEN bin END) AS t1,
+              min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN bin END) AS t2
+       FROM cum JOIN tot2 USING (lang) GROUP BY lang)
+SELECT doc_id, lang, avg_nll,
+       CASE WHEN bin <= t1 THEN 'head'
+            WHEN bin <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pb JOIN th USING (lang)
+"""
+
+
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document -- the
+    next rung above text_unigram_nll toward the KenLM n-gram perplexity
+    CCNet uses: avg negative log-likelihood of each adjacent word pair
+    under P(w2|w1) = (c(w1,w2) + 1) / (c(w1,*) + V) (add-one smoothing
+    over the corpus vocabulary V, so unseen continuations are finite and
+    the formula is exact integer arithmetic inside the log).  Word-salad
+    text with plausible unigrams but improbable transitions scores high
+    here while passing the unigram filter.  Docs with fewer than 2 words
+    have no bigrams and are excluded (no p(.|.) is defined for them).
+
+    Scale plan: unlike the unigram LM, the bigram table is NOT
+    vocabulary-bounded (distinct word pairs grow with the corpus), so it
+    is never broadcast -- scoring joins the token-pair stream to the
+    count table on the (w1, w2) key: ONE corpus-sized shuffle with
+    map-side-combined counts feeding it.  The context-count table c(w1,*)
+    derives from the bigram table (groupBy w1, bounded by the vocabulary)
+    and joins onto the count table BEFORE the corpus-sized join; V is a
+    1-row scalar cross-joined in.  Pairs are built doc-locally
+    (explode_outer of a computed array -- see _explode_nn for why not a
+    plain explode)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        (F.size("ws") - 1).cast("long").alias("n_bg"),
+        _explode_nn(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("p"),
+    ).where(F.col("p").isNotNull()).select(
+        "doc_id", "n_bg", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    counts = c12.join(F.broadcast(c1), "w1").crossJoin(F.broadcast(vocab))
+    return (
+        bg.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_bg").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("c12") + 1).cast("double")
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                )
+                / F.max("n_bg"),
+                6,
+            ).alias("avg_nll2"),
+        )
+    )
+
+
+BIGRAM_NLL_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT doc_id, (len(ws) - 1)::BIGINT AS n_bg,
+              unnest(ws[1:len(ws) - 1]) AS w1,
+              unnest(ws[2:len(ws)]) AS w2
+       FROM t WHERE len(ws) >= 2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM
+        (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+SELECT doc_id, max(n_bg)::BIGINT AS n_bigrams,
+       round(-sum(ln((c12 + 1) / (c1 + v)::DOUBLE)) / max(n_bg), 6)
+         AS avg_nll2
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher vocabulary-coverage rule (Rae et al. 2021: '80% of words
+    must be in the top vocabulary'): the corpus vocabulary is the top
+    V_TOP words by corpus count (ties break to the lexicographically
+    smaller word, so the vocabulary is deterministic), and each document
+    reports the fraction of its word OCCURRENCES that are in-vocabulary
+    plus the kept verdict at the 0.8 threshold.  Distinct from the LM
+    scores above: this is a hard membership test against a fixed-size
+    head vocabulary, the cheap first-line garbage filter.
+
+    Scale plan: the word-count table is vocabulary-bounded; the top-V
+    cut is a sort of THAT table only (never corpus-sized), and the
+    resulting V_TOP-row vocabulary BROADCASTS onto the token stream --
+    the corpus side shuffles only for the per-doc aggregation."""
+    from pyspark.sql.window import Window
+
+    V_TOP, THRESH = 16, 0.8
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.size("ws").alias("n_words"), F.explode("ws").alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+            ),
+        )
+        .where(F.col("rk") <= V_TOP)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.coalesce(F.col("iv"), F.lit(0)))
+                / F.max("n_words").cast("double"),
+                6,
+            ).alias("in_vocab_frac"),
+        )
+        .withColumn("kept", F.col("in_vocab_frac") >= THRESH)
+    )
+
+
+OOV_RATE_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+voc AS (SELECT w FROM (
+          SELECT w, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rk
+          FROM c) WHERE rk <= 16)
+SELECT doc_id, max(n_words)::BIGINT AS n_words,
+       round(sum(CASE WHEN voc.w IS NOT NULL THEN 1 ELSE 0 END)
+             / max(n_words)::DOUBLE, 6) AS in_vocab_frac,
+       (round(sum(CASE WHEN voc.w IS NOT NULL THEN 1 ELSE 0 END)
+              / max(n_words)::DOUBLE, 6) >= 0.8) AS kept
+FROM t LEFT JOIN voc USING (w)
+GROUP BY doc_id
+"""
+
+
+def dedup_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-revisit dedup: the north-rule input is Common-Crawl-style
+    pages keyed (url, warc_ts) where the same url is re-crawled many
+    times; training pipelines keep ONE snapshot per url -- the latest.
+    Exercised here on the events table (user_id plays the url key, ts
+    the warc_ts): per key, the latest row (ties on ts break to the
+    highest event_id, so the winner is deterministic), the snapshot
+    count, and the crawl-history span in exact integer microseconds.
+
+    Scale plan: ONE map-side-combinable aggregation -- max_by picks the
+    argmax inside the same partial agg as the count/min/max, so there is
+    no per-key sort, no window, and exactly one corpus-sized shuffle on
+    the key.  At 1e12 rows with ~1e10 urls the per-key state is a few
+    dozen bytes regardless of revisit skew."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP.  The
+    # cast applies the session zone shift, which cancels in the max-min
+    # difference -- only the span is reported, never an absolute epoch.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.groupBy("user_id").agg(
+        F.max_by(
+            "event_id", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("latest_event_id"),
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        (F.max(us) - F.min(us)).cast("long").alias("span_us"),
+    )
+
+
+SNAPSHOT_LATEST_SQL = """
+WITH r AS (SELECT user_id, event_id, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+g AS (SELECT user_id, count(*)::BIGINT AS n_snapshots,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+      FROM events GROUP BY user_id)
+SELECT g.user_id, r.event_id AS latest_event_id, g.n_snapshots, g.span_us
+FROM r JOIN g USING (user_id) WHERE r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
 
@@ -3201,5 +3511,9 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "cluster_assign": (cluster_assign, CLUSTER_ASSIGN_SQL),
     "filter_proto_prune": (filter_proto_prune, FILTER_PROTO_PRUNE_SQL),
+    "filter_ccnet_buckets": (filter_ccnet_buckets, CCNET_BUCKETS_SQL),
+    "text_bigram_nll": (text_bigram_nll, BIGRAM_NLL_SQL),
+    "text_oov_rate": (text_oov_rate, OOV_RATE_SQL),
+    "dedup_snapshot_latest": (dedup_snapshot_latest, SNAPSHOT_LATEST_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }
