@@ -538,6 +538,7 @@ def main() -> None:
         text_bigram_nll,
         text_oov_rate,
         dedup_snapshot_latest,
+        sim_pq_topk,
     )
 
     extra = {}
@@ -566,6 +567,7 @@ def main() -> None:
         ("op_bigram_nll", text_bigram_nll),
         ("op_oov_rate", text_oov_rate),
         ("op_snapshot_latest", dedup_snapshot_latest),
+        ("op_pq_ann", sim_pq_topk),
     ):
         ts = []
         for _ in range(2):

@@ -1363,6 +1363,205 @@ ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
+def pq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    m_subs: int = 4,
+    k_codes: int = 4,
+    sub_dim: int = 16,
+    rerank_pool: int = 20,
+    topk: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011, 'Product Quantization for Nearest Neighbor
+    Search') -- the MEMORY-bounded ANN path: each vector is stored as
+    ``m_subs`` codebook ids (here 4 codes over 16-dim subspaces; at
+    production sizes 8-16 bytes/vector instead of 256 raw bytes, which
+    is what makes a 1e12-vector index fit a cluster at all).
+
+    Train: per-subspace k-means (strata init vec_id % k, ONE Lloyd
+    iteration of assign-by-L2 -> per-dimension mean -- PQ quantizes by
+    Euclidean distance, not cosine).  Encode: nearest centroid per
+    subspace.  Query (ADC): ONE m x k table of partial query-centroid
+    dot products; approx dot(q, x) = sum over subspaces of
+    table[sub, code(x, sub)], ranked as approx cosine with the TRUE
+    stored norms; the best ``rerank_pool`` candidates rerank exactly.
+
+    Determinism across engines and summation orders: centroids round to
+    6dp, L2 assignment distances and ADC partials to 9dp with
+    (dist asc, cell asc) / (score desc, vec_id asc) tie-breaks, final
+    cosine to 6dp -- the same discipline as _quantizer_sims.
+
+    Scale plan: training touches a SAMPLE at production scale (here the
+    full tiny corpus); the codebooks are m x k x sub_dim values --
+    broadcast everywhere.  Encoding is one map-side join + per (vec,
+    sub) argmin.  SERVING never touches raw vectors until rerank: the
+    ADC table is m x k rows broadcast onto the CODES table (m small
+    rows per vector, not d), one groupBy(vec_id) over those, and the
+    exact rerank reads <= rerank_pool raw vectors.  On uniform random
+    fixtures PQ recall reflects the data, not the machinery (see
+    ivf_topk's note); tests pin recall on clustered data and exact
+    brute-force equality when rerank_pool covers the corpus."""
+    from pyspark.sql.window import Window
+
+    eds = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .select(
+            "vec_id",
+            "i",
+            F.col("v").cast("double").alias("v"),
+            (F.col("i") / sub_dim).cast("int").alias("sub"),
+        )
+        .persist()
+    )
+    vnorm = eds.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # (vec_id, sub) -> nearest cell by 9dp-rounded L2^2, ties to the
+        # lowest cell id
+        d = (
+            eds.join(F.broadcast(cents.select("cell", "i", "c")), "i")
+            .groupBy("vec_id", "sub", "cell")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                    9,
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.asc("dist"), F.asc("cell")
+        )
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cell")
+        )
+
+    c0 = (
+        eds.withColumn("cell", (F.col("vec_id") % k_codes).cast("int"))
+        .groupBy("sub", "cell", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    a0 = assign(c0)
+    c1 = (
+        eds.join(a0, ["vec_id", "sub"])
+        .groupBy("sub", "cell", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    codes = assign(c1)
+    q = eds.filter(F.col("vec_id") == query_vec_id).select(
+        "i", F.col("v").alias("qv")
+    )
+    qn = vnorm.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vn").alias("qn")
+    )
+    # ADC lookup table: m x k partial dot products, rounded 9dp
+    pdot = (
+        c1.join(F.broadcast(q), "i")
+        .groupBy("sub", "cell")
+        .agg(F.round(F.sum(F.col("qv") * F.col("c")), 9).alias("pdot"))
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(pdot), ["sub", "cell"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pdot"), 9).alias("adot"))
+        .join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("adot") / (F.col("vn") * F.col("qn")), 9).alias(
+                "ascore"
+            ),
+        )
+        .orderBy(F.desc("ascore"), F.asc("vec_id"))
+        .limit(rerank_pool)
+    )
+    result = (
+        eds.join(approx.select("vec_id"), "vec_id", "leftsemi")
+        .join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("vn") * F.col("qn")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(topk)
+    )
+    # materialize the (<= topk) answer so the persisted long-format frame
+    # backing the iterative trainer can be released (same rationale as
+    # ivf_topk)
+    try:
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        eds.unpersist()
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN entry: 4 subspaces x 16 dims, 4-code codebooks, 1 Lloyd
+    iteration, 20-candidate ADC pool, exact cosine top-5 rerank (see
+    pq_topk for the memory/scale discussion)."""
+    return pq_topk(spark, _emb(spark, sf_dir))
+
+
+# mirrors pq_topk exactly: per-subspace strata init + one Lloyd
+# iteration by 9dp L2, ADC table from the query, approx-cosine pool of
+# 20, exact rerank to top-5
+SIM_PQ_SQL = """
+WITH ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   unnest(embedding)::DOUBLE AS v FROM embeddings),
+eds AS (SELECT vec_id, i, v, (i // 16)::INT AS sub FROM ed),
+vn AS (SELECT vec_id, sqrt(sum(v*v)) AS vn FROM ed GROUP BY vec_id),
+c0 AS (SELECT sub, cell, i, round(avg(v), 6) AS c
+       FROM (SELECT sub, (vec_id % 4)::INT AS cell, i, v FROM eds)
+       GROUP BY sub, cell, i),
+d0 AS (SELECT eds.vec_id, eds.sub, c0.cell,
+              round(sum((eds.v - c0.c) * (eds.v - c0.c)), 9) AS dist
+       FROM eds JOIN c0 ON eds.i = c0.i
+       GROUP BY eds.vec_id, eds.sub, c0.cell),
+a0 AS (SELECT vec_id, sub, cell FROM (
+         SELECT vec_id, sub, cell, row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+         FROM d0) WHERE rn = 1),
+c1 AS (SELECT eds.sub, a0.cell, eds.i, round(avg(eds.v), 6) AS c
+       FROM eds JOIN a0 ON eds.vec_id = a0.vec_id AND eds.sub = a0.sub
+       GROUP BY eds.sub, a0.cell, eds.i),
+d1 AS (SELECT eds.vec_id, eds.sub, c1.cell,
+              round(sum((eds.v - c1.c) * (eds.v - c1.c)), 9) AS dist
+       FROM eds JOIN c1 ON eds.i = c1.i
+       GROUP BY eds.vec_id, eds.sub, c1.cell),
+codes AS (SELECT vec_id, sub, cell FROM (
+            SELECT vec_id, sub, cell, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+            FROM d1) WHERE rn = 1),
+q AS (SELECT i, v AS qv FROM eds WHERE vec_id = 0),
+qn AS (SELECT vn AS qn FROM vn WHERE vec_id = 0),
+pd AS (SELECT c1.sub, c1.cell, round(sum(q.qv * c1.c), 9) AS pdot
+       FROM c1 JOIN q ON c1.i = q.i GROUP BY c1.sub, c1.cell),
+appr AS (SELECT codes.vec_id, round(sum(pd.pdot), 9) AS adot
+         FROM codes JOIN pd ON codes.sub = pd.sub AND codes.cell = pd.cell
+         WHERE codes.vec_id <> 0 GROUP BY codes.vec_id),
+pool AS (SELECT appr.vec_id,
+                round(appr.adot / (vn.vn * qn.qn), 9) AS ascore
+         FROM appr JOIN vn USING (vec_id) CROSS JOIN qn
+         ORDER BY ascore DESC, vec_id ASC LIMIT 20),
+ex AS (SELECT eds.vec_id, sum(eds.v * q.qv) AS dot
+       FROM eds JOIN pool USING (vec_id) JOIN q ON eds.i = q.i
+       GROUP BY eds.vec_id)
+SELECT ex.vec_id, round(ex.dot / (vn.vn * qn.qn), 6) AS cos
+FROM ex JOIN vn USING (vec_id) CROSS JOIN qn
+ORDER BY cos DESC, vec_id ASC LIMIT 5
+"""
+
+
 def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the events stream table
     (batch form; the streaming module handles live ingestion)."""
@@ -3477,6 +3676,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
+    "sim_pq_topk": (sim_pq_topk, SIM_PQ_SQL),
     "events_window": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),

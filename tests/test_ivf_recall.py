@@ -77,3 +77,43 @@ def test_lsh_recall_on_clustered_data(spark, clustered_emb):
     for r in got:
         exact = float(n[int(r["vec_id"])] @ n[0])
         assert abs(float(r["cos"]) - exact) < 1e-5
+
+
+def test_pq_recall_on_clustered_data(spark, clustered_emb):
+    """PQ-ADC (4 subspaces x 4 dims, 8-code codebooks): on clustered data
+    the coded approximation must rank cluster-mates into the ADC pool;
+    returned scores are exact cosines from the rerank."""
+    from probe_spark.entry_queries import pq_topk
+
+    df, V = clustered_emb
+    true10 = _brute_topk(V, 0, 10)
+    got = pq_topk(
+        spark, df, query_vec_id=0, m_subs=4, k_codes=8, sub_dim=4,
+        rerank_pool=30, topk=10,
+    ).collect()
+    ids = [int(r["vec_id"]) for r in got]
+    recall = len(set(ids) & set(true10)) / 10
+    assert recall >= 0.8, f"recall {recall} with a 30-candidate ADC pool"
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for r in got:
+        exact = float(n[int(r["vec_id"])] @ n[0])
+        assert abs(float(r["cos"]) - exact) < 1e-5
+
+
+def test_pq_full_pool_equals_brute_force(spark):
+    """rerank_pool >= corpus must return exactly the brute-force top-5
+    (same ids, same order) -- pins the encode/ADC/rerank machinery
+    independent of data shape."""
+    from probe_spark.entry_queries import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    expected = _brute_topk(V, 0, 5)
+    got = [
+        int(r["vec_id"])
+        for r in pq_topk(
+            spark, emb, query_vec_id=0, rerank_pool=len(rows), topk=5
+        ).collect()
+    ]
+    assert got == expected
