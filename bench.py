@@ -539,6 +539,7 @@ def main() -> None:
         text_oov_rate,
         dedup_snapshot_latest,
         sim_pq_topk,
+        events_json_extract,
     )
 
     extra = {}
@@ -568,6 +569,7 @@ def main() -> None:
         ("op_oov_rate", text_oov_rate),
         ("op_snapshot_latest", dedup_snapshot_latest),
         ("op_pq_ann", sim_pq_topk),
+        ("op_events_json", events_json_extract),
     ):
         ts = []
         for _ in range(2):

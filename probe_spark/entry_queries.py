@@ -1562,6 +1562,45 @@ ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction + rollup: parse the events
+    ``props`` JSON string with a TYPED schema (from_json -- JVM-side,
+    whole-stage codegen; never a Python UDF) and aggregate the extracted
+    field per event_type.  Web-crawl pipelines carry exactly this shape
+    -- WARC/WET metadata, fetch headers, classifier outputs -- as JSON
+    side columns that queries must reach into without a schema
+    migration.
+
+    Scale plan: the parse is map-only and columnar; the only shuffle is
+    the groupBy(event_type), bounded by the type cardinality, with
+    map-side partial aggregation.  Integer sum + min/max are summation-
+    order-independent, so no rounding discipline is even needed."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = StructType([StructField("k", LongType())])
+    k = F.from_json("props", schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the events stream table
     (batch form; the streaming module handles live ingestion)."""
@@ -3678,6 +3717,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_pq_topk": (sim_pq_topk, SIM_PQ_SQL),
     "events_window": (events_window, EVENTS_WINDOW_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
