@@ -540,6 +540,8 @@ def main() -> None:
         dedup_snapshot_latest,
         sim_pq_topk,
         events_json_extract,
+        events_funnel,
+        events_retention,
     )
 
     extra = {}
@@ -570,6 +572,8 @@ def main() -> None:
         ("op_snapshot_latest", dedup_snapshot_latest),
         ("op_pq_ann", sim_pq_topk),
         ("op_events_json", events_json_extract),
+        ("op_events_funnel", events_funnel),
+        ("op_events_retention", events_retention),
     ):
         ts = []
         for _ in range(2):

@@ -1680,6 +1680,126 @@ ORDER BY user_id, session_start
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): a user counts
+    for step N only if their earliest step-N event STRICTLY follows
+    their qualifying step-(N-1) time.  The standard product-analytics
+    rollup, and the classic trap for distributed engines -- naive
+    per-user event replay is a Python UDF over collect_list.
+
+    Spark-first plan: each step is min-timestamp aggregate on user_id,
+    then an equi-join back to the (pre-filtered, column-pruned) next
+    event type.  All three shuffles hash the SAME key (user_id), so the
+    exchanges after step 1 reuse the partitioning; no window over the
+    raw event stream, no per-user arrays.  At 100 TB the event-type
+    filters push to the parquet scan and each join's build side is
+    one row per surviving user, shrinking monotonically down the
+    funnel."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("int").alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        _count(s1, 1, "view")
+        .unionAll(_count(s2, 2, "click"))
+        .unionAll(_count(s3, 3, "purchase"))
+        .orderBy("step_idx")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT 1::INT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM s1
+UNION ALL
+SELECT 2::INT, 'click', count(*)::BIGINT FROM s2
+UNION ALL
+SELECT 3::INT, 'purchase', count(*)::BIGINT FROM s3
+ORDER BY step_idx
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: bucket users by the DAY of their first
+    event (the cohort), then for offsets 0..7 days count how many of
+    that cohort were active again on cohort_day + offset.  The second
+    classic event-analytics rollup next to the funnel.
+
+    Plan: one min-date aggregate on user_id (cohort assignment), one
+    distinct over (user_id, day) -- both shuffle the same user_id key,
+    so the cohort join after them is co-partitioned -- then a bounded
+    groupBy(cohort_day, offset).  Active-day distinct happens BEFORE the
+    join, so the join input is one row per user-day, not per event."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       (a.day - c.cohort_day)::INT AS day_offset,
+       count(*)::BIGINT AS n_active
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.day - c.cohort_day <= 7
+GROUP BY c.cohort_day, a.day - c.cohort_day
+ORDER BY cohort_day, day_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -3719,6 +3839,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "events_window": (events_window, EVENTS_WINDOW_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
