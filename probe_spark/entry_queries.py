@@ -1800,6 +1800,137 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of the event value per type -- the latency-SLO
+    rollup every event pipeline publishes.  Uses Spark's EXACT
+    ``percentile`` aggregate (not percentile_approx): the bench/oracle
+    contract here is exactness; at 100 TB a user would flip the same
+    entry to percentile_approx(value, p, accuracy) and keep the plan --
+    one bounded shuffle keyed by the low-cardinality event_type.  Both
+    engines interpolate linearly (index p*(n-1)); rounded to 6dp under
+    the shared convention."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly counts via median absolute deviation:
+    flag value > median + 3 * 1.4826 * MAD (the normal-consistent MAD
+    estimator).  Unlike mean/stddev z-scores, the threshold itself is
+    outlier-proof -- the standard first-pass data-quality screen over
+    petabyte event feeds.
+
+    Plan: two exact-median aggregates keyed by the tiny event_type
+    domain (second one over |value - median| after a broadcast-size
+    join back), then one conditional count.  Output is integers, so the
+    cross-engine gate is immune to float formatting."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.median("adev").alias("mad")
+    )
+    thresh = F.col("med") + 3 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") > thresh).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+s AS (
+  SELECT e.event_type, min(m.med) AS med,
+         median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN e.value > s.med + 3 * 1.4826 * s.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-word density filter (the CCNet/RefinedWeb "bad words"
+    screen): count blocklist-token hits per document and drop documents
+    whose hit density exceeds 5%, reporting kept/dropped per source.
+    The density test is INTEGER math (hits * 20 > n_tokens) so both
+    engines compare exactly -- no float division in the gate.
+
+    Plan: the token filter is a JVM higher-order function over the
+    split array (whole-stage codegen, no Python); the only shuffle is
+    the bounded groupBy(source).  At 100 TB the real blocklist (a few
+    thousand terms) broadcasts as a literal IN set exactly like this
+    three-word stand-in."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin("slow", "merge", "panic"))
+    )
+    return (
+        docs.select(
+            "source",
+            hits.alias("hits"),
+            F.size(toks).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("hits") * 20 > F.col("n_tok")).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+FILTER_BLOCKLIST_SQL = """
+WITH h AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('slow', 'merge', 'panic'))) AS hits,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN hits * 20 > n_tok THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       sum(hits)::BIGINT AS total_hits
+FROM h GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -3841,6 +3972,12 @@ ALL_QUERIES: dict[str, tuple] = {
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
+    "events_value_percentiles": (
+        events_value_percentiles,
+        EVENTS_PERCENTILES_SQL,
+    ),
+    "events_anomaly_mad": (events_anomaly_mad, EVENTS_ANOMALY_SQL),
+    "filter_blocklist": (filter_blocklist, FILTER_BLOCKLIST_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
