@@ -1931,6 +1931,171 @@ FROM h GROUP BY source ORDER BY source
 """
 
 
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-users rollup: exact distinct user_id per day plus the
+    event count.  The exact countDistinct is the oracle-comparable form;
+    at 100 TB the same entry swaps to ``approx_count_distinct(user_id,
+    0.01)`` (HLL++, one pass, mergeable sketches, no second shuffle) and
+    the plan is otherwise identical.  Day emitted as yyyy-MM-dd string so
+    both engines hash the same representation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAU_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source pair,
+    how many duplicate fingerprints appear in BOTH sources.  This is the
+    dedup-lineage report a corpus curator reads to decide which feeds
+    overlap (e.g. a CC snapshot re-crawling a mirrored site).  The
+    fingerprint is the md5 of the first 8 tokens -- the prefix key used
+    for headline/boilerplate overlap screens (full-text md5 plugs in
+    unchanged when exact-body overlap is wanted).
+
+    Plan: distinct (fingerprint, source) first -- collapses per-source
+    copies so the self-join input is bounded by (#distinct prints x
+    #sources), never row count -- then a hash-keyed equi-join restricted
+    to src_a < src_b.  The source domain is tiny, so the output is at
+    most |sources|^2 rows regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    hs = docs.select(fp.alias("h"), "source").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_hashes"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+CROSS_SOURCE_SQL = """
+WITH hs AS (
+  SELECT DISTINCT
+    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h, source
+  FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*)::BIGINT AS n_shared_hashes
+FROM hs a JOIN hs b USING (h)
+WHERE a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) statistics per source: docs, token
+    occurrences, distinct terms, and hapax legomena (terms seen exactly
+    once in that source).  The hapax share is the standard first look at
+    how noisy / OCR-damaged a feed is; distinct-vs-total is the Heaps
+    curve point used to size term dictionaries before an index build.
+
+    Plan: one shuffle to (source, term) for per-term counts, then a
+    bounded groupBy(source) rollup -- the same two-level aggregation the
+    index build's DF pass uses, so partial (map-side) aggregation absorbs
+    the token explosion before any data moves."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    ndocs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return ndocs.join(stats, "source").orderBy("source")
+
+
+VOCAB_STATS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY source, term),
+stats AS (
+  SELECT source, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS n_tokens,
+         sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM tf GROUP BY source)
+SELECT d.source, count(*)::BIGINT AS n_docs, min(s.n_terms) AS n_terms,
+       min(s.n_tokens) AS n_tokens, min(s.n_hapax) AS n_hapax
+FROM documents d JOIN stats s ON d.source = s.source
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (size 50 tokens, stride 40):
+    the context-window shaper that turns documents into overlapping
+    training sequences, unlike pipeline_pack_chunks which packs disjoint
+    greedy chunks.  Emits one row per chunk with its start offset and
+    token length -- all-integer output, so the cross-engine gate is
+    exact.
+
+    Plan: chunk starts are a ``sequence()`` array built from each doc's
+    own token count (whole-stage codegen), exploded map-side -- zero
+    shuffle, and at 100 TB this stays a narrow map over the scan."""
+    size, stride = 50, 40
+    docs = _docs(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select("doc_id", n.alias("n_tok"), starts.alias("starts"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.posexplode("starts").alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.least(F.lit(size), F.col("n_tok") - F.col("start"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+CHUNK_OVERLAP_SQL = """
+WITH n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+s AS (
+  SELECT doc_id, n_tok,
+         unnest(range(0, greatest(n_tok - 1, 0) + 1, 40)) AS start
+  FROM n)
+SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY start)
+                - 1)::BIGINT AS chunk_idx,
+       start::BIGINT AS start,
+       least(50, n_tok - start)::BIGINT AS chunk_len
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -3977,7 +4142,14 @@ ALL_QUERIES: dict[str, tuple] = {
         EVENTS_PERCENTILES_SQL,
     ),
     "events_anomaly_mad": (events_anomaly_mad, EVENTS_ANOMALY_SQL),
+    "events_distinct_users": (events_distinct_users, EVENTS_DAU_SQL),
     "filter_blocklist": (filter_blocklist, FILTER_BLOCKLIST_SQL),
+    "dedup_cross_source_matrix": (
+        dedup_cross_source_matrix,
+        CROSS_SOURCE_SQL,
+    ),
+    "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
+    "pipeline_chunk_overlap": (pipeline_chunk_overlap, CHUNK_OVERLAP_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
