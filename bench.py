@@ -542,6 +542,13 @@ def main() -> None:
         events_json_extract,
         events_funnel,
         events_retention,
+        events_value_percentiles,
+        events_anomaly_mad,
+        events_distinct_users,
+        filter_blocklist,
+        dedup_cross_source_matrix,
+        corpus_vocab_stats,
+        pipeline_chunk_overlap,
     )
 
     extra = {}
@@ -574,6 +581,13 @@ def main() -> None:
         ("op_events_json", events_json_extract),
         ("op_events_funnel", events_funnel),
         ("op_events_retention", events_retention),
+        ("op_events_percentiles", events_value_percentiles),
+        ("op_events_anomaly", events_anomaly_mad),
+        ("op_events_dau", events_distinct_users),
+        ("op_blocklist", filter_blocklist),
+        ("op_cross_source", dedup_cross_source_matrix),
+        ("op_vocab_stats", corpus_vocab_stats),
+        ("op_chunk_overlap", pipeline_chunk_overlap),
     ):
         ts = []
         for _ in range(2):
