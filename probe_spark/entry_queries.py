@@ -2096,6 +2096,85 @@ FROM s
 """
 
 
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information, PMI = ln((n12 * N * N) / (B * n1 * n2)) with a
+    min-count-3 support floor -- the standard multiword-expression
+    detector run over a corpus before tokenizer/vocab decisions.
+
+    Plan: bigrams come from an index-aware ``transform`` over the split
+    array (map-side, no self-join on position); two count aggregations
+    (unigram, bigram) plus two singleton totals broadcast into the final
+    scoring join.  Both engines compute the PMI expression with the SAME
+    association order, and the sort key is the 6dp-ROUNDED pmi with
+    (w1, w2) tiebreak, so top-20 boundary rows cannot flip on a ulp."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.split("text", " ").alias("tok"))
+    uni = (
+        tok.select(F.explode("tok").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tok, 1, greatest(size(tok)-1, 0)),"
+                " (t, i) -> struct(t AS w1, tok[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_tok = uni.agg(F.sum("c").alias("n")).select("n")
+    n_big = bi.agg(F.sum("c12").alias("b")).select("b")
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.col("c12").cast("double")
+        * F.col("n").cast("double")
+        * F.col("n").cast("double")
+    ) / (
+        F.col("b").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        bi.filter(F.col("c12") >= 3)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n12"),
+            F.round(F.log(pmi), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+PMI_BIGRAMS_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS tok FROM documents),
+b AS (SELECT unnest(tok[1:len(tok)-1]) AS w1, unnest(tok[2:len(tok)]) AS w2
+      FROM t),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+uni AS (SELECT unnest(tok) AS w FROM t),
+u AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+tot AS (SELECT (SELECT sum(c) FROM u) AS n, (SELECT sum(c12) FROM bi) AS b)
+SELECT bi.w1, bi.w2, bi.c12::BIGINT AS n12,
+       round(ln((bi.c12::DOUBLE * tot.n::DOUBLE * tot.n::DOUBLE)
+                / (tot.b::DOUBLE * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+FROM bi
+JOIN u u1 ON bi.w1 = u1.w
+JOIN u u2 ON bi.w2 = u2.w
+CROSS JOIN tot
+WHERE bi.c12 >= 3
+ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline) -- SQL-checked
 # ---------------------------------------------------------------------------
@@ -4150,6 +4229,7 @@ ALL_QUERIES: dict[str, tuple] = {
     ),
     "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
     "pipeline_chunk_overlap": (pipeline_chunk_overlap, CHUNK_OVERLAP_SQL),
+    "text_pmi_bigrams": (text_pmi_bigrams, PMI_BIGRAMS_SQL),
     "sample_split": (sample_split, SAMPLE_SPLIT_SQL),
     "sample_source_cap": (sample_source_cap, SAMPLE_SOURCE_CAP_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pandas as pd
 
+import math
+
 from probe_spark.entry_queries import (
     corpus_vocab_stats,
     dedup_cross_source_matrix,
@@ -19,6 +21,7 @@ from probe_spark.entry_queries import (
     events_value_percentiles,
     filter_blocklist,
     pipeline_chunk_overlap,
+    text_pmi_bigrams,
 )
 
 
@@ -147,3 +150,15 @@ def test_chunk_overlap_windows(spark, tmp_path):
         (0, 2, 80, 10),
         (1, 0, 0, 1),
     ]
+
+
+def test_pmi_bigrams_hand_computed(spark, tmp_path):
+    # corpus = 3x "a b" + 1x "a c b": N=9 tokens, B=5 bigrams; only
+    # (a,b) clears the min-count-3 floor with n12=3, n(a)=n(b)=4 ->
+    # pmi = ln(3*9*9 / (5*4*4)).
+    rows = [(i, "a b", "en", "s", 3) for i in range(3)]
+    rows.append((3, "a c b", "en", "s", 5))
+    sf = _write_docs(tmp_path, rows)
+    out = text_pmi_bigrams(spark, sf).collect()
+    assert [(r["w1"], r["w2"], r["n12"]) for r in out] == [("a", "b", 3)]
+    assert out[0]["pmi"] == round(math.log(3 * 9 * 9 / (5 * 4 * 4)), 6)
