@@ -549,6 +549,7 @@ def main() -> None:
         dedup_cross_source_matrix,
         corpus_vocab_stats,
         pipeline_chunk_overlap,
+        text_pmi_bigrams,
     )
 
     extra = {}
@@ -588,6 +589,7 @@ def main() -> None:
         ("op_cross_source", dedup_cross_source_matrix),
         ("op_vocab_stats", corpus_vocab_stats),
         ("op_chunk_overlap", pipeline_chunk_overlap),
+        ("op_pmi_bigrams", text_pmi_bigrams),
     ):
         ts = []
         for _ in range(2):
