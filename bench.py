@@ -550,6 +550,8 @@ def main() -> None:
         corpus_vocab_stats,
         pipeline_chunk_overlap,
         text_pmi_bigrams,
+        dedup_url_canonical,
+        filter_gopher_rules,
     )
 
     extra = {}
@@ -590,6 +592,8 @@ def main() -> None:
         ("op_vocab_stats", corpus_vocab_stats),
         ("op_chunk_overlap", pipeline_chunk_overlap),
         ("op_pmi_bigrams", text_pmi_bigrams),
+        ("op_url_canonical", dedup_url_canonical),
+        ("op_gopher_rules", filter_gopher_rules),
     ):
         ts = []
         for _ in range(2):

@@ -4145,6 +4145,151 @@ FROM r JOIN g USING (user_id) WHERE r.rn = 1
 """
 
 
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup: Common-Crawl-style fetch logs carry the
+    SAME page under many url spellings (scheme, case, ``www.``, tracking
+    query strings, fragments, trailing slash).  Training pipelines
+    canonicalize first, then keep one row per canonical url -- otherwise
+    every downstream dedup pass re-discovers the same trivial families.
+
+    The messy urls are synthesized deterministically from (source,
+    doc_id) -- four spelling variants of ``<source>.com/p/<doc_id%50>``
+    -- so the canonicalization rules are exercised on every class.
+    Canonical form: lowercase, strip scheme, strip leading ``www.``,
+    strip ``?query``/``#fragment``, strip one trailing slash (the
+    normalization subset every crawl pipeline agrees on; anchored
+    single-occurrence regexes so Spark's replace-all and the oracle's
+    replace-first semantics coincide).
+
+    Scale plan: canonicalization is map-only column math (whole-stage
+    codegen), then ONE map-side-combinable aggregation on the canonical
+    key -- the same single-shuffle shape as exact dedup.  At 1e12 rows
+    the per-key state is (min doc_id, count): a few bytes regardless of
+    how hot a url family is."""
+    docs = _docs(spark, sf_dir)
+    page = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit(".com/p/"), page))
+        .when(v == 1, F.concat(F.lit("http://"), F.col("source"),
+                               F.lit(".com/p/"), page,
+                               F.lit("?utm_source=feed")))
+        .when(v == 2, F.concat(F.lit("HTTPS://"), F.upper("source"),
+                               F.lit(".COM/p/"), page, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".com/p/"), page, F.lit("#frag")))
+    )
+    canon = F.lower(raw)
+    canon = F.regexp_replace(canon, r"^https?://", "")
+    canon = F.regexp_replace(canon, r"^www\.", "")
+    canon = F.regexp_replace(canon, r"[?#].*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        docs.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
+
+
+URL_CANONICAL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.' || source || '.com/p/' || (doc_id % 50)
+           WHEN 1 THEN 'http://' || source || '.com/p/' || (doc_id % 50)
+                       || '?utm_source=feed'
+           WHEN 2 THEN 'HTTPS://' || upper(source) || '.COM/p/'
+                       || (doc_id % 50) || '/'
+           ELSE 'https://' || source || '.com/p/' || (doc_id % 50) || '#frag'
+         END AS u
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(u), '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
+           '/$', '') AS canonical_url
+  FROM raw)
+SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+       count(*)::BIGINT AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+# Gopher (Rae et al. 2021, Table A1) document-level quality rules.  The
+# word-count band is scaled to this synthetic fixture (real rule:
+# 50..100,000 words); the stop-word requirement uses the paper's
+# "at least 2 distinct stop words" rule over a 5-word list.
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100
+
+
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021 Table A1),
+    doc-level subset that applies to single-line text: word-count band,
+    mean word length in [3, 10], >=80%% of words containing an alphabetic
+    character, and >=2 DISTINCT stop words present.  All four signals are
+    INTEGER comparisons (e.g. mean-word-length as ``3*n <= chars <=
+    10*n``) so the keep flag is bit-deterministic -- no float thresholds,
+    no summation-order hazards.
+
+    Scale plan: map-only column math over the token array (split /
+    filter / array_intersect -- whole-stage codegen, no UDF, no
+    shuffle).  At 1e12 docs this is a pure scan: the filter fuses with
+    whatever pipeline stage consumes the keep flag."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_words = F.size(w).cast("long")
+    # single-space-joined words: total word chars = len - (n-1) separators
+    word_chars = (F.length("text") - (n_words - F.lit(1))).cast("long")
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stop)).cast("long")
+    keep = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_distinct"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1))::BIGINT
+           AS word_chars,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['the', 'a', 'of', 'and', 'to']))::BIGINT
+           AS n_stop_distinct
+  FROM documents)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_distinct,
+       (n_words BETWEEN 20 AND 100
+        AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_distinct >= 2) AS keep
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -4266,5 +4411,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_bigram_nll": (text_bigram_nll, BIGRAM_NLL_SQL),
     "text_oov_rate": (text_oov_rate, OOV_RATE_SQL),
     "dedup_snapshot_latest": (dedup_snapshot_latest, SNAPSHOT_LATEST_SQL),
+    "dedup_url_canonical": (dedup_url_canonical, URL_CANONICAL_SQL),
+    "filter_gopher_rules": (filter_gopher_rules, GOPHER_RULES_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }
