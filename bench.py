@@ -552,6 +552,9 @@ def main() -> None:
         text_pmi_bigrams,
         dedup_url_canonical,
         filter_gopher_rules,
+        graph_degree,
+        graph_pagerank,
+        graph_anchor_text,
     )
 
     extra = {}
@@ -594,6 +597,9 @@ def main() -> None:
         ("op_pmi_bigrams", text_pmi_bigrams),
         ("op_url_canonical", dedup_url_canonical),
         ("op_gopher_rules", filter_gopher_rules),
+        ("op_graph_degree", graph_degree),
+        ("op_graph_pagerank", graph_pagerank),
+        ("op_graph_anchor", graph_anchor_text),
     ):
         ts = []
         for _ in range(2):

@@ -4291,6 +4291,224 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Web-graph operators: a deterministic link graph synthesized from doc_id
+# (doc_ids are the dense url-rank 0..N-1, FIXTURES.md SS1), so the graph
+# shape is identical in Spark and the SQL oracle with no external data.
+# Each doc u links to the three pages (u*m + a) % N for fixed (m, a) --
+# coprime multipliers spread targets uniformly; duplicate targets collapse
+# (out-degree 2..3) and self-loops are kept (PageRank handles them).
+# ---------------------------------------------------------------------------
+
+
+def _graph_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) distinct edge list of the synthesized link graph.
+    Map-only arithmetic + one distinct; at 1e12 docs this is the link
+    table a real pipeline extracts from hrefs -- everything downstream
+    (degree, PageRank, anchors) is agnostic to where edges came from."""
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tgts = F.array(
+        (F.col("doc_id") * 7 + 3) % F.col("n"),
+        (F.col("doc_id") * 13 + 5) % F.col("n"),
+        (F.col("doc_id") * 29 + 11) % F.col("n"),
+    )
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("doc_id").alias("src"), F.explode(tgts).alias("dst"))
+        .distinct()
+    )
+
+
+_GRAPH_EDGE_CTES = """
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, t AS dst
+  FROM documents CROSS JOIN n,
+       unnest([ (doc_id * 7 + 3) % n.n,
+                (doc_id * 13 + 5) % n.n,
+                (doc_id * 29 + 11) % n.n ]) AS u(t))
+"""
+
+
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page in/out degree over the synthesized link graph -- the
+    first table every web-graph pipeline (spam detection, crawl
+    prioritization, PageRank sanity) derives from the edge list.
+
+    Scale plan: two map-side-combinable counts (per-key state is one
+    int64 however hot the page) + one shuffle join on the node key; the
+    node table never carries text.  Skewed in-degree (a page every doc
+    links to) costs one hot reduce key, which AQE skew-join splits."""
+    docs = _docs(spark, sf_dir)
+    edges = _graph_edges(docs)
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+GRAPH_DEGREE_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+od AS (SELECT src AS node, count(*)::BIGINT AS out_deg FROM edges GROUP BY src),
+id_ AS (SELECT dst AS node, count(*)::BIGINT AS in_deg FROM edges GROUP BY dst)
+SELECT d.doc_id AS node,
+       coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+       coalesce(id_.in_deg, 0)::BIGINT AS in_deg
+FROM documents d
+LEFT JOIN od ON d.doc_id = od.node
+LEFT JOIN id_ ON d.doc_id = id_.node
+"""
+
+
+_PR_ITERS = 3
+_PR_ONE = 1_000_000_000  # rank unit: parts-per-billion of total mass
+_PR_BASE = 150_000_000   # (1 - d) * 1e9 with damping d = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85, 3 unrolled iterations) in
+    INTEGER parts-per-billion arithmetic: pr0 = 1e9 div N, contribution =
+    pr(u) div out_deg(u), pr'(v) = (0.15e9 div N) + (85 * sum) div 100.
+    Every operation is int64 -- summation order cannot move the result,
+    so the DuckDB gate compares exact bytes (floats would drift with
+    aggregation order across 32 partitions).
+
+    Scale plan: the canonical iterated sparse mat-vec.  Per iteration:
+    one broadcast-sized rank-state... no -- rank state is corpus-sized,
+    so each iteration is ONE shuffle join (edges x ranks on src, both
+    pre-partitionable by the same key so the join co-locates after the
+    first iteration) + one map-side-combinable sum on dst.  Iteration
+    count is fixed (3), so lineage stays bounded without checkpointing;
+    a production run at 1e12 nodes would localCheckpoint every few
+    rounds exactly like dedup.connected_components."""
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = _graph_edges(docs)
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    e = edges.join(out_deg, "src")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{_PR_ONE} div n").alias("pr")
+    )
+    base = F.expr(f"{_PR_BASE} div n")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("pr div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (base + F.expr("(85 * coalesce(s, 0)) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return ranks.select("node", F.col("pr").alias("pr_ppb"))
+
+
+def _pr_sql_iter(prev: str, cur: str) -> str:
+    return f"""
+c{cur} AS (SELECT e.dst AS node, sum(p.pr // o.out_deg)::BIGINT AS s
+           FROM edges e
+           JOIN od o ON e.src = o.src
+           JOIN p{prev} p ON e.src = p.node
+           GROUP BY e.dst),
+p{cur} AS (SELECT nd.node,
+                  ((150000000 // n.n)
+                   + (85 * coalesce(c{cur}.s, 0)) // 100)::BIGINT AS pr
+           FROM nd CROSS JOIN n
+           LEFT JOIN c{cur} ON nd.node = c{cur}.node)"""
+
+
+GRAPH_PAGERANK_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+nd AS (SELECT doc_id AS node FROM documents),
+od AS (SELECT src, count(*)::BIGINT AS out_deg FROM edges GROUP BY src),
+p0 AS (SELECT nd.node, (1000000000 // n.n)::BIGINT AS pr
+       FROM nd CROSS JOIN n),
+{",".join(_pr_sql_iter(str(i), str(i + 1)) for i in range(_PR_ITERS))}
+SELECT node, pr AS pr_ppb FROM p{_PR_ITERS}
+"""
+
+
+def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every link, the anchor is the source
+    page's first word (the deterministic stand-in for href text); per
+    TARGET page report inlink count, distinct anchor vocabulary, and the
+    top anchor by count with lexicographic tie-break -- the primitive
+    behind anchor-text ranking signals (anchors describe the target
+    better than its own body, the classic web-search observation).
+
+    Scale plan: anchors ride the edge rows (map-only first-word
+    extract), ONE groupBy (dst, anchor) with map-side combine, then a
+    per-target window over the grouped (bounded) rows -- never a global
+    sort.  Ties break on the anchor string so the winner is unique."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    edges = _graph_edges(docs)
+    anchors = edges.join(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("anchor"),
+        ),
+        "src",
+    )
+    grouped = anchors.groupBy(F.col("dst").alias("node"), "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("anchor"))
+    per_node = grouped.groupBy("node").agg(
+        F.sum("cnt").cast("long").alias("n_inlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_anchors"),
+    )
+    top = (
+        grouped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("anchor").alias("top_anchor"),
+                F.col("cnt").alias("top_anchor_cnt"))
+    )
+    return per_node.join(top, "node")
+
+
+GRAPH_ANCHOR_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+a AS (SELECT e.dst AS node, string_split(d.text, ' ')[1] AS anchor
+      FROM edges e JOIN documents d ON e.src = d.doc_id),
+g AS (SELECT node, anchor, count(*)::BIGINT AS cnt
+      FROM a GROUP BY node, anchor),
+r AS (SELECT node, anchor, cnt,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY cnt DESC, anchor) AS rn,
+             sum(cnt) OVER (PARTITION BY node)::BIGINT AS n_inlinks,
+             count(*) OVER (PARTITION BY node)::BIGINT AS n_distinct_anchors
+      FROM g)
+SELECT node, n_inlinks, n_distinct_anchors,
+       anchor AS top_anchor, cnt AS top_anchor_cnt
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
 
@@ -4413,5 +4631,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_snapshot_latest": (dedup_snapshot_latest, SNAPSHOT_LATEST_SQL),
     "dedup_url_canonical": (dedup_url_canonical, URL_CANONICAL_SQL),
     "filter_gopher_rules": (filter_gopher_rules, GOPHER_RULES_SQL),
+    "graph_degree": (graph_degree, GRAPH_DEGREE_SQL),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_anchor_text": (graph_anchor_text, GRAPH_ANCHOR_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }
