@@ -4300,23 +4300,31 @@ FROM s
 # ---------------------------------------------------------------------------
 
 
-def _graph_edges(docs: DataFrame) -> DataFrame:
+def _graph_edges(docs: DataFrame, n: int | None = None) -> DataFrame:
     """(src, dst) distinct edge list of the synthesized link graph.
     Map-only arithmetic + one distinct; at 1e12 docs this is the link
     table a real pipeline extracts from hrefs -- everything downstream
-    (degree, PageRank, anchors) is agnostic to where edges came from."""
-    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    (degree, PageRank, anchors) is agnostic to where edges came from.
+
+    ``n`` (corpus size) may be passed as a pre-computed scalar; otherwise
+    it is folded in via a broadcast one-row aggregate so single-shot
+    consumers stay one lazy plan."""
+    if n is None:
+        nc = F.col("n")
+        base = docs.select("doc_id").crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("n")))
+        )
+    else:
+        nc = F.lit(int(n))
+        base = docs.select("doc_id")
     tgts = F.array(
-        (F.col("doc_id") * 7 + 3) % F.col("n"),
-        (F.col("doc_id") * 13 + 5) % F.col("n"),
-        (F.col("doc_id") * 29 + 11) % F.col("n"),
+        (F.col("doc_id") * 7 + 3) % nc,
+        (F.col("doc_id") * 13 + 5) % nc,
+        (F.col("doc_id") * 29 + 11) % nc,
     )
-    return (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(n))
-        .select(F.col("doc_id").alias("src"), F.explode(tgts).alias("dst"))
-        .distinct()
-    )
+    return base.select(
+        F.col("doc_id").alias("src"), F.explode(tgts).alias("dst")
+    ).distinct()
 
 
 _GRAPH_EDGE_CTES = """
@@ -4385,26 +4393,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB gate compares exact bytes (floats would drift with
     aggregation order across 32 partitions).
 
-    Scale plan: the canonical iterated sparse mat-vec.  Per iteration:
-    one broadcast-sized rank-state... no -- rank state is corpus-sized,
-    so each iteration is ONE shuffle join (edges x ranks on src, both
-    pre-partitionable by the same key so the join co-locates after the
-    first iteration) + one map-side-combinable sum on dst.  Iteration
-    count is fixed (3), so lineage stays bounded without checkpointing;
-    a production run at 1e12 nodes would localCheckpoint every few
-    rounds exactly like dedup.connected_components."""
+    Scale plan: the canonical iterated sparse mat-vec.  Rank state is
+    corpus-sized, so each iteration is ONE shuffle join (edges x ranks
+    on src, both pre-partitionable by the same key so the join
+    co-locates after the first iteration) + one map-side-combinable sum
+    on dst.  The (edges x out_deg) table feeds every iteration and a
+    plan re-reference would recompute its distinct shuffle per level
+    (Catalyst's exchange reuse does not fire across the differing
+    iteration subtrees -- verified on the formatted plan), so it is
+    persisted once and released after the result is checkpointed,
+    exactly the dedup_semantic/sim_ivf iterative-cache pattern.  N is a
+    one-row driver-side scalar (audited small-cardinality collect)."""
     docs = _docs(spark, sf_dir)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    edges = _graph_edges(docs)
+    n = docs.count()
+    edges = _graph_edges(docs, n=n)
     out_deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("out_deg")
     )
-    e = edges.join(out_deg, "src")
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", F.expr(f"{_PR_ONE} div n").alias("pr")
-    )
-    base = F.expr(f"{_PR_BASE} div n")
+    e = edges.join(out_deg, "src").persist()
+    ranks = nodes.select("node", F.lit(_PR_ONE // n).cast("long").alias("pr"))
+    base = _PR_BASE // n
     for _ in range(_PR_ITERS):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -4412,17 +4421,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                (base + F.expr("(85 * coalesce(s, 0)) div 100"))
-                .cast("long")
-                .alias("pr"),
-            )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.expr("(85 * coalesce(s, 0)) div 100"))
+            .cast("long")
+            .alias("pr"),
         )
-    return ranks.select("node", F.col("pr").alias("pr_ppb"))
+    result = ranks.select("node", F.col("pr").alias("pr_ppb"))
+    # corpus-sized answer: materialize executor-side, then release the
+    # iteration cache
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
 
 
 def _pr_sql_iter(prev: str, cur: str) -> str:
