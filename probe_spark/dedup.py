@@ -554,18 +554,28 @@ def incremental_dedup(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # probed feeds BOTH the fresh and candidate branches: without a
+    # persist the whole probe pipeline (bit-table build + broadcast +
+    # batch groupBy shuffle) executes twice -- verified on the physical
+    # plan (no exchange reuse across the two filters).  Persist once,
+    # checkpoint the batch-sized answer, release the cache.
     probed = (
         batch_h.select("doc_id", "h", F.explode(positions(F.col("h"))).alias("pos"))
         .join(F.broadcast(bits), "pos", "left")
         .groupBy("doc_id", "h")
         .agg(F.count("hit").alias("n_hit"))
+        .persist()
     )
     fresh = probed.filter(F.col("n_hit") < k_hashes).select("doc_id", "h")
     candidates = probed.filter(F.col("n_hit") == k_hashes).select(
         "doc_id", "h"
     )
     survivors = candidates.join(snap_h, "h", "left_anti").select("doc_id", "h")
-    return fresh.unionByName(survivors)
+    result = fresh.unionByName(survivors)
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        probed.unpersist()
 
 
 def capped_bands(bands: DataFrame, id_col: str = "vec_id", cap: int | None = None) -> DataFrame:

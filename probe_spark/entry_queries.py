@@ -1367,7 +1367,6 @@ def pq_topk(
     spark: SparkSession,
     emb: DataFrame,
     query_vec_id: int = 0,
-    m_subs: int = 4,
     k_codes: int = 4,
     sub_dim: int = 16,
     rerank_pool: int = 20,
@@ -1376,7 +1375,7 @@ def pq_topk(
     """Product-quantization ANN with asymmetric distance computation
     (Jegou et al. 2011, 'Product Quantization for Nearest Neighbor
     Search') -- the MEMORY-bounded ANN path: each vector is stored as
-    ``m_subs`` codebook ids (here 4 codes over 16-dim subspaces; at
+    dim/``sub_dim`` codebook ids (here 4 codes over 16-dim subspaces; at
     production sizes 8-16 bytes/vector instead of 256 raw bytes, which
     is what makes a 1e12-vector index fit a cluster at all).
 
@@ -1593,11 +1592,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_SQL = """
+WITH x AS (
+  -- mirror from_json's null-on-mismatch leniency: invalid JSON rows and
+  -- non-integer k values become NULL instead of raising / rounding
+  -- (json_extract keeps JSON syntax, so a quoted "7" stays '"7"' and
+  -- try_cast rejects it exactly like Spark's strict LongType parse)
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN try_cast(json_extract(props, '$.k')::VARCHAR AS BIGINT)
+         END AS k
+  FROM events)
 SELECT event_type, count(*)::BIGINT AS n,
-       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
-       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
-FROM events GROUP BY event_type
+       sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM x GROUP BY event_type
 """
 
 
@@ -2056,12 +2065,19 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: chunk starts are a ``sequence()`` array built from each doc's
     own token count (whole-stage codegen), exploded map-side -- zero
-    shuffle, and at 100 TB this stays a narrow map over the scan."""
+    shuffle, and at 100 TB this stays a narrow map over the scan.
+
+    A start s > 0 is emitted only while the PREVIOUS chunk was truncated
+    (s + size - stride < n_tok, i.e. s <= n_tok - 11): otherwise the
+    tail chunk would be a strict subset of its predecessor and those
+    tokens would enter the training mix twice."""
     size, stride = 50, 40
     docs = _docs(spark, sf_dir)
     n = F.size(F.split("text", " "))
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(n - F.lit(size - stride + 1), F.lit(0)),
+        F.lit(stride),
     )
     return (
         docs.select("doc_id", n.alias("n_tok"), starts.alias("starts"))
@@ -2086,7 +2102,7 @@ WITH n AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
 s AS (
   SELECT doc_id, n_tok,
-         unnest(range(0, greatest(n_tok - 1, 0) + 1, 40)) AS start
+         unnest(range(0, greatest(n_tok - 11, 0) + 1, 40)) AS start
   FROM n)
 SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY start)
                 - 1)::BIGINT AS chunk_idx,
@@ -4121,8 +4137,12 @@ def dedup_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dozen bytes regardless of revisit skew."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP.  The
-    # cast applies the session zone shift, which cancels in the max-min
-    # difference -- only the span is reported, never an absolute epoch.
+    # cast applies the session zone shift.  NOTE: that shift cancels in
+    # the max-min difference only under a FIXED-offset session zone; a
+    # DST zone whose offset changes between min and max would skew the
+    # span by the transition.  session.get_spark pins
+    # spark.sql.session.timeZone=UTC, which this entry (like the oracle's
+    # naive epoch_us) relies on.
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.groupBy("user_id").agg(
         F.max_by(

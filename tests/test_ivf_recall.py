@@ -88,7 +88,7 @@ def test_pq_recall_on_clustered_data(spark, clustered_emb):
     df, V = clustered_emb
     true10 = _brute_topk(V, 0, 10)
     got = pq_topk(
-        spark, df, query_vec_id=0, m_subs=4, k_codes=8, sub_dim=4,
+        spark, df, query_vec_id=0, k_codes=8, sub_dim=4,
         rerank_pool=30, topk=10,
     ).collect()
     ids = [int(r["vec_id"]) for r in got]

@@ -133,11 +133,17 @@ def test_vocab_stats_hand_computed(spark, tmp_path):
 
 
 def test_chunk_overlap_windows(spark, tmp_path):
-    # 90 tokens, size 50 stride 40 -> starts 0/40/80 with lens 50/50/10;
-    # a 1-token doc yields a single 1-token chunk.
+    # size 50 stride 40.  90 tokens -> starts 0/40 only: the chunk at 40
+    # already reaches end-of-doc ([40,90) = 50 tokens), so a start at 80
+    # would be a strict SUBSET of it and must not be emitted (no token
+    # enters the training mix through a redundant tail chunk).  95
+    # tokens -> the chunk at 40 ends at 90 < 95, so start 80 adds the
+    # new tokens 90..94 and is emitted with len 15.  A 1-token doc
+    # yields a single 1-token chunk.
     rows = [
         (0, " ".join(f"t{i}" for i in range(90)), "en", "s", 1),
         (1, "solo", "en", "s", 1),
+        (2, " ".join(f"t{i}" for i in range(95)), "en", "s", 1),
     ]
     sf = _write_docs(tmp_path, rows)
     out = sorted(
@@ -147,8 +153,10 @@ def test_chunk_overlap_windows(spark, tmp_path):
     assert out == [
         (0, 0, 0, 50),
         (0, 1, 40, 50),
-        (0, 2, 80, 10),
         (1, 0, 0, 1),
+        (2, 0, 0, 50),
+        (2, 1, 40, 50),
+        (2, 2, 80, 15),
     ]
 
 
