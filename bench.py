@@ -555,6 +555,9 @@ def main() -> None:
         graph_degree,
         graph_pagerank,
         graph_anchor_text,
+        graph_triangles,
+        graph_indegree_histogram,
+        events_transition_matrix,
     )
 
     extra = {}
@@ -600,6 +603,9 @@ def main() -> None:
         ("op_graph_degree", graph_degree),
         ("op_graph_pagerank", graph_pagerank),
         ("op_graph_anchor", graph_anchor_text),
+        ("op_graph_triangles", graph_triangles),
+        ("op_graph_indeg_hist", graph_indegree_histogram),
+        ("op_events_transitions", events_transition_matrix),
     ):
         ts = []
         for _ in range(2):

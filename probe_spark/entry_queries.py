@@ -4314,9 +4314,13 @@ FROM s
 # Web-graph operators: a deterministic link graph synthesized from doc_id
 # (doc_ids are the dense url-rank 0..N-1, FIXTURES.md SS1), so the graph
 # shape is identical in Spark and the SQL oracle with no external data.
-# Each doc u links to the three pages (u*m + a) % N for fixed (m, a) --
-# coprime multipliers spread targets uniformly; duplicate targets collapse
-# (out-degree 2..3) and self-loops are kept (PageRank handles them).
+# Each doc u links to six pages: two affine targets (u*m + a) % N (coprime
+# multipliers spread them uniformly), two HUB targets u % 10 and u % 100
+# (10 mega-hubs and 100 mid-hubs -- the power-law in-degree skew every
+# real crawl graph has), and a ring u+1, u+2 (mod N) which guarantees
+# triangles ((u, u+1, u+2) closes for every u).  Duplicate targets
+# collapse and self-loops are kept (PageRank handles them; the triangle
+# op's canonical ordering drops them).
 # ---------------------------------------------------------------------------
 
 
@@ -4340,7 +4344,10 @@ def _graph_edges(docs: DataFrame, n: int | None = None) -> DataFrame:
     tgts = F.array(
         (F.col("doc_id") * 7 + 3) % nc,
         (F.col("doc_id") * 13 + 5) % nc,
-        (F.col("doc_id") * 29 + 11) % nc,
+        F.col("doc_id") % 10,   # mega-hub (valid: u % 10 <= u < N)
+        F.col("doc_id") % 100,  # mid-hub
+        (F.col("doc_id") + 1) % nc,  # ring: closes (u, u+1, u+2) triangles
+        (F.col("doc_id") + 2) % nc,
     )
     return base.select(
         F.col("doc_id").alias("src"), F.explode(tgts).alias("dst")
@@ -4354,7 +4361,10 @@ edges AS (
   FROM documents CROSS JOIN n,
        unnest([ (doc_id * 7 + 3) % n.n,
                 (doc_id * 13 + 5) % n.n,
-                (doc_id * 29 + 11) % n.n ]) AS u(t))
+                doc_id % 10,
+                doc_id % 100,
+                (doc_id + 1) % n.n,
+                (doc_id + 2) % n.n ]) AS u(t))
 """
 
 
@@ -4539,6 +4549,129 @@ FROM r WHERE rn = 1
 """
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED link graph -- the
+    clustering-coefficient numerator used in web spam / community
+    detection.  Canonical node-order enumeration (each triangle counted
+    once as a < b < c, then credited to all three corners): symmetrize,
+    keep a < b, join wedges (a<b<c) against the closing edge.
+
+    Scale plan: two shuffle joins on edge keys.  Wedge volume is
+    sum(deg^2) -- the classic skew hazard; on power-law graphs the
+    standard mitigation (enumerate wedges at the LOWEST-degree corner)
+    drops it to near-linear.  Here the synthesized graph's degree is
+    bounded (<= 6 undirected), so canonical-order join IS that plan."""
+    docs = _docs(spark, sf_dir)
+    e = _graph_edges(docs)
+    und = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))  # canonical a < b; self-loops drop
+        .distinct()
+        .persist()
+    )
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c closed
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    result = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
+def graph_indegree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution in log2 buckets -- the power-law audit
+    every crawl-graph data card carries (bucket = floor(log2(in_deg)),
+    computed as bit_length-1 in INTEGER arithmetic so no float log can
+    waver on an exact power of two).
+
+    Scale plan: one count per dst + one tiny histogram agg; the
+    histogram is bounded by 64 buckets regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    ind = _graph_edges(docs).groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    # floor(log2(d)) = length of the binary repr - 1, exact in integers
+    bucket = (F.length(F.conv(F.col("in_deg"), 10, 2)) - 1).cast("long")
+    return (
+        ind.select(bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+GRAPH_INDEG_HIST_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+ind AS (SELECT dst, count(*)::BIGINT AS in_deg FROM edges GROUP BY dst)
+SELECT (length(bin(in_deg)) - 1)::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_nodes
+FROM ind GROUP BY 1
+"""
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: per (event_type -> next
+    event_type) count over each user's time-ordered event stream -- the
+    Markov-chain / session-flow primitive behind funnel discovery.
+    Ordering ties break on event_id so the successor is unique and the
+    count is bit-deterministic.
+
+    Scale plan: ONE shuffle on user_id feeding a lag/lead window within
+    the user's (bounded) event list, then a map-side-combinable count on
+    the (from, to) pair -- the same shape as gap sessionization."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*)::BIGINT AS n
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -4665,5 +4798,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "graph_degree": (graph_degree, GRAPH_DEGREE_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_anchor_text": (graph_anchor_text, GRAPH_ANCHOR_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "graph_indegree_histogram": (graph_indegree_histogram, GRAPH_INDEG_HIST_SQL),
+    "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -15,9 +15,12 @@ from probe_spark.entry_queries import (
     _PR_BASE,
     _PR_ITERS,
     _PR_ONE,
+    events_transition_matrix,
     graph_anchor_text,
     graph_degree,
+    graph_indegree_histogram,
     graph_pagerank,
+    graph_triangles,
 )
 
 N = 5
@@ -26,8 +29,15 @@ N = 5
 def _edges(n: int) -> set[tuple[int, int]]:
     out = set()
     for u in range(n):
-        for m, a in ((7, 3), (13, 5), (29, 11)):
-            out.add((u, (u * m + a) % n))
+        for t in (
+            (u * 7 + 3) % n,
+            (u * 13 + 5) % n,
+            u % 10,
+            u % 100,
+            (u + 1) % n,
+            (u + 2) % n,
+        ):
+            out.add((u, t))
     return out
 
 
@@ -65,8 +75,9 @@ def test_graph_degree_hand_computed(spark, tmp_path):
         r["node"]: (r["out_deg"], r["in_deg"])
         for r in graph_degree(spark, sf_dir).collect()
     }
-    # edges for N=5: 0->{3,0,1} 1->{0,3} 2->{2,1,4} 3->{4,3} 4->{1,2}
-    assert got == {0: (3, 2), 1: (2, 3), 2: (3, 2), 3: (2, 3), 4: (2, 2)}
+    # edges for N=5 (hub targets u%10 = u%100 = u are self-loops here):
+    # 0->{3,0,1,2} 1->{0,3,1,2} 2->{2,1,3,4} 3->{4,3,0} 4->{1,2,4,0}
+    assert got == {0: (4, 4), 1: (4, 4), 2: (4, 4), 3: (3, 4), 4: (4, 3)}
     edges = _edges(N)
     assert sum(o for o, _ in got.values()) == len(edges)
     assert sum(i for _, i in got.values()) == len(edges)
@@ -89,13 +100,13 @@ def test_graph_anchor_text_top_anchor_tie_break(spark, tmp_path):
         r["node"]: r.asDict()
         for r in graph_anchor_text(spark, sf_dir).collect()
     }
-    # node 1 has inlinks from 0, 2, 4 -> anchors w0, w2, w4: all cnt 1,
-    # lexicographic tie-break picks w0
-    assert got[1]["n_inlinks"] == 3
-    assert got[1]["n_distinct_anchors"] == 3
+    # node 1 has inlinks from 0, 1, 2, 4 -> anchors w0, w1, w2, w4: all
+    # cnt 1, lexicographic tie-break picks w0
+    assert got[1]["n_inlinks"] == 4
+    assert got[1]["n_distinct_anchors"] == 4
     assert got[1]["top_anchor"] == "w0"
     assert got[1]["top_anchor_cnt"] == 1
-    # node 3 has inlinks from 0, 1, 3 -> top anchor w0 (tie w0/w1/w3)
+    # node 3 has inlinks from 0, 1, 2, 3 -> top anchor w0 (4-way tie)
     assert got[3]["top_anchor"] == "w0"
     # every node's inlink count matches the raw edge list
     edges = _edges(N)
@@ -105,3 +116,81 @@ def test_graph_anchor_text_top_anchor_tie_break(spark, tmp_path):
             assert got[v]["n_inlinks"] == want
         else:
             assert v not in got
+
+
+def _py_triangles(n: int) -> dict[int, int]:
+    """Independent per-node triangle counts over the canonical (a < b)
+    undirected projection of the synthesized edge list."""
+    und = {
+        (min(u, v), max(u, v)) for u, v in _edges(n) if u != v
+    }
+    counts: dict[int, int] = {}
+    for a, b in und:
+        for c in range(n):
+            if a < b < c and (b, c) in und and (a, c) in und:
+                for x in (a, b, c):
+                    counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_graph_triangles_matches_independent_impl(spark, tmp_path):
+    sf_dir = _write_docs(tmp_path)
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph_triangles(spark, sf_dir).collect()
+    }
+    # N=5 synthesized graph is the complete graph K5 -> every node sits
+    # in C(4,2) = 6 triangles; the independent impl agrees
+    assert got == _py_triangles(N)
+    assert got == {v: 6 for v in range(N)}
+
+
+def test_graph_indegree_histogram_buckets(spark, tmp_path):
+    sf_dir = _write_docs(tmp_path)
+    got = {
+        r["log2_bucket"]: r["n_nodes"]
+        for r in graph_indegree_histogram(spark, sf_dir).collect()
+    }
+    # in-degrees for N=5 are 4,4,4,4,3 -> bucket 2 (deg 4) x4, bucket 1
+    # (deg 3) x1
+    assert got == {2: 4, 1: 1}
+
+
+def test_events_transition_matrix_tie_break(spark, tmp_path):
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 10:00",  # u1: view
+                    "2026-01-01 10:05",  # u1: click
+                    "2026-01-01 10:05",  # u1: ts TIE with event 2 ->
+                    #                        event_id orders it AFTER
+                    "2026-01-01 11:00",  # u2: view
+                    "2026-01-01 11:30",  # u2: view
+                    "2026-01-01 12:00",  # u2: purchase
+                ]
+            ).astype("datetime64[us]"),  # Spark rejects NANOS parquet
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": [
+                "view", "click", "purchase", "view", "view", "purchase",
+            ],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in events_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    # u1: view->click->purchase (tie resolved by event_id);
+    # u2: view->view->purchase
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("view", "view"): 1,
+        ("view", "purchase"): 1,
+    }
