@@ -4251,7 +4251,7 @@ _GOPHER_MAX_WORDS = 100
 def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-free quality rules (Rae et al. 2021 Table A1),
     doc-level subset that applies to single-line text: word-count band,
-    mean word length in [3, 10], >=80%% of words containing an alphabetic
+    mean word length in [3, 10], >=80% of words containing an alphabetic
     character, and >=2 DISTINCT stop words present.  All four signals are
     INTEGER comparisons (e.g. mean-word-length as ``3*n <= chars <=
     10*n``) so the keep flag is bit-deterministic -- no float thresholds,
@@ -4557,10 +4557,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep a < b, join wedges (a<b<c) against the closing edge.
 
     Scale plan: two shuffle joins on edge keys.  Wedge volume is
-    sum(deg^2) -- the classic skew hazard; on power-law graphs the
-    standard mitigation (enumerate wedges at the LOWEST-degree corner)
-    drops it to near-linear.  Here the synthesized graph's degree is
-    bounded (<= 6 undirected), so canonical-order join IS that plan."""
+    sum over middle nodes of in_canon * out_canon -- the classic skew
+    hazard on power-law graphs, mitigated by orienting edges so
+    high-degree nodes never sit in the middle of a wedge (relabel by
+    degree rank, enumerate at the lowest-degree corner).  Here the hub
+    nodes carry the SMALLEST ids, so the a < b < c canonical orientation
+    already points every hub edge OUT of the hub (a hub's canonical
+    in-degree is < 10 however many inlinks it has) -- the id order
+    coincides with the degree-descending orientation a general graph
+    gets by relabeling; a production run on arbitrary ids must do that
+    relabeling first or sum(deg^2) blows up on the hubs."""
     docs = _docs(spark, sf_dir)
     e = _graph_edges(docs)
     und = (

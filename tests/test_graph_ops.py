@@ -1,10 +1,11 @@
-"""Web-graph operators: degree, integer-ppb PageRank, anchor text.
+"""Web-graph + event-flow operators: degree, integer-ppb PageRank, anchor
+text, triangle counts, in-degree histogram, transition matrix.
 
-All three entries are under the driver's DuckDB gate (ALL_QUERIES); these
-tests pin hand-computed degrees and an INDEPENDENT pure-Python integer
-PageRank against the Spark implementation on a 5-node fixture, so a
-regression in either the edge synthesis or the integer update rule is
-caught without the oracle.
+All six entries are under the driver's DuckDB gate (ALL_QUERIES); these
+tests pin hand-computed degrees/buckets/tie-breaks and INDEPENDENT
+pure-Python integer PageRank + triangle implementations against the Spark
+results on a 5-node fixture, so a regression in either the edge synthesis
+or the integer update rules is caught without the oracle.
 """
 
 from __future__ import annotations
