@@ -557,6 +557,8 @@ def main() -> None:
         graph_anchor_text,
         graph_triangles,
         graph_indegree_histogram,
+        graph_hits,
+        text_readability,
         events_transition_matrix,
     )
 
@@ -605,6 +607,8 @@ def main() -> None:
         ("op_graph_anchor", graph_anchor_text),
         ("op_graph_triangles", graph_triangles),
         ("op_graph_indeg_hist", graph_indegree_histogram),
+        ("op_graph_hits", graph_hits),
+        ("op_readability", text_readability),
         ("op_events_transitions", events_transition_matrix),
     ):
         ts = []

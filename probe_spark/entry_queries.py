@@ -4392,6 +4392,83 @@ FROM s
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability score in INTEGER milli-points --
+    the classic complexity screen (206.835 - 1.015*words/sentence -
+    84.6*syllables/word) used as a quality filter alongside the Gopher
+    rules.  Syllables are approximated by vowel GROUPS (``[aeiouy]+``),
+    the standard dependency-free heuristic.  The synthetic corpus
+    carries no sentence punctuation, so sentence segmentation is stood
+    in by a deterministic per-doc mean sentence length k = doc_id%7 + 5
+    and n_sent = ceil(n_words / k) -- the same non-trivial-gate
+    parameter-injection pattern as text_pii_redact (real corpora swap in
+    a ``[.!?]+`` regexp_count for n_sent; every other column is
+    unchanged).  The formula runs in int64 millis:
+
+        wps_milli = (n_words * 1000) div n_sent
+        spw_milli = (n_syll  * 1000) div n_words
+        flesch_milli = 206835 - (1015*wps_milli) div 1000
+                              - (846*spw_milli) div 10
+
+    so summation/evaluation order cannot move a bit and the DuckDB gate
+    compares exact bytes; keep = flesch_milli >= 80000 (80.0 points =
+    'easy', splitting this corpus near its median).
+
+    Scale plan: map-only column math -- JVM-side regexp_count and
+    integer ops inside whole-stage codegen, no UDF, zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syll"),
+        (F.col("doc_id") % 7 + 5).cast("long").alias("k"),
+    ).withColumn(
+        "n_sent",
+        F.greatest(F.lit(1).cast("long"), F.expr("(n_words + k - 1) div k")),
+    )
+    s = s.withColumn(
+        "wps_milli", F.expr("(n_words * 1000) div n_sent")
+    ).withColumn(
+        "spw_milli", F.expr("(n_syll * 1000) div greatest(1L, n_words)")
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        "n_sent",
+        F.expr(
+            "206835 - (1015 * wps_milli) div 1000 - (846 * spw_milli) div 10"
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    ).withColumn("keep", F.col("flesch_milli") >= 80000)
+
+
+READABILITY_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syll,
+         (doc_id % 7 + 5)::BIGINT AS k
+  FROM documents),
+m AS (SELECT doc_id, n_words, n_syll,
+             greatest(1, (n_words + k - 1) // k)::BIGINT AS n_sent
+      FROM s),
+f AS (SELECT doc_id, n_words, n_syll, n_sent,
+             (n_words * 1000) // n_sent AS wps_milli,
+             (n_syll * 1000) // greatest(1, n_words) AS spw_milli
+      FROM m)
+SELECT doc_id, n_words, n_syll, n_sent,
+       (206835 - (1015 * wps_milli) // 1000
+               - (846 * spw_milli) // 10)::BIGINT AS flesch_milli,
+       (206835 - (1015 * wps_milli) // 1000
+               - (846 * spw_milli) // 10) >= 80000 AS keep
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Web-graph operators: a deterministic link graph synthesized from doc_id
 # (doc_ids are the dense url-rank 0..N-1, FIXTURES.md SS1), so the graph
@@ -4725,6 +4802,115 @@ FROM ind GROUP BY 1
 """
 
 
+_HITS_ITERS = 2
+_HITS_ONE = 1_000_000_000  # score unit: parts-per-billion of total mass
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, 'Authoritative sources
+    in a hyperlinked environment') -- the mutual-reinforcement
+    counterpart of PageRank: a page is a good AUTHORITY if good hubs
+    link to it, a good HUB if it links to good authorities.  Fixed
+    2 iterations in INTEGER parts-per-billion arithmetic: hub0 =
+    1e9 div N per node; per iteration
+
+        auth_raw(v) = sum over u->v of hub(u)
+        auth(v)     = (auth_raw(v) * 1e9) div sum(auth_raw)
+        hub_raw(u)  = sum over u->v of auth(v)
+        hub(u)      = (hub_raw(u) * 1e9) div sum(hub_raw)
+
+    (the L1 analog of HITS' L2 normalization -- the ranking is what
+    matters, and L1 keeps every op int64 so aggregation order cannot
+    move a bit and the DuckDB gate compares exact bytes).  int64
+    headroom: every normalized score <= 1e9 ppb, raw sums <= 1e9 * max
+    degree bounded by the renormalization each half-step, and the *1e9
+    rescale peaks near 1e18 < 2^63.
+
+    Scale plan: the same iterated sparse mat-vec as graph_pagerank --
+    per iteration two shuffle joins (edges x hub on src, edges x auth on
+    dst; both co-partitionable with the edge key) + map-side-combinable
+    sums.  Each half-step's raw scores are localCheckpoint'ed so the
+    normalizer total is ONE driver-side int64 scalar (audited small
+    collect, exactly the _quantizer_sims / pagerank iterative-state
+    pattern) and lineage stays flat across iterations; the edge table is
+    persisted once and released after the result materializes."""
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = docs.count()
+    edges = _graph_edges(docs, n=n).persist()
+    hub = nodes.select(
+        "node", F.lit(_HITS_ONE // n).cast("long").alias("hub")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        ta = int(a_raw.agg(F.sum("s")).collect()[0][0])
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.expr(f"(coalesce(s, 0L) * {_HITS_ONE}) div {ta}")
+            .cast("long")
+            .alias("auth"),
+        )
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        th = int(h_raw.agg(F.sum("s")).collect()[0][0])
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.expr(f"(coalesce(s, 0L) * {_HITS_ONE}) div {th}")
+            .cast("long")
+            .alias("hub"),
+        )
+    result = hub.join(auth, "node").select(
+        "node",
+        F.col("hub").alias("hub_ppb"),
+        F.col("auth").alias("auth_ppb"),
+    )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+
+
+def _hits_sql_iter(prev_hub: str, i: int) -> str:
+    return f"""
+ar{i} AS (SELECT e.dst AS node, sum(h.hub)::BIGINT AS s
+          FROM edges e JOIN {prev_hub} h ON e.src = h.node GROUP BY e.dst),
+ta{i} AS (SELECT sum(s)::BIGINT AS t FROM ar{i}),
+a{i} AS (SELECT nd.node,
+                ((coalesce(ar{i}.s, 0) * 1000000000) // ta{i}.t)::BIGINT
+                  AS auth
+         FROM nd CROSS JOIN ta{i}
+         LEFT JOIN ar{i} ON nd.node = ar{i}.node),
+hr{i} AS (SELECT e.src AS node, sum(a.auth)::BIGINT AS s
+          FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+th{i} AS (SELECT sum(s)::BIGINT AS t FROM hr{i}),
+h{i} AS (SELECT nd.node,
+                ((coalesce(hr{i}.s, 0) * 1000000000) // th{i}.t)::BIGINT
+                  AS hub
+         FROM nd CROSS JOIN th{i}
+         LEFT JOIN hr{i} ON nd.node = hr{i}.node)"""
+
+
+GRAPH_HITS_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+nd AS (SELECT doc_id AS node FROM documents),
+h0 AS (SELECT nd.node, (1000000000 // n.n)::BIGINT AS hub
+       FROM nd CROSS JOIN n),
+{",".join(_hits_sql_iter(f"h{i - 1}", i) for i in range(1, _HITS_ITERS + 1))}
+SELECT h.node, h.hub AS hub_ppb, a.auth AS auth_ppb
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON h.node = a.node
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey transition matrix: per (event_type -> next
     event_type) count over each user's time-ordered event stream -- the
@@ -4888,6 +5074,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "graph_anchor_text": (graph_anchor_text, GRAPH_ANCHOR_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_indegree_histogram": (graph_indegree_histogram, GRAPH_INDEG_HIST_SQL),
+    "graph_hits": (graph_hits, GRAPH_HITS_SQL),
+    "text_readability": (text_readability, READABILITY_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

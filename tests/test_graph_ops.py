@@ -1,11 +1,12 @@
-"""Web-graph + event-flow operators: degree, integer-ppb PageRank, anchor
-text, triangle counts, in-degree histogram, transition matrix.
+"""Web-graph + event-flow operators: degree, integer-ppb PageRank, HITS
+hubs/authorities, anchor text, triangle counts, in-degree histogram,
+transition matrix.
 
-All six entries are under the driver's DuckDB gate (ALL_QUERIES); these
+All seven entries are under the driver's DuckDB gate (ALL_QUERIES); these
 tests pin hand-computed degrees/buckets/tie-breaks and INDEPENDENT
-pure-Python integer PageRank + triangle implementations against the Spark
-results on a 5-node fixture, so a regression in either the edge synthesis
-or the integer update rules is caught without the oracle.
+pure-Python integer PageRank + HITS + triangle implementations against the
+Spark results on a 5-node fixture, so a regression in either the edge
+synthesis or the integer update rules is caught without the oracle.
 """
 
 from __future__ import annotations
@@ -13,12 +14,15 @@ from __future__ import annotations
 import pandas as pd
 
 from probe_spark.entry_queries import (
+    _HITS_ITERS,
+    _HITS_ONE,
     _PR_BASE,
     _PR_ITERS,
     _PR_ONE,
     events_transition_matrix,
     graph_anchor_text,
     graph_degree,
+    graph_hits,
     graph_indegree_histogram,
     graph_pagerank,
     graph_triangles,
@@ -117,6 +121,43 @@ def test_graph_anchor_text_top_anchor_tie_break(spark, tmp_path):
             assert got[v]["n_inlinks"] == want
         else:
             assert v not in got
+
+
+def _py_hits(n: int) -> dict[int, tuple[int, int]]:
+    """Independent integer-ppb HITS mirroring the documented rule:
+    hub0 = 1e9 div N; auth = L1-renormalized inlink hub sum, hub =
+    L1-renormalized outlink auth sum, two iterations."""
+    edges = _edges(n)
+    hub = {v: _HITS_ONE // n for v in range(n)}
+    auth = {v: 0 for v in range(n)}
+    for _ in range(_HITS_ITERS):
+        a_raw = {v: 0 for v in range(n)}
+        for u, v in edges:
+            a_raw[v] += hub[u]
+        ta = sum(a_raw.values())
+        auth = {v: (a_raw[v] * _HITS_ONE) // ta for v in range(n)}
+        h_raw = {u: 0 for u in range(n)}
+        for u, v in edges:
+            h_raw[u] += auth[v]
+        th = sum(h_raw.values())
+        hub = {u: (h_raw[u] * _HITS_ONE) // th for u in range(n)}
+    return {v: (hub[v], auth[v]) for v in range(n)}
+
+
+def test_graph_hits_matches_independent_integer_impl(spark, tmp_path):
+    sf_dir = _write_docs(tmp_path)
+    got = {
+        r["node"]: (r["hub_ppb"], r["auth_ppb"])
+        for r in graph_hits(spark, sf_dir).collect()
+    }
+    assert got == _py_hits(N)
+    # L1 normalization: each side's total mass stays within integer-floor
+    # loss of 1e9, and the degree asymmetry separates the scores (node 3
+    # has out-degree 3 vs 4 elsewhere, node 4 in-degree 3)
+    assert 0.99 * _HITS_ONE <= sum(h for h, _ in got.values()) <= _HITS_ONE
+    assert 0.99 * _HITS_ONE <= sum(a for _, a in got.values()) <= _HITS_ONE
+    assert got[3][0] == min(h for h, _ in got.values())
+    assert got[4][1] == min(a for _, a in got.values())
 
 
 def _py_triangles(n: int) -> dict[int, int]:

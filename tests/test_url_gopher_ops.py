@@ -1,6 +1,7 @@
-"""Canonical-URL crawl dedup + Gopher quality-rule filter.
+"""Canonical-URL crawl dedup, Gopher quality-rule filter, Flesch
+readability score.
 
-Both entries are under the driver's DuckDB gate (ALL_QUERIES); these
+All three entries are under the driver's DuckDB gate (ALL_QUERIES); these
 tests pin hand-computed expectations on tiny fixtures so a regression is
 caught without the oracle.
 """
@@ -80,3 +81,46 @@ def test_gopher_rules_signals_and_keep(spark, tmp_path):
     assert out[3]["keep"] is False and out[3]["n_stop_distinct"] == 1
     assert out[4]["keep"] is False
     assert out[4]["word_chars"] > 10 * out[4]["n_words"]
+
+
+def test_readability_flesch_milli_hand_computed(spark, tmp_path):
+    from probe_spark.entry_queries import text_readability
+
+    rows = [
+        # doc 0: k = 5 -> n_sent = ceil(6/5) = 2; syllable groups:
+        # the(1) quick(1) brown(1) fox(1) jumps(1) over(2) = 7
+        (0, "the quick brown fox jumps over", "en", "web", 1),
+        # doc 1: k = 6; 'onomatopoeia' has vowel groups o|o|a|o|oeia = 5
+        # -> 12 words x 5 = 60 syllables, dense prose scores deeply
+        # negative and is dropped
+        (1, " ".join(["onomatopoeia"] * 12), "en", "web", 1),
+        # doc 2: empty text -> split yields one empty token (n_words 1,
+        # the same convention as the Gopher rules), zero syllables
+        (2, "", "en", "web", 1),
+    ]
+    sf_dir = _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_readability(spark, sf_dir).collect()
+    }
+    # doc 0: wps = (6*1000)//2 = 3000, spw = (7*1000)//6 = 1166
+    # flesch = 206835 - (1015*3000)//1000 - (846*1166)//10
+    #        = 206835 - 3045 - 98643 = 105147
+    assert out[0]["n_words"] == 6
+    assert out[0]["n_syll"] == 7
+    assert out[0]["n_sent"] == 2
+    assert out[0]["flesch_milli"] == 105147
+    assert out[0]["keep"] is True
+    # doc 1: wps = (12*1000)//2 = 6000, spw = (60*1000)//12 = 5000
+    # flesch = 206835 - 6090 - 423000 = -222255
+    assert out[1]["n_words"] == 12
+    assert out[1]["n_syll"] == 60
+    assert out[1]["n_sent"] == 2
+    assert out[1]["flesch_milli"] == -222255
+    assert out[1]["keep"] is False
+    # doc 2: degenerate empty doc never divides by zero
+    assert out[2]["n_words"] == 1
+    assert out[2]["n_syll"] == 0
+    assert out[2]["n_sent"] == 1
+    assert out[2]["flesch_milli"] == 206835 - 1015
+    assert out[2]["keep"] is True
