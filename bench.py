@@ -559,6 +559,7 @@ def main() -> None:
         graph_indegree_histogram,
         graph_hits,
         text_readability,
+        sample_epoch_mix,
         events_transition_matrix,
     )
 
@@ -609,6 +610,7 @@ def main() -> None:
         ("op_graph_indeg_hist", graph_indegree_histogram),
         ("op_graph_hits", graph_hits),
         ("op_readability", text_readability),
+        ("op_epoch_mix", sample_epoch_mix),
         ("op_events_transitions", events_transition_matrix),
     ):
         ts = []

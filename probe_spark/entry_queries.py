@@ -2669,6 +2669,82 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
 """
 
 
+def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch mixing -- the data-mixing primitive behind every
+    modern pretraining corpus (Llama upsamples Wikipedia ~2.4 epochs and
+    books ~2.2 while Common Crawl runs ~1.0; DoReMi learns the weights):
+    each source carries a target epoch count ``epochs_milli`` and every
+    document is replicated floor(epochs) times plus one more copy with
+    probability frac(epochs), decided deterministically by an
+    md5(doc_id) bucket so re-runs and appends never flip a document's
+    fate (epochs < 1.0 therefore DOWN-samples through the same rule).
+    In production the weight table is an input; here it is synthesized
+    deterministically from the source key (500 + md5(source) % 3000
+    milli-epochs, i.e. 0.5x-3.5x -- the same non-trivial-gate injection
+    pattern as text_pii_redact), exercising both the multi-copy and the
+    fractional-drop paths.
+
+    Scale shape: the weight table is bounded by n_sources and broadcast;
+    the corpus side is ONE map-only pass -- copies = epochs_milli div
+    1000 + (md5_bucket < epochs_milli % 1000), then a posexplode of an
+    array_repeat (generator input is a tiny computed array; OUTER
+    variant + not-null filter sidesteps the InferFiltersFromGenerate
+    re-evaluation trap, see _explode_nn).  Zero shuffles; the output is
+    written partitioned downstream exactly like the input."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = docs.select("source").distinct().select(
+        "source",
+        (F.lit(500) + _md5_bucket(F.col("source"), 3000))
+        .cast("long")
+        .alias("epochs_milli"),
+    )
+    j = docs.join(F.broadcast(w), "source").withColumn(
+        "copies",
+        (
+            F.expr("epochs_milli div 1000")
+            + F.when(
+                _md5_bucket(F.col("doc_id"), 1000)
+                < F.col("epochs_milli") % 1000,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    return (
+        j.select(
+            "doc_id",
+            "source",
+            "epochs_milli",
+            F.posexplode_outer(F.array_repeat(F.lit(1), F.col("copies"))),
+        )
+        .where(F.col("pos").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "epochs_milli",
+            F.col("pos").cast("long").alias("epoch"),
+        )
+    )
+
+
+SAMPLE_EPOCH_MIX_SQL = """
+WITH w AS (
+  SELECT DISTINCT source,
+         (500 + ('0x' || substr(md5(source), 1, 8))::UBIGINT::BIGINT % 3000)
+           ::BIGINT AS epochs_milli
+  FROM documents),
+j AS (
+  SELECT d.doc_id, d.source, w.epochs_milli,
+         (w.epochs_milli // 1000
+          + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+                       ::UBIGINT::BIGINT % 1000 < w.epochs_milli % 1000
+                 THEN 1 ELSE 0 END)::BIGINT AS copies
+  FROM documents d JOIN w USING (source))
+SELECT doc_id, source, epochs_milli,
+       unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+FROM j WHERE copies >= 1
+"""
+
+
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate phrase mining: word 3-grams that recur in
     >= 5 distinct documents, with document frequency and total occurrence
@@ -5076,6 +5152,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "graph_indegree_histogram": (graph_indegree_histogram, GRAPH_INDEG_HIST_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "text_readability": (text_readability, READABILITY_SQL),
+    "sample_epoch_mix": (sample_epoch_mix, SAMPLE_EPOCH_MIX_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -388,3 +388,49 @@ def test_corpus_mixture_hand_computed(spark, tmp_path):
     assert got[("en", "s1")]["token_share_ppm"] == 333333
     assert got[("en", "s2")]["token_share_ppm"] == 166666
     assert got[("de", "s1")]["token_share_ppm"] == 500000
+
+
+def test_epoch_mix_copies_match_pure_python_md5(spark, tmp_path):
+    """Per-source epoch mixing: replicate floor(epochs) times + one
+    fractional copy decided by the md5(doc_id) bucket.  The expected row
+    multiset is recomputed with hashlib so a drift in either the weight
+    synthesis or the copy rule is caught exactly."""
+    import hashlib
+
+    from probe_spark.entry_queries import sample_epoch_mix
+
+    def bucket(v, mod):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
+
+    rows = [(i, "w", "en", "alpha", 1) for i in range(10)] + [
+        (10 + i, "w", "en", "beta", 1) for i in range(10)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = sorted(
+        (r["doc_id"], r["source"], r["epochs_milli"], r["epoch"])
+        for r in sample_epoch_mix(spark, sf).collect()
+    )
+    want = []
+    for doc_id, _w, _l, src, _n in rows:
+        em = 500 + bucket(src, 3000)
+        copies = em // 1000 + (1 if bucket(doc_id, 1000) < em % 1000 else 0)
+        want.extend((doc_id, src, em, e) for e in range(copies))
+    assert got == sorted(want)
+    # the synthesized weights exercise both paths on this fixture:
+    # alpha = 647 milli-epochs (pure fractional DOWNsample, some docs
+    # absent), beta = 3148 (3 full copies + 14.8% fractional fourth)
+    ems = {src: 500 + bucket(src, 3000) for src in ("alpha", "beta")}
+    assert ems["alpha"] == 647 and ems["beta"] == 3148
+    n_alpha_docs = len({d for d, s, _e, _p in got if s == "alpha"})
+    assert 0 < n_alpha_docs < 10  # downsampled, not emptied
+    beta_copies = [
+        sum(1 for d, s, _e, _p in got if s == "beta" and d == i)
+        for i in range(10, 20)
+    ]
+    assert set(beta_copies) <= {3, 4} and 4 in beta_copies
+    # determinism: a second run yields the identical multiset
+    again = sorted(
+        (r["doc_id"], r["source"], r["epochs_milli"], r["epoch"])
+        for r in sample_epoch_mix(spark, sf).collect()
+    )
+    assert again == got
