@@ -563,6 +563,21 @@ def main() -> None:
         events_transition_matrix,
     )
 
+    # the four quantizer consumers share path-keyed trained-centroid /
+    # PQ-codebook caches (entry_queries._CENTROID_CACHE & co.); clear them
+    # so this block measures a deterministic cold-then-warm sequence
+    # regardless of what ran earlier in the process
+    from probe_spark import entry_queries as _eq
+
+    _eq._CENTROID_CACHE.clear()
+    _eq._PQ_CODEBOOK_CACHE.clear()
+    _QUANTIZER_OPS = {
+        "op_semantic_dedup",
+        "op_cluster_assign",
+        "op_proto_prune",
+        "op_pq_ann",
+    }
+
     extra = {}
     for name, fn in (
         ("op_text_repetition", text_repetition),
@@ -619,7 +634,17 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             ts.append(time.time() - t0)
         extra[name] = round(min(ts), 3)
+        if name in _QUANTIZER_OPS:
+            # first run of the first quantizer consumer pays the one-time
+            # k-means training (the caches were cleared above); record it
+            # so warm min-of-2 vs pre-cache rounds stays attributable
+            extra[name + "_first"] = round(ts[0], 3)
     result["extra_ops"] = extra
+    result["quantizer_cache"] = (
+        "centroid/PQ caches cleared at extra_ops start; *_first includes "
+        "any one-time training, plain values are min-of-2 (warm = the "
+        "production frozen-codebook serving path)"
+    )
     # 4. batched serving: the whole HEADLINE set in ONE Spark action
     # (SearchEngine.search_batch) vs the sequential sum above -- the
     # amortization a cluster gets when queries arrive as an eval batch

@@ -1181,6 +1181,21 @@ _PQ_CODEBOOK_CACHE: dict[
 ] = {}
 
 
+def _cached_rows(cache: dict, key, train):
+    """The ONE get/train/store policy point for the trained-state memos
+    (_CENTROID_CACHE / _PQ_CODEBOOK_CACHE): a future change to the
+    caching contract -- a lock for a concurrent driver, mtime-keyed
+    invalidation lifting the immutable-input restriction -- lands here
+    once.  ``key`` None bypasses the cache entirely so ad-hoc inputs
+    never collide."""
+    rows = cache.get(key) if key is not None else None
+    if rows is None:
+        rows = train()
+        if key is not None:
+            cache[key] = rows
+    return rows
+
+
 def _quantizer_sims(
     emb: DataFrame, k_cells: int, iters: int, cache_key: str | None = None
 ):
@@ -1246,9 +1261,7 @@ def _quantizer_sims(
         )
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    key = (cache_key, k_cells, iters) if cache_key is not None else None
-    rows = _CENTROID_CACHE.get(key) if key is not None else None
-    if rows is None:
+    def _train() -> list[tuple[int, int, float]]:
         rows = [
             (r["cell"], r["i"], r["c"])
             for r in (
@@ -1274,8 +1287,10 @@ def _quantizer_sims(
                     .collect()
                 )
             ]
-        if key is not None:
-            _CENTROID_CACHE[key] = rows
+        return rows
+
+    key = (cache_key, k_cells, iters) if cache_key is not None else None
+    rows = _cached_rows(_CENTROID_CACHE, key, _train)
     sims = assign_sims(_lit_cents(rows)).persist()
     return ed, vnorm, sims, w
 
@@ -1505,9 +1520,7 @@ def pq_topk(
             rows, "sub int, cell int, i int, c double"
         )
 
-    key = (cache_key, k_codes, sub_dim) if cache_key is not None else None
-    c1_rows = _PQ_CODEBOOK_CACHE.get(key) if key is not None else None
-    if c1_rows is None:
+    def _train() -> list[tuple[int, int, int, float]]:
         c0_rows = [
             (r["sub"], r["cell"], r["i"], r["c"])
             for r in (
@@ -1520,7 +1533,7 @@ def pq_topk(
             )
         ]
         a0 = assign(_lit_cb(c0_rows))
-        c1_rows = [
+        return [
             (r["sub"], r["cell"], r["i"], r["c"])
             for r in (
                 eds.join(a0, ["vec_id", "sub"])
@@ -1529,9 +1542,9 @@ def pq_topk(
                 .collect()
             )
         ]
-        if key is not None:
-            _PQ_CODEBOOK_CACHE[key] = c1_rows
-    c1 = _lit_cb(c1_rows)
+
+    key = (cache_key, k_codes, sub_dim) if cache_key is not None else None
+    c1 = _lit_cb(_cached_rows(_PQ_CODEBOOK_CACHE, key, _train))
     codes = assign(c1)
     q = eds.filter(F.col("vec_id") == query_vec_id).select(
         "i", F.col("v").alias("qv")
@@ -2684,13 +2697,16 @@ def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as text_pii_redact), exercising both the multi-copy and the
     fractional-drop paths.
 
-    Scale shape: the weight table is bounded by n_sources and broadcast;
-    the corpus side is ONE map-only pass -- copies = epochs_milli div
-    1000 + (md5_bucket < epochs_milli % 1000), then a posexplode of an
-    array_repeat (generator input is a tiny computed array; OUTER
-    variant + not-null filter sidesteps the InferFiltersFromGenerate
-    re-evaluation trap, see _explode_nn).  Zero shuffles; the output is
-    written partitioned downstream exactly like the input."""
+    Scale shape: the weight table comes from one bounded
+    distinct(source) (a shuffle whose post-combine volume is n_sources
+    rows, same shape as filter_domain_spam's groupBy(source)) and is
+    broadcast back; the corpus side is then ONE map-only pass -- copies
+    = epochs_milli div 1000 + (md5_bucket < epochs_milli % 1000), then a
+    posexplode of an array_repeat (generator input is a tiny computed
+    array; OUTER variant + not-null filter sidesteps the
+    InferFiltersFromGenerate re-evaluation trap, see _explode_nn).  The
+    corpus itself never shuffles; the output is written partitioned
+    downstream exactly like the input."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     w = docs.select("source").distinct().select(
         "source",
