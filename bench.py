@@ -560,6 +560,8 @@ def main() -> None:
         graph_hits,
         text_readability,
         sample_epoch_mix,
+        text_entropy,
+        pipeline_shard_manifest,
         events_transition_matrix,
     )
 
@@ -626,6 +628,8 @@ def main() -> None:
         ("op_graph_hits", graph_hits),
         ("op_readability", text_readability),
         ("op_epoch_mix", sample_epoch_mix),
+        ("op_text_entropy", text_entropy),
+        ("op_shard_manifest", pipeline_shard_manifest),
         ("op_events_transitions", events_transition_matrix),
     ):
         ts = []

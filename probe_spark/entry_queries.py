@@ -2682,6 +2682,112 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
 """
 
 
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-level Shannon entropy in nats -- the lexical-
+    diversity quality signal that catches low-entropy template/spam text
+    a type-token ratio misses (a doc repeating two words 50/50 has TTR
+    0.02 but also entropy ln 2; a diverse doc has entropy near ln n).
+    Computed via the one-aggregation identity
+
+        H = ln(n) - (sum over words of c*ln(c)) / n
+
+    so each doc needs ONE pass over its (word, count) rows; the result
+    rounds to 6dp (the same float-ln-across-engines discipline as
+    text_unigram_nll, gated green at both SFs).
+
+    Scale plan: one corpus-sized groupBy(doc_id, word) with map-side
+    combine (the dominant shuffle, same shape as the TF pass), then a
+    per-doc agg over the (bounded) distinct-word rows.  No broadcast, no
+    UDF, no global sort."""
+    docs = _docs(spark, sf_dir)
+    c = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+TEXT_ENTROPY_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM t GROUP BY doc_id, w)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_words,
+       count(*)::BIGINT AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+FROM c GROUP BY doc_id
+"""
+
+
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output-shard assignment + manifest -- the final
+    step of every training-data pipeline: route each document to one of
+    S shards by the md5(doc_id) bucket (the SAME bucketing rule as the
+    train/val/test split, so shard routing never fights the split), and
+    emit the per-shard manifest a writer publishes next to the files:
+    doc count, token count, doc_id range, and each shard's integer-ppm
+    token share (the balance audit -- md5 routing balances shards
+    statistically, and the manifest is where a skewed shard would show).
+
+    Scale plan: ONE map-side-combinable groupBy(shard) over map-only
+    derived columns; the share join is a window over the S manifest rows
+    (bounded by the shard count, not the corpus).  Divide-before-
+    multiply is avoided: share_ppm = (tokens * 1e6) div total stays in
+    int64 for any corpus below ~9e12 total tokens; beyond that a real
+    run widens to decimal(38,0) -- the same note as corpus_mixture."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        _md5_bucket(F.col("doc_id"), 16).cast("int").alias("shard"),
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    m = s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    w = Window.partitionBy()
+    return m.withColumn("total", F.sum("n_tokens").over(w)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "min_doc_id",
+        "max_doc_id",
+        F.expr("(n_tokens * 1000000) div total")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+SHARD_MANIFEST_SQL = """
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 16
+           AS shard,
+         doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+m AS (SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT
+        AS n_tokens, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM s GROUP BY shard)
+SELECT shard::INT AS shard, n_docs, n_tokens, min_doc_id, max_doc_id,
+       ((n_tokens * 1000000) // sum(n_tokens) OVER ())::BIGINT AS share_ppm
+FROM m
+"""
+
+
 def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch mixing -- the data-mixing primitive behind every
     modern pretraining corpus (Llama upsamples Wikipedia ~2.4 epochs and
@@ -5169,6 +5275,8 @@ ALL_QUERIES: dict[str, tuple] = {
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "text_readability": (text_readability, READABILITY_SQL),
     "sample_epoch_mix": (sample_epoch_mix, SAMPLE_EPOCH_MIX_SQL),
+    "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
+    "pipeline_shard_manifest": (pipeline_shard_manifest, SHARD_MANIFEST_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

@@ -434,3 +434,76 @@ def test_epoch_mix_copies_match_pure_python_md5(spark, tmp_path):
         for r in sample_epoch_mix(spark, sf).collect()
     )
     assert again == got
+
+
+def test_text_entropy_hand_computed(spark, tmp_path):
+    """H = ln(n) - sum(c ln c)/n on three analytic cases: 50/50 two-word
+    doc = ln 2, all-distinct = ln n, single repeated word = 0."""
+    import math
+
+    from probe_spark.entry_queries import text_entropy
+
+    rows = [
+        (0, "a a b b", "en", "s", 1),
+        (1, "a b c d", "en", "s", 1),
+        (2, "a a a a", "en", "s", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r["doc_id"]: r.asDict() for r in text_entropy(spark, sf).collect()
+    }
+    assert got[0]["n_words"] == 4 and got[0]["n_distinct"] == 2
+    assert got[0]["entropy_nats"] == round(math.log(2), 6)
+    assert got[1]["n_distinct"] == 4
+    assert got[1]["entropy_nats"] == round(math.log(4), 6)
+    assert got[2]["n_distinct"] == 1
+    assert got[2]["entropy_nats"] == 0.0
+    # diversity ordering: template < mixed < fully distinct
+    assert (
+        got[2]["entropy_nats"]
+        < got[0]["entropy_nats"]
+        < got[1]["entropy_nats"]
+    )
+
+
+def test_shard_manifest_matches_pure_python_md5(spark, tmp_path):
+    """Shard routing and the integer-ppm balance audit recomputed with
+    hashlib: exact per-shard doc/token counts, ranges, floor-div share."""
+    import hashlib
+
+    from probe_spark.entry_queries import pipeline_shard_manifest
+
+    def bucket(v, mod):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
+
+    rows = [(i, " ".join(["w"] * (i + 1)), "en", "s", 1) for i in range(20)]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r["shard"]: r.asDict()
+        for r in pipeline_shard_manifest(spark, sf).collect()
+    }
+    want: dict[int, dict] = {}
+    for i in range(20):
+        sh = bucket(i, 16)
+        e = want.setdefault(
+            sh,
+            {"n_docs": 0, "n_tokens": 0, "min_doc_id": i, "max_doc_id": i},
+        )
+        e["n_docs"] += 1
+        e["n_tokens"] += i + 1  # doc i holds i+1 tokens
+        e["min_doc_id"] = min(e["min_doc_id"], i)
+        e["max_doc_id"] = max(e["max_doc_id"], i)
+    total = sum(e["n_tokens"] for e in want.values())
+    assert total == 210
+    assert set(got) == set(want)
+    for sh, e in want.items():
+        g = got[sh]
+        assert (
+            g["n_docs"],
+            g["n_tokens"],
+            g["min_doc_id"],
+            g["max_doc_id"],
+        ) == (e["n_docs"], e["n_tokens"], e["min_doc_id"], e["max_doc_id"])
+        assert g["share_ppm"] == (e["n_tokens"] * 1_000_000) // total
+    # floor-division shares never over-claim the corpus
+    assert sum(g["share_ppm"] for g in got.values()) <= 1_000_000
