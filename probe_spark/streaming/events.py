@@ -73,6 +73,26 @@ def windowed_event_counts(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Ingest-replay dedup: at-least-once sources (Kafka replays, retried
+    crawl fetches, speculative upstream tasks) deliver the same record
+    more than once; drop duplicates on the record key WITHIN the
+    watermark horizon via ``dropDuplicatesWithinWatermark`` so the
+    dedup state store is bounded by the horizon (keys evict once the
+    watermark passes their event time + delay) instead of growing with
+    the corpus -- plain ``dropDuplicates`` on a stream never evicts.
+    Corpus-at-rest exact dedup stays dedup_exact / dedup_incremental;
+    this operator is the exactly-once ingestion front of the same
+    pipeline.  The batch recomputation of the same semantics (for the
+    verification test) is ``dropDuplicates(["event_id"])`` -- replayed
+    records are byte-identical, so any survivor equals the batch row."""
+    return events.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+
 SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -156,3 +156,63 @@ def test_sessionize_batch_microsecond_gap(spark):
         by_user.setdefault(r["user_id"], []).append(r)
     assert len(by_user[1]) == 2, "7200.5s delta must split the session"
     assert len(by_user[2]) == 1, "exactly-7200s delta must not split"
+
+
+def test_dedup_stream_replays_match_batch_distinct(spark, tmp_path):
+    """At-least-once ingest: three stream files where file B replays the
+    back half of A and file C replays rows from B.  The deduped stream
+    must equal batch dropDuplicates on the key, with every replayed
+    event_id emitted exactly once (watermark spans the fixture so no row
+    is late-dropped; at production horizons the state store stays
+    bounded by eviction)."""
+    import time as _t
+
+    from probe_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path / "replay_stream"
+    d.mkdir()
+    pdf = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+        .head(300)
+    )
+    chunks = [
+        pdf.iloc[0:100],
+        pdf.iloc[50:200],   # rows 50-99 replayed
+        pdf.iloc[150:300],  # rows 150-199 replayed
+    ]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"f{i:02d}"))
+        _t.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    stream = read_events_stream(spark, f"{d}/f*", max_files=1)
+    q = (
+        dedup_events_stream(stream, watermark="45 days")
+        .writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in spark.sql("SELECT * FROM dedupstream").collect()
+    )
+    exp = sorted(
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(f"{d}/f*")
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert len(got) == 300  # 400 delivered rows -> 300 unique events
+    assert got == exp
