@@ -80,3 +80,39 @@ def test_disjunctive_query_whole_stage_codegen(spark, tiny_index):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
     assert "ArrowEvalPython" not in plan  # disjunctive path needs no UDF
     assert "AdaptiveSparkPlan" in plan  # AQE on (skew/coalesce re-planning)
+
+
+def test_epoch_mix_weight_join_is_broadcast(spark, tmp_path):
+    """The per-source weight table is bounded by n_sources -- joining it
+    back to the corpus must be a BroadcastHashJoin (a sort-merge join
+    here would shuffle the full corpus for a 20-row table)."""
+    import pandas as pd
+
+    from probe_spark.entry_queries import sample_epoch_mix
+
+    pd.DataFrame(
+        [(i, "w", "en", f"s{i % 3}", 1) for i in range(30)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    plan = _formatted_plan(sample_epoch_mix(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_manifest_single_corpus_shuffle(spark, tmp_path):
+    """The manifest is ONE map-side-combinable groupBy(shard) over the
+    corpus; the balance window runs over the S manifest rows only.  Plan
+    must show a partial aggregate below the shard exchange (map-side
+    combine) and no join at all."""
+    import pandas as pd
+
+    from probe_spark.entry_queries import pipeline_shard_manifest
+
+    pd.DataFrame(
+        [(i, "w w w", "en", "s", 1) for i in range(30)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    plan = _formatted_plan(pipeline_shard_manifest(spark, str(tmp_path)))
+    assert "Join" not in plan, plan
+    # partial -> exchange -> final: the corpus-sized side combines map-side
+    assert re.search(r"HashAggregate.*\n(.|\n)*Exchange", plan), plan
