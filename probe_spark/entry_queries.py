@@ -3863,9 +3863,14 @@ def semantic_dedup(
     Scale plan: this is exactly why SemDeDup clusters first -- the pair
     join is per-cell (sum of cell_size^2, bounded by the quantizer's
     balance), NEVER corpus-quadratic; the centroid join broadcasts; the
-    only corpus-sized shuffles are the k-means assignment aggs.  At
+    only corpus-sized shuffles are the k-means assignment aggs.  The
+    pair sweep runs in ARRAY form: each candidate pair is ONE row whose
+    dot product is a JVM zip_with/aggregate over the two embedding
+    arrays (the long per-dimension form would multiply pair volume by
+    the dimensionality -- it survives only in the SQL oracle).  At
     100TB the cell count scales with the corpus (paper uses ~100k
-    cells) keeping cells ~constant-sized."""
+    cells) keeping cells ~constant-sized; smoke-tested here at 100k
+    vectors / 64 cells."""
     from pyspark.sql.window import Window
 
     ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters, cache_key)
@@ -3885,20 +3890,33 @@ def semantic_dedup(
         .select("vec_id", "cell", "rank")
         .persist()
     )
-    m = ed.join(ranked, "vec_id")
+    # compact per-vector rows: (vec_id, cell, rank, double[] embedding);
+    # float->double element casts match ed's scoring lane exactly
+    m = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).join(ranked, "vec_id")
     ma = m.select(
-        "cell", "i", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
-        F.col("v").alias("va"),
+        "cell", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
+        F.col("e").alias("ea"),
     )
     mb = m.select(
-        "cell", "i", F.col("vec_id").alias("b"), F.col("rank").alias("rb"),
-        F.col("v").alias("vb"),
+        "cell", F.col("vec_id").alias("b"), F.col("rank").alias("rb"),
+        F.col("e").alias("eb"),
     )
     dots = (
-        ma.join(mb, ["cell", "i"])
+        ma.join(mb, "cell")
         .filter(F.col("ra") < F.col("rb"))
-        .groupBy("cell", "a", "b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .select(
+            "cell",
+            "a",
+            "b",
+            F.aggregate(
+                F.zip_with("ea", "eb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
     )
     na = vnorm.select(F.col("vec_id").alias("a"), F.col("vn").alias("na"))
     nb = vnorm.select(F.col("vec_id").alias("b"), F.col("vn").alias("nb"))
