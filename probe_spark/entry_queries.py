@@ -1201,9 +1201,10 @@ def _quantizer_sims(
 ):
     """Trained coarse quantizer shared by ivf_topk and semantic_dedup:
     k-means over the corpus (strata init on vec_id % k, ``iters`` Lloyd
-    iterations of assign-by-cosine -> per-dimension mean), all in
-    long-format DataFrame algebra so the identical computation is
-    expressible in the DuckDB oracle.  Determinism across hosts and
+    iterations of assign-by-cosine -> per-dimension mean).  Assignment
+    is a VECTORIZED Arrow matmul per batch (see assign_sims below); the
+    equivalent long-format join algebra survives only in the DuckDB
+    oracle (_QUANTIZER_CTES).  Determinism across hosts and
     summation orders: centroid components round to 6dp, assignment
     similarities to 9dp with (sim desc, cell asc) tie-breaks.
 
@@ -1227,7 +1228,6 @@ def _quantizer_sims(
     caller must unpersist both after materializing its answer."""
     from pyspark.sql.window import Window
 
-    spark = emb.sparkSession
     ed = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
@@ -1236,29 +1236,52 @@ def _quantizer_sims(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
     )
 
-    def _lit_cents(rows: list[tuple[int, int, float]]) -> DataFrame:
-        return spark.createDataFrame(rows, "cell int, i int, c double")
+    def assign_sims(rows: list[tuple[int, int, float]]) -> DataFrame:
+        """Vectorized assignment: ONE Arrow matmul per batch against the
+        driver-built centroid matrix (k x dim doubles, tiny), emitting
+        the same (vec_id, cell, sim-9dp) rows as the SQL oracle's
+        long-format join computes -- the long form survives ONLY in the
+        oracle, exactly the dedup.lsh_band_signatures pattern.  The
+        per-dimension join form multiplied rows by k x dim (N x k x dim
+        rows per assignment -- unpayable once cell count scales with
+        the corpus); here assignment is O(N) rows out and the centroids
+        ride the closure.  9dp rounding absorbs summation-order
+        differences between the matmul, the Spark long sum, and DuckDB
+        (the discipline every cosine in this module already relies on)."""
+        import numpy as np
 
-    def assign_sims(cents: DataFrame) -> DataFrame:
-        cnorm = cents.groupBy("cell").agg(
-            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
-        )
-        dots = (
-            ed.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cell")
-            .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
-        )
-        return (
-            dots.join(vnorm, "vec_id")
-            .join(F.broadcast(cnorm), "cell")
-            .select(
-                "vec_id",
-                "cell",
-                F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 9).alias(
-                    "sim"
-                ),
-            )
-        )
+        cells = sorted({r[0] for r in rows})
+        dim = 1 + max(r[1] for r in rows)
+        cmat = np.zeros((len(cells), dim), dtype=np.float64)
+        idx = {c: j for j, c in enumerate(cells)}
+        for cell, i, c in rows:
+            cmat[idx[cell], i] = c
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        cell_arr = np.array(cells, dtype=np.int32)
+
+        def run(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((e * e).sum(axis=1))
+                sims = np.round(
+                    (e @ cmat.T) / (vn[:, None] * cn[None, :]), 9
+                )
+                n, k = sims.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(), k
+                        ),
+                        "cell": np.tile(cell_arr, n),
+                        "sim": sims.ravel(),
+                    }
+                )
+
+        return emb.mapInPandas(run, "vec_id long, cell int, sim double")
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     def _train() -> list[tuple[int, int, float]]:
@@ -1273,7 +1296,7 @@ def _quantizer_sims(
         ]
         for _ in range(iters):
             assign = (
-                assign_sims(_lit_cents(rows))
+                assign_sims(rows)
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .select("vec_id", "cell")
@@ -1291,7 +1314,7 @@ def _quantizer_sims(
 
     key = (cache_key, k_cells, iters) if cache_key is not None else None
     rows = _cached_rows(_CENTROID_CACHE, key, _train)
-    sims = assign_sims(_lit_cents(rows)).persist()
+    sims = assign_sims(rows).persist()
     return ed, vnorm, sims, w
 
 
