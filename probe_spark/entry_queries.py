@@ -1509,27 +1509,55 @@ def pq_topk(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        # (vec_id, sub) -> nearest cell by 9dp-rounded L2^2, ties to the
-        # lowest cell id
-        d = (
-            eds.join(F.broadcast(cents.select("cell", "i", "c")), "i")
-            .groupBy("vec_id", "sub", "cell")
-            .agg(
-                F.round(
-                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                    9,
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy(
-            F.asc("dist"), F.asc("cell")
-        )
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "cell")
-        )
+    def assign(rows: list[tuple[int, int, int, float]]) -> DataFrame:
+        """(vec_id, sub) -> nearest cell by 9dp-rounded L2^2, ties to
+        the lowest cell id -- VECTORIZED: one numpy pass per Arrow batch
+        against the driver-built per-subspace codebooks (the long-format
+        join form is N x dim x k rows per assignment, unpayable at
+        production k=256 codes/subspace; it survives only in the SQL
+        oracle).  9dp rounding absorbs summation-order differences, the
+        same discipline as _quantizer_sims.assign_sims; argmin over
+        cell-ascending columns reproduces the lowest-cell tie-break."""
+        import numpy as np
+
+        subs = sorted({r[0] for r in rows})
+        cb = {}
+        for s in subs:
+            cells = sorted({r[1] for r in rows if r[0] == s})
+            mat = np.zeros((len(cells), sub_dim), dtype=np.float64)
+            cidx = {c: j for j, c in enumerate(cells)}
+            for (rs, cell, i, c) in rows:
+                if rs == s:
+                    mat[cidx[cell], i - s * sub_dim] = c
+            cb[s] = (np.array(cells, dtype=np.int32), mat)
+
+        def run(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                vids = pdf["vec_id"].to_numpy()
+                out_v, out_s, out_c = [], [], []
+                for s in subs:
+                    cells, mat = cb[s]
+                    es = e[:, s * sub_dim : (s + 1) * sub_dim]
+                    diff = es[:, None, :] - mat[None, :, :]
+                    dist = np.round((diff * diff).sum(axis=2), 9)
+                    best = dist.argmin(axis=1)  # first min = lowest cell
+                    out_v.append(vids)
+                    out_s.append(np.full(len(vids), s, dtype=np.int32))
+                    out_c.append(cells[best])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_v),
+                        "sub": np.concatenate(out_s),
+                        "cell": np.concatenate(out_c),
+                    }
+                )
+
+        return emb.mapInPandas(run, "vec_id long, sub int, cell int")
 
     # codebooks are m x k x sub_dim values -- driver-materialized per
     # Lloyd step (audited small collect, 6dp-rounded doubles are
@@ -1555,7 +1583,7 @@ def pq_topk(
                 .collect()
             )
         ]
-        a0 = assign(_lit_cb(c0_rows))
+        a0 = assign(c0_rows)
         return [
             (r["sub"], r["cell"], r["i"], r["c"])
             for r in (
@@ -1567,8 +1595,9 @@ def pq_topk(
         ]
 
     key = (cache_key, k_codes, sub_dim) if cache_key is not None else None
-    c1 = _lit_cb(_cached_rows(_PQ_CODEBOOK_CACHE, key, _train))
-    codes = assign(c1)
+    c1_rows = _cached_rows(_PQ_CODEBOOK_CACHE, key, _train)
+    c1 = _lit_cb(c1_rows)  # the ADC pdot join still reads the literal table
+    codes = assign(c1_rows)
     q = eds.filter(F.col("vec_id") == query_vec_id).select(
         "i", F.col("v").alias("qv")
     )
