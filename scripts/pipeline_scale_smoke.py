@@ -102,7 +102,11 @@ mh = run(
     dedup_minhash_pairs,
     lambda df: f"pairs_j1={df.filter(F.col('jaccard') >= 0.999).count()}",
 )
-from probe_spark.entry_queries import _emb, semantic_dedup  # noqa: E402
+from probe_spark.entry_queries import (  # noqa: E402
+    _emb,
+    ivf_topk,
+    semantic_dedup,
+)
 
 run(
     "dedup_semantic(k=64)",
@@ -110,6 +114,21 @@ run(
         s, _emb(s, sf), k_cells=64, iters=2, cache_key=sf
     ),
     lambda df: f"dropped={df.filter(~F.col('kept')).count()}",
+)
+run(
+    "dedup_semantic(k=256)",
+    lambda s, sf: semantic_dedup(
+        s, _emb(s, sf), k_cells=256, iters=2, cache_key=sf + "#k256"
+    ),
+    lambda df: f"dropped={df.filter(~F.col('kept')).count()}",
+)
+run(
+    "ivf_topk(k=64,probe=8)",
+    lambda s, sf: ivf_topk(
+        s, _emb(s, sf), k_cells=64, nprobe=8, topk=5, iters=2,
+        cache_key=sf + "#ivf64",
+    ),
+    lambda df: f"top={[(r['vec_id'], round(r['cos'], 3)) for r in df.collect()][:3]}",
 )
 run("sim_knn_join", sim_knn_join, None)
 run(
