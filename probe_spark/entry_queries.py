@@ -1181,6 +1181,22 @@ _PQ_CODEBOOK_CACHE: dict[
 ] = {}
 
 
+def _round_half_away(x, digits: int):
+    """Sign-aware round-half-away-from-zero on an ndarray -- the tie
+    mode Spark's HALF_UP BigDecimal round and DuckDB's round() share on
+    doubles; np.round's half-to-even would be a third mode at exact
+    half boundaries.  Non-finite values pass through unchanged."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            np.isfinite(x),
+            np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale,
+            x,
+        )
+
+
 def _cached_rows(cache: dict, key, train):
     """The ONE get/train/store policy point for the trained-state memos
     (_CENTROID_CACHE / _PQ_CODEBOOK_CACHE): a future change to the
@@ -1245,9 +1261,17 @@ def _quantizer_sims(
         per-dimension join form multiplied rows by k x dim (N x k x dim
         rows per assignment -- unpayable once cell count scales with
         the corpus); here assignment is O(N) rows out and the centroids
-        ride the closure.  9dp rounding absorbs summation-order
-        differences between the matmul, the Spark long sum, and DuckDB
-        (the discipline every cosine in this module already relies on)."""
+        ride the closure.  9dp rounding (sign-aware half-away-from-zero
+        via _round_half_away -- the mode Spark's HALF_UP and DuckDB's
+        round() share here, where np.round's half-to-even would be a
+        third mode) absorbs summation-order differences between the
+        matmul, the Spark long sum, and DuckDB.  Edge parity with the
+        oracle: NULL / wrong-length embeddings emit no rows (unnest of
+        NULL unnests nothing), and a zero-norm vector or all-zero
+        degenerate centroid yields a NULL sim (DuckDB double x/0.0 is
+        NULL, sorting LAST under desc, so a degenerate cell never wins
+        assignment) -- the replaced long-format Spark division would
+        have THROWN under ANSI mode on that input."""
         import numpy as np
 
         cells = sorted({r[0] for r in rows})
@@ -1263,21 +1287,29 @@ def _quantizer_sims(
             import pandas as pd
 
             for pdf in it:
+                keep = pdf["embedding"].map(
+                    lambda x: x is not None and len(x) == dim
+                )
+                pdf = pdf[keep]
                 if not len(pdf):
                     continue
                 e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 vn = np.sqrt((e * e).sum(axis=1))
-                sims = np.round(
-                    (e @ cmat.T) / (vn[:, None] * cn[None, :]), 9
-                )
-                n, k = sims.shape
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = (e @ cmat.T) / (vn[:, None] * cn[None, :])
+                n, k = raw.shape
+                vals = _round_half_away(raw, 9).ravel()
+                # inf/nan (zero-norm divisions) -> pandas NA -> Spark NULL
                 yield pd.DataFrame(
                     {
                         "vec_id": np.repeat(
                             pdf["vec_id"].to_numpy(), k
                         ),
                         "cell": np.tile(cell_arr, n),
-                        "sim": sims.ravel(),
+                        "sim": pd.array(
+                            np.where(np.isfinite(vals), vals, np.nan),
+                            dtype="Float64",
+                        ),
                     }
                 )
 
@@ -1515,16 +1547,24 @@ def pq_topk(
         against the driver-built per-subspace codebooks (the long-format
         join form is N x dim x k rows per assignment, unpayable at
         production k=256 codes/subspace; it survives only in the SQL
-        oracle).  9dp rounding absorbs summation-order differences, the
-        same discipline as _quantizer_sims.assign_sims; argmin over
-        cell-ascending columns reproduces the lowest-cell tie-break."""
+        oracle).  9dp half-away-from-zero rounding (_round_half_away)
+        absorbs summation-order differences, the same discipline as
+        _quantizer_sims.assign_sims; argmin over cell-ascending columns
+        reproduces the lowest-cell tie-break.  Distances run one CELL at
+        a time (O(n x width) temporaries, never the n x k x width
+        broadcast cube -- 330 MB/batch at production k=256); the
+        trailing subspace may be narrower than sub_dim and is sliced to
+        its true width.  NULL / wrong-length embeddings emit no rows,
+        matching the oracle's unnest-of-NULL behavior."""
         import numpy as np
 
+        dim = 1 + max(r[2] for r in rows)
         subs = sorted({r[0] for r in rows})
         cb = {}
         for s in subs:
+            width = min(sub_dim, dim - s * sub_dim)
             cells = sorted({r[1] for r in rows if r[0] == s})
-            mat = np.zeros((len(cells), sub_dim), dtype=np.float64)
+            mat = np.zeros((len(cells), width), dtype=np.float64)
             cidx = {c: j for j, c in enumerate(cells)}
             for (rs, cell, i, c) in rows:
                 if rs == s:
@@ -1535,6 +1575,10 @@ def pq_topk(
             import pandas as pd
 
             for pdf in it:
+                keep = pdf["embedding"].map(
+                    lambda x: x is not None and len(x) == dim
+                )
+                pdf = pdf[keep]
                 if not len(pdf):
                     continue
                 e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -1542,9 +1586,12 @@ def pq_topk(
                 out_v, out_s, out_c = [], [], []
                 for s in subs:
                     cells, mat = cb[s]
-                    es = e[:, s * sub_dim : (s + 1) * sub_dim]
-                    diff = es[:, None, :] - mat[None, :, :]
-                    dist = np.round((diff * diff).sum(axis=2), 9)
+                    es = e[:, s * sub_dim : s * sub_dim + mat.shape[1]]
+                    dist = np.empty((len(es), len(cells)))
+                    for j in range(len(cells)):
+                        d = es - mat[j]
+                        dist[:, j] = (d * d).sum(axis=1)
+                    dist = _round_half_away(dist, 9)
                     best = dist.argmin(axis=1)  # first min = lowest cell
                     out_v.append(vids)
                     out_s.append(np.full(len(vids), s, dtype=np.int32))

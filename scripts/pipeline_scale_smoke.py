@@ -87,42 +87,55 @@ def run(name, fn, check):
     return df
 
 
-run(
+ent = run(
     "text_entropy",
     text_entropy,
     lambda df: f"mean_H={df.agg(F.avg('entropy_nats')).collect()[0][0]:.3f}",
 )
-run(
+assert ent.count() == N
+
+mix = run(
     "sample_epoch_mix",
     sample_epoch_mix,
     lambda df: f"copies/doc={df.count() / N:.3f}",
 )
+assert mix.count() > N  # net upsampling on the 20-source weight draw
+
 mh = run(
     "dedup_minhash_pairs",
     dedup_minhash_pairs,
     lambda df: f"pairs_j1={df.filter(F.col('jaccard') >= 0.999).count()}",
 )
+# every injected exact dup (5% of docs, doc i+1 copying doc i) must be
+# recovered as a jaccard-1 pair
+assert mh.filter(F.col("jaccard") >= 0.999).count() == N // 20
+
 from probe_spark.entry_queries import (  # noqa: E402
     _emb,
     ivf_topk,
     semantic_dedup,
 )
 
-run(
+sd = run(
     "dedup_semantic(k=64)",
     lambda s, sf: semantic_dedup(
         s, _emb(s, sf), k_cells=64, iters=2, cache_key=sf
     ),
     lambda df: f"dropped={df.filter(~F.col('kept')).count()}",
 )
-run(
+assert sd.count() == N  # one verdict row per vector
+assert 0 < sd.filter(~F.col("kept")).count() < N
+
+sd256 = run(
     "dedup_semantic(k=256)",
     lambda s, sf: semantic_dedup(
         s, _emb(s, sf), k_cells=256, iters=2, cache_key=sf + "#k256"
     ),
     lambda df: f"dropped={df.filter(~F.col('kept')).count()}",
 )
-run(
+assert sd256.count() == N
+
+ivf = run(
     "ivf_topk(k=64,probe=8)",
     lambda s, sf: ivf_topk(
         s, _emb(s, sf), k_cells=64, nprobe=8, topk=5, iters=2,
@@ -130,10 +143,21 @@ run(
     ),
     lambda df: f"top={[(r['vec_id'], round(r['cos'], 3)) for r in df.collect()][:3]}",
 )
-run("sim_knn_join", sim_knn_join, None)
-run(
+ivf_rows = ivf.collect()
+assert len(ivf_rows) == 5
+# vec 1 is the injected near-twin of the query (vec 0): it must rank top
+assert ivf_rows[0]["vec_id"] == 1 and ivf_rows[0]["cos"] > 0.99
+
+knn = run("sim_knn_join", sim_knn_join, None)
+assert knn.count() > 0
+
+pdc = run(
     "pipeline_dedup_corpus",
     pipeline_dedup_corpus,
     lambda df: f"cols={df.columns[:4]}",
 )
+surv = pdc.count()
+# exact + near dups collapse and the quality filter trims: strictly
+# fewer survivors than raw docs, but the corpus is not emptied
+assert 0 < surv < N
 print("PIPELINE SCALE SMOKE OK")
