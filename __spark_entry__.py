@@ -419,6 +419,120 @@ def probe_index_files_only_simple(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+MLT_SEED = 7  # deterministic seed doc; exists at every SF
+
+SUGGEST_TYPOS = ("lne", "sprak", "vale")  # d1 and d2 cases, multi-candidate
+
+
+def probe_index_mlt_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this through the index (SearchEngine.more_like_this):
+    re-analyze seed doc 7's text with the index's tokenizer, select its
+    top-8 discriminative terms integer-deterministically (seed tf desc,
+    dictionary df asc, term asc; df <= floor(0.95 * n) df cap,
+    len >= 3 drops particles), then serve the disjunctive BM25 bag from
+    the postings with the seed excluded.  DuckDB oracle = MLT_SQL, which
+    reproduces the selection AND the BM25 from raw text -- a drift in the
+    seed analysis, the dictionary df, OR the bag scorer breaks the hash."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    # df cap 0.95 here (not the 0.5 default): the synthetic corpus has a
+    # dense 31-term vocabulary where EVERY term's df is ~77% of n, so the
+    # real-corpus stopword cap would reject every candidate
+    return _rounded_topk(
+        eng.more_like_this(f"doc://{MLT_SEED:08d}", k=50, max_df_frac=0.95)
+    )
+
+
+def probe_index_suggest_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean over the index's term DICTIONARY
+    (SearchEngine.suggest): for each misspelled query, vocabulary terms
+    within levenshtein <= 2 ranked (distance asc, df desc, term asc) --
+    every ranking column an integer, so the DuckDB oracle reproduces the
+    rows bit-for-bit.  Puts the terms/df table itself under the driver's
+    gate through an edit-distance lens."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    frames = [
+        eng.suggest(q, max_dist=2, limit=5).select(
+            F.lit(q).alias("q"), "term", "df", "dist"
+        )
+        for q in SUGGEST_TYPOS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+        "q", "dist", F.desc("df"), "term"
+    )
+
+
+SNIPPET_W = 10  # snippet window width, tokens
+
+
+def probe_index_snippet_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippet / highlight generation (the reference renders the
+    matched code block per hit -- S7 formatters; the web-page analog is
+    the best text window): for each of the rounded-top-10 docs of
+    'spark join', the W=10-token window holding the most DISTINCT query
+    terms, ties broken by more total hits then earliest start.  Windows
+    are anchored at hit positions: an optimal fixed-width window can
+    always be shifted right until its first token is a hit without losing
+    content, and anchoring makes the winner deterministic in both
+    engines.  Hydration cost is k docs, never the corpus.  DuckDB oracle
+    = SNIPPET_SQL (positional tokens via generate_subscripts)."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    topk = _rounded_topk(eng.search("spark join", k=50)).select("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ("spark", "join")
+    W = SNIPPET_W
+    schema = "doc_id long, start long, n_terms long, n_hits long, snippet string"
+
+    def run(iterator):
+        import pandas as pd
+
+        from probe_spark.limits import best_window
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # keep empty tokens: positions must mirror the oracle's
+                # generate_subscripts over the raw split, 1-based
+                toks = (text or "").split(" ")
+                win = best_window(toks, terms, W)
+                if win is None:  # unreachable for postings-served hits
+                    continue
+                s, n_terms, n_hits = win
+                rows.append(
+                    (
+                        int(doc_id),
+                        s,
+                        n_terms,
+                        n_hits,
+                        " ".join(toks[s - 1 : s + W - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "start", "n_terms", "n_hits", "snippet"],
+            )
+
+    return (
+        topk.join(docs.select("doc_id", "text"), "doc_id")
+        .mapInPandas(run, schema)
+        .orderBy(F.asc("doc_id"))
+    )
+
+
 BATCH_QUERIES: dict[str, str] = {
     # stemming-invariant terms so the elastic pipeline resolves them to
     # the same strings the simple-tokenizer index stores; the shapes
@@ -607,6 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_pipeline_serve"] = _shipped(probe_index_pipeline_serve)
     out["probe_index_files_only_simple"] = _shipped(probe_index_files_only_simple)
     out["probe_index_batch_simple"] = _shipped(probe_index_batch_simple)
+    out["probe_index_mlt_simple"] = _shipped(probe_index_mlt_simple)
+    out["probe_index_suggest_simple"] = _shipped(probe_index_suggest_simple)
+    out["probe_index_snippet_simple"] = _shipped(probe_index_snippet_simple)
     return out
 
 
@@ -631,6 +748,99 @@ SELECT m.doc_id,
             / (1 + 1.2 * (1 - 0.75 + 0.75 * m.dl / st.avgdl)), 6) AS score
 FROM m CROSS JOIN df CROSS JOIN st
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# more-like-this oracle: reproduces the INTEGER-deterministic term
+# selection (seed tf desc, corpus df asc, term asc; len >= 3,
+# df <= floor(n/2)) and the disjunctive BM25 bag (k1=1.2, b=0.75, same
+# formulas as _BM25_CTE) from raw text, seed excluded from results.
+MLT_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              avg(dl) AS avgdl FROM dl),
+alldf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+          GROUP BY term),
+seed AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+         WHERE doc_id = {MLT_SEED} GROUP BY term),
+sel AS (SELECT s.term FROM seed s JOIN alldf USING (term) CROSS JOIN st
+        WHERE length(s.term) >= 3
+          AND alldf.df <= CAST(floor(0.95 * st.n) AS BIGINT)
+        ORDER BY s.tf DESC, alldf.df ASC, s.term ASC LIMIT 8),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+sc AS (SELECT tf.doc_id,
+         sum( ln(1 + (st.n - alldf.df + 0.5)/(alldf.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+           AS score
+       FROM tf JOIN alldf USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc WHERE doc_id <> {MLT_SEED}
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# did-you-mean oracle: dictionary df recomputed from raw text, candidates
+# within levenshtein 2, ranking all-integer (dist asc, df desc, term asc)
+SUGGEST_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+    " FROM documents),\n"
+    "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok"
+    " WHERE term <> '' GROUP BY term)\n"
+    + "\nUNION ALL\n".join(
+        f"(SELECT '{q}' AS q, term, df, levenshtein(term, '{q}')::BIGINT"
+        f" AS dist FROM df WHERE levenshtein(term, '{q}') <= 2"
+        f" ORDER BY dist ASC, df DESC, term ASC LIMIT 5)"
+        for q in SUGGEST_TYPOS
+    )
+    + "\nORDER BY q ASC, dist ASC, df DESC, term ASC"
+)
+
+# snippet oracle: rounded-top-10 of the R1 bag (same CTE math), then the
+# best hit-anchored W=10 window per doc via positional tokens
+SNIPPET_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+       GROUP BY term),
+sc AS (SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+           AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id),
+topk AS (SELECT doc_id FROM sc
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10),
+lists AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
+          FROM documents d JOIN topk USING (doc_id)),
+pos AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+        FROM lists),
+hit AS (SELECT doc_id, pos, term FROM pos
+        WHERE term IN ('spark', 'join')),
+win AS (SELECT s.doc_id, s.pos AS start,
+               count(DISTINCT h.term)::BIGINT AS n_terms,
+               count(*)::BIGINT AS n_hits
+        FROM hit s JOIN hit h
+          ON h.doc_id = s.doc_id
+         AND h.pos BETWEEN s.pos AND s.pos + {SNIPPET_W - 1}
+        GROUP BY s.doc_id, s.pos),
+best AS (SELECT doc_id, start, n_terms, n_hits,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rk
+         FROM win)
+SELECT b.doc_id, b.start::BIGINT AS start, b.n_terms, b.n_hits,
+       array_to_string(l[b.start : b.start + {SNIPPET_W - 1}], ' ')
+         AS snippet
+FROM best b JOIN lists USING (doc_id)
+WHERE b.rk = 1
+ORDER BY b.doc_id ASC
 """
 
 FILES_ONLY_SQL = """
@@ -661,4 +871,7 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_pipeline_serve"] = _pipeline_serve_sql()
     out["probe_index_files_only_simple"] = FILES_ONLY_SQL
     out["probe_index_batch_simple"] = _batch_sql()
+    out["probe_index_mlt_simple"] = MLT_SQL
+    out["probe_index_suggest_simple"] = SUGGEST_SQL
+    out["probe_index_snippet_simple"] = SNIPPET_SQL
     return out

@@ -631,6 +631,16 @@ def main() -> None:
         ("op_text_entropy", text_entropy),
         ("op_shard_manifest", pipeline_shard_manifest),
         ("op_events_transitions", events_transition_matrix),
+        # index-native serving extras over the bench's own full-probe
+        # index: more-like-this (seed fetch + dictionary lookup + bag
+        # query) and did-you-mean (vocabulary-sized levenshtein scan)
+        (
+            "op_more_like_this",
+            lambda _s, _d: eng.more_like_this(
+                "doc://00000007", k=10, max_df_frac=0.95
+            ),
+        ),
+        ("op_suggest", lambda _s, _d: eng.suggest("sprak")),
     ):
         ts = []
         for _ in range(2):

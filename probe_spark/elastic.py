@@ -567,6 +567,35 @@ def collect_required_terms(expr: Expr) -> set[str]:
     return out
 
 
+def plan_from_index_terms(terms) -> QueryPlan:
+    """Implicit-OR bag plan over ALREADY-RESOLVED index terms (the
+    more-like-this support path): parse-time expansion/stemming is skipped
+    because the terms come from the index's own vocabulary, not from user
+    input -- feeding them back through the parser would re-stem them into
+    forms a simple-tokenizer index never stored."""
+    uniq = sorted({t.lower() for t in terms if t})
+    if not uniq:
+        raise ParseError("plan_from_index_terms: no terms")
+    ast: Expr | None = None
+    for t in uniq:
+        node: Expr = Term(keywords=(t,))
+        ast = node if ast is None else Or(ast, node)
+    return QueryPlan(
+        ast=ast,
+        term_indices={t: i for i, t in enumerate(uniq)},
+        excluded_terms=frozenset(),
+        exact=False,
+        is_simple_query=isinstance(ast, Term),
+        required_terms=frozenset(),
+        has_required_anywhere=False,
+        required_terms_indices=frozenset(),
+        has_only_excluded_terms=False,
+        is_universal_query=False,
+        special_terms=frozenset(),
+        filters={},
+    )
+
+
 def create_query_plan(query: str, exact: bool = False) -> QueryPlan:
     """query.rs:94-227 + filter extraction (search_runner.rs:392-411)."""
     ast, special = parse_query(query, exact)

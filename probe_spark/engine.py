@@ -358,6 +358,19 @@ class SearchEngine:
         # singleton stats come straight from the parquet file driver-side
         # (pyarrow): constructing an engine should not cost a Spark job
         self.n_docs, self.avgdl = _read_stats(p / "stats")
+        # the build manifest records which tokenizer produced the postings;
+        # more_like_this must analyze the seed doc with the SAME one
+        self._tokenizer = "probe"
+        mf = p / "manifest.json"
+        if mf.exists():
+            import json
+
+            try:
+                self._tokenizer = json.loads(mf.read_text()).get(
+                    "tokenizer", "probe"
+                )
+            except (OSError, ValueError):
+                pass
         self._postings_path = str(p / "postings")
         # the doc store IS the ingest snapshot (text is written once at
         # build time); doc_len lives in the slim doc_lens table and is
@@ -1160,6 +1173,94 @@ class SearchEngine:
         if with_matches:
             hits = self._hydrate_matches(hits, cand, idfs)
         return self._ranked(hits, extra)
+
+    def more_like_this(
+        self,
+        url: str,
+        k: int = 10,
+        max_terms: int = 8,
+        min_term_len: int = 3,
+        max_df_frac: float = 0.5,
+    ) -> DataFrame:
+        """More-like-this (the Elasticsearch MLT analog; the reference has
+        no direct equivalent -- this is the index-native 'find similar
+        pages' query a web-search deployment serves).  Scale shape: ONE
+        doc-store fetch for the seed (url-keyed), ONE term-dictionary
+        lookup for its candidate terms, then the standard disjunctive-bag
+        postings query -- never a corpus scan, exactly like re-analyzing
+        the seed doc when term vectors aren't stored.
+
+        Term selection is integer-deterministic so a SQL oracle reproduces
+        it exactly: candidates are the seed's tokens with
+        ``len(term) >= min_term_len`` and dictionary
+        ``df <= floor(max_df_frac * n_docs)`` (the df cap drops
+        quasi-stopwords), ranked (seed tf desc, df asc, term asc), top
+        ``max_terms``.  A float tf-idf ranking could flip ulp-ties across
+        engines; the integer ordering cannot."""
+        self.check_refresh()
+        row = (
+            self._docs_text()
+            .filter(F.col("url") == url)
+            .select("doc_id", "text")
+            .head()
+        )
+        if row is None:
+            raise KeyError(f"more_like_this: url not indexed: {url!r}")
+        seed_id, text = int(row["doc_id"]), row["text"] or ""
+        if self._tokenizer == "simple":
+            toks = [t for t in text.split(" ") if t]
+        else:
+            from probe_spark.textkit import tokenize
+
+            toks = tokenize(text)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        cand = sorted(t for t in counts if len(t) >= min_term_len)
+        dfs = self.term_dfs(cand)
+        df_cap = int(max_df_frac * self.n_docs)
+        eligible = [t for t in cand if 0 < dfs.get(t, 0) <= df_cap]
+        sel = sorted(eligible, key=lambda t: (-counts[t], dfs[t], t))
+        sel = sel[:max_terms]
+        if not sel:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, url string, score double"
+            )
+        plan = elastic.plan_from_index_terms(sel)
+        scored, _cand, _idfs, _zero = self._match_frames(plan)
+        hits = (
+            scored.filter(F.col("doc_id") != seed_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return self._ranked(hits)
+
+    def suggest(
+        self, term: str, max_dist: int = 2, limit: int = 5
+    ) -> DataFrame:
+        """Spelling suggestion from the term DICTIONARY (did-you-mean):
+        terms within levenshtein ``max_dist`` of the query, ranked
+        (distance asc, df desc, term asc) -- all integer columns, so the
+        ranking is reproducible bit-for-bit by a SQL oracle.  Scale shape:
+        the scan is VOCABULARY-sized, never corpus-sized, and the
+        ``|len(term) - len(q)| <= max_dist`` prefilter runs JVM-side
+        before any edit-distance work; at web-scale vocabularies a
+        SymSpell delete-bucket lane would bound it further."""
+        self.check_refresh()
+        q = term.lower()
+        return (
+            self._terms_df.select("term", F.col("df").cast("long").alias("df"))
+            .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
+            .withColumn(
+                "dist", F.levenshtein(F.col("term"), F.lit(q)).cast("long")
+            )
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
 
     def search_batch(
         self,

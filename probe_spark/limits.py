@@ -227,3 +227,30 @@ def format_results(
 
         return "\n".join(line(r) for r in rows)
     raise ValueError(f"unknown format: {fmt}")
+
+
+def best_window(
+    tokens: list[str], terms, width: int = 10
+) -> tuple[int, int, int] | None:
+    """Best snippet window for highlighting: among windows of ``width``
+    tokens ANCHORED at query-term hits, the one holding the most DISTINCT
+    query terms; ties broken by more total hits, then earliest start.
+    (An optimal fixed-width window can always be shifted right until its
+    first token is a hit without losing content, so hit-anchoring loses
+    nothing and makes the winner deterministic -- the same rule the
+    SNIPPET_SQL DuckDB oracle implements.)  Positions are 1-based over the
+    RAW token list (empties included) to mirror SQL generate_subscripts.
+    Returns (start, n_distinct_terms, n_hits), or None when no token
+    matches."""
+    tset = set(terms)
+    hits = [(i + 1, t) for i, t in enumerate(tokens) if t in tset]
+    best: tuple[tuple[int, int, int], int, int, int] | None = None
+    for s, _ in hits:
+        inw = [(p, t) for p, t in hits if s <= p <= s + width - 1]
+        key = (-len({t for _, t in inw}), -len(inw), s)
+        if best is None or key < best[0]:
+            best = (key, s, -key[0], -key[1])
+    if best is None:
+        return None
+    _, s, n_terms, n_hits = best
+    return s, n_terms, n_hits
