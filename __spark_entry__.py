@@ -752,7 +752,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 # more-like-this oracle: reproduces the INTEGER-deterministic term
 # selection (seed tf desc, corpus df asc, term asc; len >= 3,
-# df <= floor(n/2)) and the disjunctive BM25 bag (k1=1.2, b=0.75, same
+# df <= floor(0.95 * n)) and the disjunctive BM25 bag (k1=1.2, b=0.75, same
 # formulas as _BM25_CTE) from raw text, seed excluded from results.
 MLT_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1164,6 +1164,92 @@ SELECT vec_id, rank::BIGINT AS rank, nbr, cos FROM r WHERE rank <= 3
 """
 
 
+# hard-negative band: similar enough to be an informative contrastive
+# negative, safely below the near-dup threshold family (dedup_embed_*
+# uses cos >= 0.35 as DUPLICATE on this synthetic corpus; the band
+# straddles it deliberately -- negatives are mined BEFORE dedup drops
+# the top of the band)
+HARD_NEG_LO, HARD_NEG_HI = 0.30, 0.45
+HARD_NEG_K = 3
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector (vec_id
+    0..4) the top-3 candidates by cosine INSIDE [0.30, 0.45] -- the band
+    where a negative is similar enough to teach the model something but
+    not a near-duplicate (SimCLR/DPR-style curation).  Banding and
+    ranking use the 6dp-ROUNDED cosine so both engines order identical
+    values.
+
+    Scale shape: the anchor set is broadcast, the corpus is scanned ONCE
+    (map-side dot products via zip_with -- JVM, no Python), and the
+    per-anchor top-k is a window partitioned by anchor, never a global
+    sort.  When the anchor set grows past broadcast size, candidate
+    generation moves to the IVF/LSH lanes (sim_ivf_topk, sim_knn_join)
+    and only in-band candidates reach this ranking."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("q")
+    )
+    joined = emb.crossJoin(F.broadcast(anchors)).filter(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qn2 = F.aggregate(
+        F.transform("q", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        joined.select(
+            "anchor_id",
+            "vec_id",
+            F.round(dot / (F.sqrt(n2) * F.sqrt(qn2)), 6).alias("cos"),
+        )
+        .filter(
+            (F.col("cos") >= HARD_NEG_LO) & (F.col("cos") <= HARD_NEG_HI)
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+SIM_HARD_NEG_SQL = f"""
+WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id <= 4),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+c AS (SELECT q.anchor_id, e.vec_id,
+             round(list_dot_product(ev, qe)
+                   / (sqrt(list_dot_product(ev, ev))
+                      * sqrt(list_dot_product(qe, qe))), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.anchor_id),
+r AS (SELECT anchor_id, vec_id, cos,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM c WHERE cos BETWEEN {HARD_NEG_LO} AND {HARD_NEG_HI})
+SELECT anchor_id, vec_id, cos, rank::BIGINT AS rank
+FROM r WHERE rank <= {HARD_NEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
 #: trained-centroid cache keyed by (corpus key, k_cells, iters).  The
 #: centroids are PLAIN PYTHON floats (k x dim values, 6dp-rounded), a
 #: pure deterministic function of the input table -- caching them is the
@@ -5375,6 +5461,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "sample_dsir": (sample_dsir, SAMPLE_DSIR_SQL),
     "sim_knn_join": (sim_knn_join, SIM_KNN_SQL),
+    "sim_hard_negatives": (sim_hard_negatives, SIM_HARD_NEG_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "cluster_assign": (cluster_assign, CLUSTER_ASSIGN_SQL),
     "filter_proto_prune": (filter_proto_prune, FILTER_PROTO_PRUNE_SQL),
