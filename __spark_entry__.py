@@ -533,6 +533,60 @@ def probe_index_snippet_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_Q = "s"  # expands to multiple vocabulary terms at every SF
+PREFIX_MAX_TERMS = 4
+
+
+def probe_index_prefix_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix / trailing-wildcard query 's*' through the index
+    (SearchEngine.prefix_search): the term dictionary expands the prefix
+    to its top-4 terms (df desc, term asc -- Lucene's capped
+    top-terms-N rewrite, integer-deterministic), then the disjunctive
+    BM25 bag serves the expansion from the postings.  DuckDB oracle =
+    PREFIX_SQL, which reproduces the selection from raw-text dfs AND the
+    bag scoring -- a drift in the dictionary dfs, the rewrite ranking,
+    or the bag scorer breaks the hash."""
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    return _rounded_topk(
+        eng.prefix_search(PREFIX_Q, max_terms=PREFIX_MAX_TERMS, k=50)
+    )
+
+
+FACET_TOP = 3  # hits kept per facet
+
+
+def probe_index_facets_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search over the index (SearchEngine.facets; the
+    Elasticsearch terms-agg + top_hits analog, reference outline format
+    groups hits by directory -- search_output.rs:2658+): ALL docs
+    matching 'spark join' scored through the postings, grouped by the
+    documents table's lang column; per facet the match count and the
+    top-3 hits by (6dp-rounded score desc, doc_id asc).  DuckDB oracle =
+    FACETS_SQL (same bag math + window)."""
+    from pyspark.sql import functions as F
+
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    eng = SearchEngine(spark, ix)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = docs.select(
+        F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+        F.col("lang").alias("facet"),
+    )
+    out = eng.facets("spark join", meta, top_per_facet=FACET_TOP)
+    return out.select(
+        "facet",
+        "n_docs",
+        "rank",
+        F.regexp_extract("url", r"(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    ).orderBy("facet", "rank")
+
+
 BATCH_QUERIES: dict[str, str] = {
     # stemming-invariant terms so the elastic pipeline resolves them to
     # the same strings the simple-tokenizer index stores; the shapes
@@ -724,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_mlt_simple"] = _shipped(probe_index_mlt_simple)
     out["probe_index_suggest_simple"] = _shipped(probe_index_suggest_simple)
     out["probe_index_snippet_simple"] = _shipped(probe_index_snippet_simple)
+    out["probe_index_prefix_simple"] = _shipped(probe_index_prefix_simple)
+    out["probe_index_facets_simple"] = _shipped(probe_index_facets_simple)
     return out
 
 
@@ -843,6 +899,65 @@ WHERE b.rk = 1
 ORDER BY b.doc_id ASC
 """
 
+# prefix-query oracle: reproduces the INTEGER-deterministic top-terms-N
+# rewrite (term LIKE 'prefix%', ranked df desc / term asc, capped) from
+# raw-text dfs, then the same disjunctive BM25 bag as the engine
+PREFIX_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              avg(dl) AS avgdl FROM dl),
+alldf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+          WHERE term <> '' GROUP BY term),
+sel AS (SELECT term FROM alldf WHERE term LIKE '{PREFIX_Q}%'
+        ORDER BY df DESC, term ASC LIMIT {PREFIX_MAX_TERMS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+sc AS (SELECT tf.doc_id,
+         sum( ln(1 + (st.n - alldf.df + 0.5)/(alldf.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+           AS score
+       FROM tf JOIN alldf USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# facets oracle: the R1 bag scored over ALL matches (not top-k), joined
+# to the documents lang dimension; per-facet count + top-3 window over
+# the 6dp-ROUNDED score (rounded before ranking, same as the engine)
+FACETS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+       GROUP BY term),
+sc AS (SELECT tf.doc_id,
+         round(sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ), 6)
+           AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY tf.doc_id),
+j AS (SELECT sc.doc_id, sc.score, d.lang AS facet
+      FROM sc JOIN documents d USING (doc_id)),
+cnt AS (SELECT facet, count(*)::BIGINT AS n_docs FROM j GROUP BY facet),
+top AS (SELECT facet, doc_id, score,
+               row_number() OVER (PARTITION BY facet
+                 ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+        FROM j)
+SELECT t.facet, c.n_docs, t.rank, t.doc_id, t.score
+FROM top t JOIN cnt c USING (facet)
+WHERE t.rank <= {FACET_TOP}
+ORDER BY t.facet, t.rank
+"""
+
 FILES_ONLY_SQL = """
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -874,4 +989,6 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_mlt_simple"] = MLT_SQL
     out["probe_index_suggest_simple"] = SUGGEST_SQL
     out["probe_index_snippet_simple"] = SNIPPET_SQL
+    out["probe_index_prefix_simple"] = PREFIX_SQL
+    out["probe_index_facets_simple"] = FACETS_SQL
     return out

@@ -563,6 +563,8 @@ def main() -> None:
         text_entropy,
         pipeline_shard_manifest,
         events_transition_matrix,
+        events_kmv_distinct,
+        dedup_containment,
     )
 
     # the four quantizer consumers share path-keyed trained-centroid /
@@ -641,6 +643,23 @@ def main() -> None:
             ),
         ),
         ("op_suggest", lambda _s, _d: eng.suggest("sprak")),
+        ("op_kmv_distinct", events_kmv_distinct),
+        ("op_containment", dedup_containment),
+        # prefix-wildcard: dictionary top-terms rewrite + bag scoring
+        (
+            "op_prefix_search",
+            lambda _s, _d: eng.prefix_search("sp", max_terms=4, k=10),
+        ),
+        # faceted results: all matches grouped by a 16-way url-hash facet
+        (
+            "op_facets",
+            lambda _s, _d: eng.facets(
+                "spark join",
+                eng._docs().select(
+                    "url", F.substring(F.md5("url"), 1, 1).alias("facet")
+                ),
+            ),
+        ),
     ):
         ts = []
         for _ in range(2):

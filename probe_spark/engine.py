@@ -1262,6 +1262,94 @@ class SearchEngine:
             .limit(limit)
         )
 
+    def prefix_search(
+        self, prefix: str, max_terms: int = 4, k: int = 10
+    ) -> DataFrame:
+        """Prefix / trailing-wildcard query (``prefix*``) served entirely
+        from the index: the term DICTIONARY expands the prefix to its top
+        ``max_terms`` concrete terms (df desc, term asc -- Lucene's
+        top-terms-N rewrite, all-integer so a SQL oracle reproduces the
+        selection exactly), then the standard disjunctive BM25 bag serves
+        the expanded terms from the postings.  Scale shape: the expansion
+        scan is vocabulary-sized, never corpus-sized (a real deployment
+        range-prunes the df-sorted dictionary by the prefix bounds), and
+        an over-broad wildcard can never explode the scoring plan because
+        the rewrite is capped at ``max_terms`` terms -- the same guard
+        Lucene's rewrite applies."""
+        self.check_refresh()
+        p = prefix.lower().rstrip("*")
+        if not p:
+            raise ValueError("prefix_search: empty prefix")
+        rows = (
+            self._terms_df.select(
+                "term", F.col("df").cast("long").alias("df")
+            )
+            .filter(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        sel = [r["term"] for r in rows]
+        if not sel:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, url string, score double"
+            )
+        plan = elastic.plan_from_index_terms(sel)
+        scored, _cand, _idfs, _zero = self._match_frames(plan)
+        hits = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return self._ranked(hits)
+
+    def facets(
+        self,
+        query: str,
+        meta: DataFrame,
+        top_per_facet: int = 3,
+    ) -> DataFrame:
+        """Faceted result grouping (the Elasticsearch terms-aggregation +
+        top_hits analog; the reference's outline format groups hits by
+        directory, search_output.rs:2658+ -- grouping by a page-metadata
+        dimension is the web-corpus analog): score ALL docs matching
+        ``query`` through the index, join the caller's ``meta`` table
+        ((url, facet) -- lang, source domain, crawl snapshot, ...), and
+        return per-facet match counts plus the top ``top_per_facet`` hits
+        per facet by (6dp-rounded score desc, doc_id asc).  Scores are
+        rounded BEFORE ranking so summation-order ulps can't flip a facet
+        rank across engines.  Scale shape: the scored set stays
+        distributed end to end -- one url-keyed join, one hash aggregate
+        for the counts, one window partitioned by facet; nothing corpus-
+        sized is collected, and a hot facet costs one window partition,
+        not a driver loop."""
+        from pyspark.sql.window import Window
+
+        self.check_refresh()
+        plan = elastic.create_query_plan(query, False)
+        scored, _cand, _idfs, zero = self._match_frames(plan)
+        m = scored.select("doc_id", F.round("score", 6).alias("score"))
+        if zero:
+            m = scored.select("doc_id", F.lit(0.0).alias("score"))
+        j = m.join(self._docs().select("doc_id", "url"), "doc_id").join(
+            meta.select("url", "facet"), "url"
+        )
+        counts = j.groupBy("facet").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        w = Window.partitionBy("facet").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        top = (
+            j.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_per_facet)
+        )
+        return top.join(counts, "facet").select(
+            "facet", "n_docs", "rank", "url", "score"
+        )
+
     def search_batch(
         self,
         queries: dict[str, str],

@@ -538,6 +538,58 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+_CONTAINMENT_MIN = 0.8  # |A inter B| / |A| threshold
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment pairs (Broder's containment coefficient):
+    doc_a is flagged as contained in doc_b when
+    |shingles(A) inter shingles(B)| / |shingles(A)| >= 0.8 -- the
+    quote-inclusion / aggregator-page case symmetric Jaccard misses (a
+    short doc quoted inside a long one has low Jaccard but containment
+    ~1; training pipelines drop the contained copy, e.g. Dolma's
+    paragraph-level dedup).  Directional: (a,b) and (b,a) are distinct
+    verdicts.  Same scale guards as the Jaccard entry: the self-join key
+    is a df-capped shingle, never the corpus."""
+    sh = _capped_shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n", "na"
+            ),
+            "doc_a",
+        )
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("na"), 6)
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_MIN)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+shc AS ({_SQL_CAPPED_SHINGLES}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+          FROM shc a JOIN shc b USING (shingle)
+          WHERE a.doc_id <> b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(inter / sa.n, 6) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+WHERE inter / sa.n >= {_CONTAINMENT_MIN}
+"""
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE near-dup pair pipeline with both scale guards
     (probe_spark.dedup): exact-text collapse (lossless -- a mass-duplicate
@@ -2242,6 +2294,86 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(DISTINCT user_id)::BIGINT AS n_users,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+_KMV_K = 16  # sketch size; estimate = (k-1) / k-th smallest unit hash
+_KMV_SCALE = float(1 << 52)  # 16^13 -- 13 hex digits fit a double exactly
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH per event_type: K-minimum-values (KMV /
+    bottom-k, Bar-Yossef et al. 2002) with k=16 -- the k-th smallest
+    md5-derived unit hash r_k gives the unbiased estimate (k-1)/r_k,
+    reported next to the exact count.  Unlike HLL the sketch is fully
+    DETERMINISTIC (md5, first 13 hex digits = 52 bits, exact in a
+    double), so the DuckDB oracle reproduces the estimate bit-for-bit --
+    the gate a sketch operator normally can't have.  Groups with fewer
+    than k members ARE their own sketch (estimate = exact, the standard
+    KMV small-set case).
+
+    Scale shape: this is how you count distincts at 100 TB -- the
+    per-group state is k values however hot the key (mergeable across
+    partitions; Spark's built-in approx_count_distinct is the same idea
+    with HLL++), where exact countDistinct shuffles every distinct
+    member.  The exact column here is the oracle anchor; production
+    drops it."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uh = (
+        ev.select(
+            "event_type", F.col("user_id").cast("string").alias("u")
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("u"), 1, 13), 16, 10).cast("double")
+            / F.lit(_KMV_SCALE),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("u"))
+    kth = (
+        uh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == _KMV_K)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = uh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.coalesce(
+                    F.lit(float(_KMV_K - 1)) / F.col("kth"),
+                    F.col("n_exact").cast("double"),
+                ),
+                6,
+            ).alias("n_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_KMV_SQL = f"""
+WITH uh AS (SELECT DISTINCT event_type, user_id::VARCHAR AS u FROM events),
+h AS (SELECT event_type, u,
+        ('0x' || substr(md5(u), 1, 13))::UBIGINT::DOUBLE / {_KMV_SCALE!r} AS h
+      FROM uh),
+rk AS (SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY h ASC, u ASC) AS rk
+       FROM h),
+kth AS (SELECT event_type, h AS kth FROM rk WHERE rk = {_KMV_K}),
+ex AS (SELECT event_type, count(*)::BIGINT AS n_exact FROM uh GROUP BY 1)
+SELECT ex.event_type, ex.n_exact,
+       round(coalesce({float(_KMV_K - 1)!r} / kth.kth,
+                      ex.n_exact::DOUBLE), 6) AS n_est
+FROM ex LEFT JOIN kth USING (event_type)
+ORDER BY ex.event_type
 """
 
 
@@ -5402,6 +5534,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
@@ -5424,6 +5557,7 @@ ALL_QUERIES: dict[str, tuple] = {
     ),
     "events_anomaly_mad": (events_anomaly_mad, EVENTS_ANOMALY_SQL),
     "events_distinct_users": (events_distinct_users, EVENTS_DAU_SQL),
+    "events_kmv_distinct": (events_kmv_distinct, EVENTS_KMV_SQL),
     "filter_blocklist": (filter_blocklist, FILTER_BLOCKLIST_SQL),
     "dedup_cross_source_matrix": (
         dedup_cross_source_matrix,
