@@ -565,6 +565,8 @@ def main() -> None:
         events_transition_matrix,
         events_kmv_distinct,
         dedup_containment,
+        events_bot_flags,
+        graph_reciprocal,
     )
 
     # the four quantizer consumers share path-keyed trained-centroid /
@@ -645,6 +647,8 @@ def main() -> None:
         ("op_suggest", lambda _s, _d: eng.suggest("sprak")),
         ("op_kmv_distinct", events_kmv_distinct),
         ("op_containment", dedup_containment),
+        ("op_bot_flags", events_bot_flags),
+        ("op_graph_reciprocal", graph_reciprocal),
         # prefix-wildcard: dictionary top-terms rewrite + bag scoring
         (
             "op_prefix_search",

@@ -5479,6 +5479,130 @@ GROUP BY from_type, to_type
 """
 
 
+# bot rule: sustained volume AND at least one burst-speed gap
+_BOT_MIN_EVENTS = 50
+_BOT_MIN_GAP_US = 300_000_000  # 5 minutes
+
+
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler/bot-traffic detection -- the filter every web-analytics and
+    crawl pipeline runs before training on clickstream-derived signals:
+    per user the event count, active span, and MINIMUM inter-event gap
+    (ties on ts break by event_id, like the transition matrix), flagged
+    as a bot when volume is sustained (>= 50 events) AND at least one
+    gap is burst-fast (< 5 min).  Every column is integer microseconds
+    (unix_micros / epoch_us), so the verdict is bit-deterministic across
+    engines -- no float rate math.
+
+    Scale plan: ONE shuffle on user_id feeding a lag window over the
+    user's (bounded) event list, then a map-side-combinable per-user
+    aggregate; the corpus is never re-scanned per rule.  A real
+    deployment adds per-(user, UA) keys and more rules on the same
+    single-window frame."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: timestampdiff is the tz-free exact-micros path
+    # (unix_micros rejects NTZ; casting through TIMESTAMP would drag the
+    # session timezone in)
+    t = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    g = ev.select(
+        "user_id",
+        t.alias("t"),
+        (t - F.lag(t).over(w)).alias("gap"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+        )
+        .withColumn(
+            "is_bot",
+            (F.col("n_events") >= _BOT_MIN_EVENTS)
+            & (F.col("min_gap_us") < _BOT_MIN_GAP_US),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_BOT_SQL = f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS span_us,
+       min(gap)::BIGINT AS min_gap_us,
+       (count(*) >= {_BOT_MIN_EVENTS}
+        AND min(gap) < {_BOT_MIN_GAP_US}) AS is_bot
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def graph_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link ratio per page -- a classic link-spam / link-farm
+    signal (organic link graphs are strongly asymmetric; mutual-link
+    cliques are a SEO signature).  Self-loops are excluded; the ratio is
+    integer parts-per-million (1e6 * n_recip DIV out_deg) so the verdict
+    is bit-deterministic under any aggregation order, like the PageRank
+    and HITS entries.
+
+    Scale plan: the edge table joins its own reverse on the (dst, src)
+    key -- one shuffle join on the edge key, no corpus-quadratic step;
+    counts are map-side combinable.  Hot hubs cost one skewed join key,
+    which AQE skew-join splits."""
+    docs = _docs(spark, sf_dir)
+    edges = _graph_edges(docs).filter(F.col("src") != F.col("dst"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "leftsemi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    return (
+        out_deg.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            # integer floor-div (DIV), not float-divide-then-cast: Spark's
+            # double->long cast truncates while DuckDB's CAST rounds --
+            # floor division is the one form both engines agree on
+            F.expr(
+                "coalesce(n_recip, 0L) * 1000000L DIV out_deg"
+            ).alias("recip_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+GRAPH_RECIPROCAL_SQL = f"""
+WITH {_GRAPH_EDGE_CTES},
+e AS (SELECT src, dst FROM edges WHERE src <> dst),
+recip AS (SELECT e.src, count(*)::BIGINT AS n_recip
+          FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+          GROUP BY e.src),
+od AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src)
+SELECT od.src AS node, od.out_deg,
+       coalesce(recip.n_recip, 0)::BIGINT AS n_recip,
+       ((coalesce(recip.n_recip, 0) * 1000000) // od.out_deg)::BIGINT
+         AS recip_ppm
+FROM od LEFT JOIN recip USING (src)
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full probe-tokenizer operators (no SQL oracle -- pytest-verified instead)
 # ---------------------------------------------------------------------------
@@ -5558,6 +5682,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "events_anomaly_mad": (events_anomaly_mad, EVENTS_ANOMALY_SQL),
     "events_distinct_users": (events_distinct_users, EVENTS_DAU_SQL),
     "events_kmv_distinct": (events_kmv_distinct, EVENTS_KMV_SQL),
+    "events_bot_flags": (events_bot_flags, EVENTS_BOT_SQL),
     "filter_blocklist": (filter_blocklist, FILTER_BLOCKLIST_SQL),
     "dedup_cross_source_matrix": (
         dedup_cross_source_matrix,
@@ -5611,6 +5736,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_indegree_histogram": (graph_indegree_histogram, GRAPH_INDEG_HIST_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
+    "graph_reciprocal": (graph_reciprocal, GRAPH_RECIPROCAL_SQL),
     "text_readability": (text_readability, READABILITY_SQL),
     "sample_epoch_mix": (sample_epoch_mix, SAMPLE_EPOCH_MIX_SQL),
     "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),

@@ -236,3 +236,72 @@ def test_events_transition_matrix_tie_break(spark, tmp_path):
         ("view", "view"): 1,
         ("view", "purchase"): 1,
     }
+
+
+def test_graph_reciprocal_brute_force(spark, tmp_path):
+    from probe_spark.entry_queries import graph_reciprocal
+
+    sf_dir = _write_docs(tmp_path)
+    edges = {(u, v) for u, v in _edges(N) if u != v}
+    out_deg = {u: sum(1 for a, _ in edges if a == u) for u, _ in edges}
+    n_recip = {
+        u: sum(1 for a, b in edges if a == u and (b, a) in edges)
+        for u in out_deg
+    }
+    got = {
+        r["node"]: (r["out_deg"], r["n_recip"], r["recip_ppm"])
+        for r in graph_reciprocal(spark, sf_dir).collect()
+    }
+    assert got == {
+        u: (out_deg[u], n_recip[u], n_recip[u] * 1_000_000 // out_deg[u])
+        for u in out_deg
+    }
+    # the fixture exercises both reciprocated and one-way edges
+    assert any(n for n in n_recip.values()) and any(
+        n_recip[u] < out_deg[u] for u in out_deg
+    )
+
+
+def test_events_bot_flags_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from probe_spark.entry_queries import (
+        _BOT_MIN_EVENTS,
+        _BOT_MIN_GAP_US,
+        events_bot_flags,
+    )
+
+    # u1: sustained volume + one 1-second burst gap -> bot
+    # u2: same volume, every gap 10 min -> not a bot (no burst)
+    # u3: burst-fast but only 3 events -> not a bot (volume)
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(_BOT_MIN_EVENTS):
+        rows.append((eid, t0 + pd.Timedelta(minutes=10 * i), 1, "view"))
+        eid += 1
+    rows.append((eid, t0 + pd.Timedelta(minutes=10 * (_BOT_MIN_EVENTS - 1), seconds=1), 1, "view"))
+    eid += 1
+    for i in range(_BOT_MIN_EVENTS + 1):
+        rows.append((eid, t0 + pd.Timedelta(minutes=10 * i), 2, "view"))
+        eid += 1
+    for i in range(3):
+        rows.append((eid, t0 + pd.Timedelta(seconds=i), 3, "view"))
+        eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    # micros, not pandas-default nanos: Spark rejects TIMESTAMP(NANOS)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r["user_id"]: r for r in events_bot_flags(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["is_bot"] and got[1]["min_gap_us"] == 1_000_000
+    assert got[1]["n_events"] == _BOT_MIN_EVENTS + 1
+    assert got[1]["span_us"] == 10 * (_BOT_MIN_EVENTS - 1) * 60_000_000 + 1_000_000
+    assert not got[2]["is_bot"] and got[2]["min_gap_us"] == 600_000_000
+    assert got[2]["min_gap_us"] >= _BOT_MIN_GAP_US
+    assert not got[3]["is_bot"] and got[3]["min_gap_us"] == 1_000_000
+    assert got[3]["n_events"] == 3
