@@ -153,6 +153,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     va.add_argument("--query", required=True)
 
+    sg = sub.add_parser(
+        "suggest", help="did-you-mean from the term dictionary"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("--limit", type=int, default=5)
+
+    ml = sub.add_parser(
+        "mlt", help="more-like-this: rank pages similar to a seed url"
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--url", required=True)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=8)
+    ml.add_argument("--max-df-frac", type=float, default=0.5)
+
+    px = sub.add_parser(
+        "prefix",
+        help="prefix/trailing-wildcard query (capped dictionary rewrite)",
+    )
+    px.add_argument("--index", required=True)
+    px.add_argument("--prefix", required=True)
+    px.add_argument("--max-terms", type=int, default=4)
+    px.add_argument("-k", type=int, default=10)
+
     g = sub.add_parser("grep", help="regex grep over the doc store (S5)")
     g.add_argument("--index", required=True)
     g.add_argument("--pattern", required=True)
@@ -420,6 +446,67 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     {"query_id": qid, "query": queries[qid], "results": by_q[qid]}
+                )
+            )
+        return 0
+
+    if args.cmd == "suggest":
+        from probe_spark.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
+        for r in eng.suggest(args.term, args.max_dist, args.limit).collect():
+            print(
+                json.dumps(
+                    {"term": r["term"], "df": r["df"], "dist": r["dist"]}
+                )
+            )
+        return 0
+
+    if args.cmd == "mlt":
+        from probe_spark.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
+        try:
+            rows = eng.more_like_this(
+                args.url,
+                k=args.k,
+                max_terms=args.max_terms,
+                max_df_frac=args.max_df_frac,
+            ).collect()
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "rank": r["rank"],
+                        "url": r["url"],
+                        "score": round(r["score"], 6),
+                    }
+                )
+            )
+        return 0
+
+    if args.cmd == "prefix":
+        from probe_spark.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
+        try:
+            rows = eng.prefix_search(
+                args.prefix, max_terms=args.max_terms, k=args.k
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "rank": r["rank"],
+                        "url": r["url"],
+                        "score": round(r["score"], 6),
+                    }
                 )
             )
         return 0

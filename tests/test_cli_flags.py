@@ -204,3 +204,49 @@ def test_batch_cli_plain_lines(ix, tmp_path, capsys):
     lines = [json.loads(ln) for ln in out.out.strip().splitlines()]
     assert [ln["query_id"] for ln in lines] == ["q001", "q002"]
     assert lines[0]["query"] == "firewall"
+
+
+# -- suggest / mlt / prefix subcommands ---------------------------------------
+
+
+def test_suggest_cli(ix, capsys):
+    rc, out = _run(
+        capsys, "suggest", "--index", ix, "--term", "firewal", "--limit", "3",
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.out.strip().splitlines()]
+    assert rows and rows[0]["dist"] <= 2
+    assert any(r["term"] == "firewal" or r["dist"] >= 1 for r in rows)
+    # ranked distance asc
+    assert [r["dist"] for r in rows] == sorted(r["dist"] for r in rows)
+
+
+def test_mlt_cli(spark, ix, capsys):
+    from probe_spark.engine import SearchEngine
+
+    seed = SearchEngine(spark, ix)._docs().select("url").head()["url"]
+    rc, out = _run(
+        capsys, "mlt", "--index", ix, "--url", seed,
+        "-k", "5", "--max-df-frac", "0.95",
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.out.strip().splitlines()]
+    assert rows and all(r["url"] != seed for r in rows)  # seed excluded
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # unknown url is a clean error, not a traceback
+    rc2, out2 = _run(capsys, "mlt", "--index", ix, "--url", "doc://nope")
+    assert rc2 == 2 and "not indexed" in out2.err
+
+
+def test_prefix_cli(ix, capsys):
+    rc, out = _run(
+        capsys, "prefix", "--index", ix, "--prefix", "fire*", "-k", "5",
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.out.strip().splitlines()]
+    assert rows
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    rc2, out2 = _run(capsys, "prefix", "--index", ix, "--prefix", "*")
+    assert rc2 == 2 and "empty prefix" in out2.err
