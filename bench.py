@@ -567,6 +567,7 @@ def main() -> None:
         dedup_containment,
         events_bot_flags,
         graph_reciprocal,
+        text_winnow_fingerprints,
     )
 
     # the four quantizer consumers share path-keyed trained-centroid /
@@ -649,6 +650,7 @@ def main() -> None:
         ("op_containment", dedup_containment),
         ("op_bot_flags", events_bot_flags),
         ("op_graph_reciprocal", graph_reciprocal),
+        ("op_winnow", text_winnow_fingerprints),
         # prefix-wildcard: dictionary top-terms rewrite + bag scoring
         (
             "op_prefix_search",

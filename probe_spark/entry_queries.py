@@ -2829,6 +2829,109 @@ FROM sh GROUP BY doc_id
 """
 
 
+_WINNOW_K = 3  # k-gram width (words)
+_WINNOW_W = 4  # winnowing window (k-gram positions)
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003):
+    per doc the SET of selected (position, hash) fingerprints -- from
+    every window of W=4 consecutive word-3-gram hashes keep the minimum,
+    RIGHTMOST on ties (repeated shingles make hash ties real, so the tie
+    rule must be explicit for cross-engine determinism).  Winnowing
+    guarantees any match of length >= W+K-1 tokens shares at least one
+    selected fingerprint, and the selection survives insertions that a
+    single whole-doc minhash (text_fingerprint) does not -- this is the
+    partial-plagiarism / quote-lifting detection primitive.  Hashes are
+    the first 13 md5 hex digits as BIGINT (52 bits, exact everywhere).
+
+    Scale shape: gram hashes come from ONE lead() window pass over the
+    token stream (no gram self-join); window minima are a doc-LOCAL
+    range join with multiplier W=4 -- keyed by doc_id, so it never
+    shuffles across documents; output is bounded by ~2/(W+1) of gram
+    count per doc (the winnowing density guarantee)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        "tok",
+        *[F.lead("tok", i).over(w) for i in range(1, _WINNOW_K)],
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            gram.alias("gram"),
+            F.lead("tok", _WINNOW_K - 1).over(w).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())  # only complete k-grams
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    m = grams.groupBy("doc_id").agg(F.max("pos").alias("m"))
+    starts = grams.join(m, "doc_id").filter(
+        F.col("pos") <= F.col("m") - (_WINNOW_W - 1)
+    )
+    g, q = starts.alias("g"), grams.alias("q")
+    win = g.join(
+        q,
+        (F.col("g.doc_id") == F.col("q.doc_id"))
+        & F.col("q.pos").between(
+            F.col("g.pos"), F.col("g.pos") + (_WINNOW_W - 1)
+        ),
+    )
+    # per window the (h asc, pos desc) winner: min of struct(h, -pos)
+    sel = win.groupBy(F.col("g.doc_id").alias("doc_id"), F.col("g.pos")).agg(
+        F.min(
+            F.struct(F.col("q.h").alias("h"), (-F.col("q.pos")).alias("np"))
+        ).alias("w")
+    )
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("w.np")).cast("long").alias("pos"),
+            F.col("w.h").alias("fp"),
+        )
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+WINNOW_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+{_WINNOW_K - 1}], ' ')),
+                         1, 13))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {_WINNOW_K} + 2)) AS i
+        FROM words)),
+m AS (SELECT doc_id, max(pos) AS m FROM grams GROUP BY doc_id),
+win AS (
+  SELECT g.doc_id, g.pos AS s, q.pos, q.h,
+         row_number() OVER (PARTITION BY g.doc_id, g.pos
+                            ORDER BY q.h ASC, q.pos DESC) AS rk
+  FROM grams g
+  JOIN m USING (doc_id)
+  JOIN grams q ON q.doc_id = g.doc_id
+              AND q.pos BETWEEN g.pos AND g.pos + {_WINNOW_W - 1}
+  WHERE g.pos <= m.m - {_WINNOW_W - 1})
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
+FROM win WHERE rk = 1
+ORDER BY doc_id, pos
+"""
+
+
 def _word_ngrams(w, n, k: int):
     """Array column of word ``k``-grams of ``w`` (size column ``n``),
     joined with single spaces; empty array when the doc has fewer than
@@ -5697,6 +5800,7 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, QUALITY_SQL),
     "text_langid": (text_langid, LANGID_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_winnow_fingerprints": (text_winnow_fingerprints, WINNOW_SQL),
     "text_repetition": (text_repetition, REPETITION_SQL),
     "text_boilerplate_ngrams": (text_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "sample_lang_temperature": (sample_lang_temperature, SAMPLE_LANG_TEMPERATURE_SQL),

@@ -187,3 +187,57 @@ def test_containment_directional(spark, tmp_path):
     assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in rows] == [
         (0, 1, 1.0)
     ]
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Independent pure-Python winnowing (min per window, RIGHTMOST tie)."""
+    toks = text.split(" ")
+    grams = [
+        (
+            i + 1,
+            int(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[
+                    :13
+                ],
+                16,
+            ),
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    sel: set[tuple[int, int]] = set()
+    for s in range(len(grams) - w + 1):
+        win = grams[s : s + w]
+        mn = min(h for _p, h in win)
+        pos = max(p for p, h in win if h == mn)
+        sel.add((pos, mn))
+    return sel
+
+
+def test_winnow_matches_independent_impl_and_guarantee(spark, tmp_path):
+    import pandas as pd
+
+    from probe_spark.entry_queries import (
+        _WINNOW_K,
+        _WINNOW_W,
+        text_winnow_fingerprints,
+    )
+
+    # doc 0 repeats the 3-gram 'a b c' -> REAL hash ties inside windows,
+    # pinning the rightmost-tie rule; doc 1 shares doc 0's 6-token tail
+    # run, which is >= W+K-1 so winnowing GUARANTEES a shared fingerprint
+    t0 = "a b c a b c a b c d e f"
+    t1 = "x y z a b c d e f"
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": [t0, t1]}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = text_winnow_fingerprints(spark, str(tmp_path)).collect()
+    got = {
+        d: {(r["pos"], r["fp"]) for r in rows if r["doc_id"] == d}
+        for d in (0, 1)
+    }
+    assert got[0] == _py_winnow(t0, _WINNOW_K, _WINNOW_W)
+    assert got[1] == _py_winnow(t1, _WINNOW_K, _WINNOW_W)
+    # the MOSS guarantee: the shared run yields a shared fingerprint hash
+    assert {h for _p, h in got[0]} & {h for _p, h in got[1]}
+    # density bound: far fewer fingerprints than grams
+    assert len(got[0]) < len(t0.split(" ")) - _WINNOW_K + 1
