@@ -1163,16 +1163,36 @@ class SearchEngine:
             hits = scored.orderBy(F.asc("doc_id")).limit(k)
             return self._ranked(_empty_matches(hits) if with_matches else hits, extra)
 
-        hits = (
+        hits = self._topk_hits(scored, k)
+        if with_matches:
+            hits = self._hydrate_matches(hits, cand, idfs)
+        return self._ranked(hits, extra)
+
+    def _topk_hits(
+        self, scored: DataFrame, k: int, exclude_doc_id: int | None = None
+    ) -> DataFrame:
+        """Deterministic top-k hydration shared by search / more_like_this /
+        prefix_search: (score desc, doc_id asc) cut, url join on the k
+        survivors only, re-sorted after the join (joins don't preserve
+        order)."""
+        if exclude_doc_id is not None:
+            scored = scored.filter(F.col("doc_id") != exclude_doc_id)
+        return (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .join(self._docs().select("doc_id", "url"), "doc_id", "left")
             .select("doc_id", "url", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
-        if with_matches:
-            hits = self._hydrate_matches(hits, cand, idfs)
-        return self._ranked(hits, extra)
+
+    def _reset_match_state(self) -> None:
+        """Clear per-query scoring state (coverage boost, filename
+        exclusion) so index-native entry points that don't expose those
+        options (more_like_this / prefix_search / facets) can't inherit
+        them from a prior ``search(...)`` on the same engine --
+        files_only() guards the same way via try/finally."""
+        self._boost_coverage = False
+        self._exclude_fn = False
 
     def more_like_this(
         self,
@@ -1227,16 +1247,9 @@ class SearchEngine:
                 [], "rank int, doc_id long, url string, score double"
             )
         plan = elastic.plan_from_index_terms(sel)
+        self._reset_match_state()
         scored, _cand, _idfs, _zero = self._match_frames(plan)
-        hits = (
-            scored.filter(F.col("doc_id") != seed_id)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-        return self._ranked(hits)
+        return self._ranked(self._topk_hits(scored, k, exclude_doc_id=seed_id))
 
     def suggest(
         self, term: str, max_dist: int = 2, limit: int = 5
@@ -1295,15 +1308,9 @@ class SearchEngine:
                 [], "rank int, doc_id long, url string, score double"
             )
         plan = elastic.plan_from_index_terms(sel)
+        self._reset_match_state()
         scored, _cand, _idfs, _zero = self._match_frames(plan)
-        hits = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .join(self._docs().select("doc_id", "url"), "doc_id", "left")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-        return self._ranked(hits)
+        return self._ranked(self._topk_hits(scored, k))
 
     def facets(
         self,
@@ -1329,10 +1336,12 @@ class SearchEngine:
 
         self.check_refresh()
         plan = elastic.create_query_plan(query, False)
+        self._reset_match_state()
         scored, _cand, _idfs, zero = self._match_frames(plan)
-        m = scored.select("doc_id", F.round("score", 6).alias("score"))
         if zero:
             m = scored.select("doc_id", F.lit(0.0).alias("score"))
+        else:
+            m = scored.select("doc_id", F.round("score", 6).alias("score"))
         j = m.join(self._docs().select("doc_id", "url"), "doc_id").join(
             meta.select("url", "facet"), "url"
         )

@@ -569,10 +569,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_a",
         )
+        # filter on the RAW ratio (matching the SQL's WHERE) -- filtering
+        # on the rounded column would admit ratios in [MIN - 5e-7, MIN)
+        # that the oracle rejects; rounding is display-only
+        .filter(F.col("inter") / F.col("na") >= _CONTAINMENT_MIN)
         .withColumn(
             "containment", F.round(F.col("inter") / F.col("na"), 6)
         )
-        .filter(F.col("containment") >= _CONTAINMENT_MIN)
         .select("doc_a", "doc_b", "containment")
     )
 

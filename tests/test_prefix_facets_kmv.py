@@ -134,6 +134,43 @@ def test_facets_counts_and_grouped_topk(spark, prefix_index):
                 assert r["score"] == pytest.approx(scored[r["url"]], abs=1e-9)
 
 
+def test_prefix_and_facets_ignore_prior_search_state(spark, prefix_index):
+    """prefix_search / facets / more_like_this reset per-query scoring
+    state: a preceding search(..., boost_coverage=True,
+    exclude_filenames=True) on the SAME engine must not leak its coverage
+    boost or url-token exclusion into the index-native entry points
+    (which don't expose those options and whose DuckDB oracles assume the
+    plain disjunctive bag)."""
+    from pyspark.sql import Row
+
+    from probe_spark.engine import SearchEngine
+
+    fresh = SearchEngine(spark, prefix_index)
+    want_prefix = [
+        (r["url"], r["score"]) for r in fresh.prefix_search("ma", k=10).collect()
+    ]
+    meta = spark.createDataFrame(
+        [Row(url=u, facet="a" if int(u[-1]) % 2 == 0 else "b") for u, _t in DOCS]
+    )
+    want_facets = sorted(
+        (r["facet"], r["rank"], r["url"], r["score"])
+        for r in fresh.facets("mango plum", meta).collect()
+    )
+
+    dirty = SearchEngine(spark, prefix_index)
+    # leaves _boost_coverage=True / _exclude_fn=True behind
+    dirty.search("mango apple", boost_coverage=True, exclude_filenames=True).collect()
+    got_prefix = [
+        (r["url"], r["score"]) for r in dirty.prefix_search("ma", k=10).collect()
+    ]
+    got_facets = sorted(
+        (r["facet"], r["rank"], r["url"], r["score"])
+        for r in dirty.facets("mango plum", meta).collect()
+    )
+    assert got_prefix == want_prefix
+    assert got_facets == want_facets
+
+
 def _kmv_hash(u: str) -> float:
     return int(hashlib.md5(u.encode()).hexdigest()[:13], 16) / float(1 << 52)
 
