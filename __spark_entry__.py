@@ -845,8 +845,8 @@ SUGGEST_SQL = (
     "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok"
     " WHERE term <> '' GROUP BY term)\n"
     + "\nUNION ALL\n".join(
-        f"(SELECT '{q}' AS q, term, df, levenshtein(term, '{q}')::BIGINT"
-        f" AS dist FROM df WHERE levenshtein(term, '{q}') <= 2"
+        f"(SELECT '{q}' AS q, term, df, levenshtein(lower(term), '{q}')"
+        f"::BIGINT AS dist FROM df WHERE levenshtein(lower(term), '{q}') <= 2"
         f" ORDER BY dist ASC, df DESC, term ASC LIMIT 5)"
         for q in SUGGEST_TYPOS
     )

@@ -41,9 +41,15 @@ class Term:
     exact: bool = False
     # carried metadata, not part of term identity (goldens compare Terms)
     raw: tuple[str, ...] | None = dc_field(default=None, compare=False)
+    # resolved=True marks keywords that ARE index vocabulary (the
+    # plan_from_index_terms path): they must never be case-folded again,
+    # or a case-preserving simple-tokenizer index scores zero postings
+    resolved: bool = dc_field(default=False, compare=False)
 
     @property
     def lowercase_keywords(self) -> tuple[str, ...]:
+        if self.resolved:
+            return self.keywords
         return tuple(k.lower() for k in self.keywords)
 
 
@@ -572,13 +578,17 @@ def plan_from_index_terms(terms) -> QueryPlan:
     more-like-this support path): parse-time expansion/stemming is skipped
     because the terms come from the index's own vocabulary, not from user
     input -- feeding them back through the parser would re-stem them into
-    forms a simple-tokenizer index never stored."""
-    uniq = sorted({t.lower() for t in terms if t})
+    forms a simple-tokenizer index never stored.  For the same reason the
+    terms are NOT case-folded here: a case-preserving simple-tokenizer
+    index stores mixed-case vocabulary, and lowering a resolved term
+    would silently score zero postings (probe-tokenizer vocabularies are
+    already lowercase, so this is a no-op for them)."""
+    uniq = sorted({t for t in terms if t})
     if not uniq:
         raise ParseError("plan_from_index_terms: no terms")
     ast: Expr | None = None
     for t in uniq:
-        node: Expr = Term(keywords=(t,))
+        node: Expr = Term(keywords=(t,), resolved=True)
         ast = node if ast is None else Or(ast, node)
     return QueryPlan(
         ast=ast,

@@ -1263,12 +1263,17 @@ class SearchEngine:
         before any edit-distance work; at web-scale vocabularies a
         SymSpell delete-bucket lane would bound it further."""
         self.check_refresh()
+        # case-insensitive comparison (both sides folded) so a
+        # case-preserving simple-tokenizer dictionary still suggests
+        # 'Mango' for 'mangp'; the DISPLAYED term keeps its stored case.
+        # Probe-tokenizer dictionaries are already lowercase -- no-op.
         q = term.lower()
         return (
             self._terms_df.select("term", F.col("df").cast("long").alias("df"))
             .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
             .withColumn(
-                "dist", F.levenshtein(F.col("term"), F.lit(q)).cast("long")
+                "dist",
+                F.levenshtein(F.lower(F.col("term")), F.lit(q)).cast("long"),
             )
             .filter(F.col("dist") <= max_dist)
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
@@ -1290,7 +1295,12 @@ class SearchEngine:
         the rewrite is capped at ``max_terms`` terms -- the same guard
         Lucene's rewrite applies."""
         self.check_refresh()
-        p = prefix.lower().rstrip("*")
+        # case-fold the user prefix to match the index's vocabulary case:
+        # the probe tokenizer stores lowercase terms, the simple tokenizer
+        # preserves case (so 'Ma' must match dictionary term 'Mango')
+        p = prefix.rstrip("*")
+        if self._tokenizer != "simple":
+            p = p.lower()
         if not p:
             raise ValueError("prefix_search: empty prefix")
         rows = (
@@ -1345,18 +1355,19 @@ class SearchEngine:
         j = m.join(self._docs().select("doc_id", "url"), "doc_id").join(
             meta.select("url", "facet"), "url"
         )
-        counts = j.groupBy("facet").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs")
-        )
+        # counts and ranks as two window functions over the SAME facet
+        # partitioning: one exchange, one pass of the scoring pipeline (a
+        # separate groupBy+join would re-run the candidate-match + BM25
+        # chain a second time -- different exchange, no shuffle reuse)
         w = Window.partitionBy("facet").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        top = (
-            j.withColumn("rank", F.row_number().over(w).cast("long"))
+        wc = Window.partitionBy("facet")
+        return (
+            j.withColumn("n_docs", F.count(F.lit(1)).over(wc).cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= top_per_facet)
-        )
-        return top.join(counts, "facet").select(
-            "facet", "n_docs", "rank", "url", "score"
+            .select("facet", "n_docs", "rank", "url", "score")
         )
 
     def search_batch(

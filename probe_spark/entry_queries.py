@@ -2882,8 +2882,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = grams.groupBy("doc_id").agg(F.max("pos").alias("m"))
+    # greatest(..., 1): a doc with FEWER than W grams still gets one
+    # window anchored at pos 1 spanning all its grams (standard MOSS
+    # short-document behavior) -- without the clamp a 4-5-token doc
+    # emits no fingerprint at all and verbatim copies of it are invisible
     starts = grams.join(m, "doc_id").filter(
-        F.col("pos") <= F.col("m") - (_WINNOW_W - 1)
+        F.col("pos")
+        <= F.greatest(F.col("m") - (_WINNOW_W - 1), F.lit(1))
     )
     g, q = starts.alias("g"), grams.alias("q")
     win = g.join(
@@ -2928,7 +2933,7 @@ win AS (
   JOIN m USING (doc_id)
   JOIN grams q ON q.doc_id = g.doc_id
               AND q.pos BETWEEN g.pos AND g.pos + {_WINNOW_W - 1}
-  WHERE g.pos <= m.m - {_WINNOW_W - 1})
+  WHERE g.pos <= greatest(m.m - {_WINNOW_W - 1}, 1))
 SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
 FROM win WHERE rk = 1
 ORDER BY doc_id, pos

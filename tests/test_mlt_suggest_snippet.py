@@ -64,8 +64,11 @@ def _bm25(corpus: dict[str, list[str]], terms: list[str]) -> dict[str, float]:
 
 
 def test_plan_from_index_terms_shape():
+    # resolved index terms are NOT case-folded: a case-preserving simple
+    # index stores 'Apple' and 'apple' as DISTINCT vocabulary entries,
+    # and lowering either would score zero postings against it
     plan = plan_from_index_terms(["mango", "Apple", "apple"])
-    assert plan.terms == ["apple", "mango"]  # lowered, deduped, sorted
+    assert plan.terms == ["Apple", "apple", "mango"]  # deduped, sorted
     assert plan.excluded_terms == frozenset()
     assert not plan.has_required_anywhere
     assert not plan.exact and not plan.is_universal_query
@@ -171,3 +174,68 @@ def test_best_window_tiebreaks():
     # empty tokens occupy positions (position parity with the SQL oracle)
     toks4 = "  spark".split(" ")  # ['', '', 'spark']
     assert best_window(toks4, ("spark",), 10) == (3, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def mixedcase_index(spark, tmp_path_factory):
+    """Case-PRESERVING simple-tokenizer index with mixed-case vocabulary:
+    the regression corpus for the case-folding family of bugs (resolved
+    index terms must never be re-folded; prefix/suggest must match the
+    dictionary's stored case)."""
+    from pyspark.sql import Row
+
+    from probe_spark.indexer import build_index
+
+    docs = [
+        ("doc://00000000", "Mango Mango Apple kiwi"),
+        ("doc://00000001", "Mango Apple pear kiwi"),
+        ("doc://00000002", "pear pear plum"),
+    ]
+    d = tmp_path_factory.mktemp("mixedcase") / "ix"
+    pages = spark.createDataFrame(
+        [Row(url=u, text=t, lang="en") for u, t in docs]
+    )
+    build_index(spark, pages, str(d), n_buckets=2, tokenizer="simple")
+    return str(d)
+
+
+def test_mlt_mixed_case_simple_index(spark, mixedcase_index):
+    """Regression: more_like_this on a case-preserving index used to
+    lowercase the resolved seed terms ('Mango' -> 'mango'), which have no
+    postings -- the near-duplicate doc 1 silently scored zero rows."""
+    from probe_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, mixedcase_index)
+    hits = eng.more_like_this(
+        "doc://00000000", k=10, max_df_frac=0.99
+    ).collect()
+    urls = [r["url"] for r in hits]
+    # doc 1 shares Mango/Apple/kiwi with the seed and must rank first
+    assert urls and urls[0] == "doc://00000001"
+    assert all(r["score"] > 0 for r in hits)
+
+
+def test_prefix_search_mixed_case_simple_index(spark, mixedcase_index):
+    """Regression: prefix_search lowered the prefix before the
+    case-sensitive startswith, so 'Ma' could never expand to 'Mango'."""
+    from probe_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, mixedcase_index)
+    hits = eng.prefix_search("Ma", k=10).collect()
+    assert {r["url"] for r in hits} == {
+        "doc://00000000", "doc://00000001"
+    }
+    # probe-tokenizer semantics unchanged: lowercase prefix on a
+    # lowercase dictionary would behave identically (no rows here
+    # because this dictionary stores 'Mango', not 'mango')
+    assert eng.prefix_search("zz", k=10).count() == 0
+
+
+def test_suggest_mixed_case_simple_index(spark, mixedcase_index):
+    """suggest folds BOTH sides for the comparison (case-insensitive
+    did-you-mean) while displaying the dictionary's stored case."""
+    from probe_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, mixedcase_index)
+    rows = eng.suggest("mangp", max_dist=1, limit=3).collect()
+    assert any(r["term"] == "Mango" and r["dist"] == 1 for r in rows)

@@ -242,7 +242,9 @@ def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
         for i in range(len(toks) - k + 1)
     ]
     sel: set[tuple[int, int]] = set()
-    for s in range(len(grams) - w + 1):
+    # max(..., 1): a doc with fewer than w grams still gets ONE window
+    # over all its grams (standard MOSS short-doc behavior)
+    for s in range(max(len(grams) - w + 1, 1 if grams else 0)):
         win = grams[s : s + w]
         mn = min(h for _p, h in win)
         pos = max(p for p, h in win if h == mn)
@@ -264,17 +266,24 @@ def test_winnow_matches_independent_impl_and_guarantee(spark, tmp_path):
     # run, which is >= W+K-1 so winnowing GUARANTEES a shared fingerprint
     t0 = "a b c a b c a b c d e f"
     t1 = "x y z a b c d e f"
+    # docs 2/3: FEWER than W k-gram windows (5 and 4 tokens) -- the
+    # short-doc clamp must still emit the min over the available grams,
+    # and the verbatim 5-token copy pair must share it
+    t2 = "p q r s t"
+    t3 = "p q r s t"
     pd.DataFrame(
-        {"doc_id": [0, 1], "text": [t0, t1]}
+        {"doc_id": [0, 1, 2, 3], "text": [t0, t1, t2, t3]}
     ).to_parquet(tmp_path / "documents.parquet", index=False)
     rows = text_winnow_fingerprints(spark, str(tmp_path)).collect()
     got = {
         d: {(r["pos"], r["fp"]) for r in rows if r["doc_id"] == d}
-        for d in (0, 1)
+        for d in (0, 1, 2, 3)
     }
-    assert got[0] == _py_winnow(t0, _WINNOW_K, _WINNOW_W)
-    assert got[1] == _py_winnow(t1, _WINNOW_K, _WINNOW_W)
+    for d, t in ((0, t0), (1, t1), (2, t2), (3, t3)):
+        assert got[d] == _py_winnow(t, _WINNOW_K, _WINNOW_W), d
     # the MOSS guarantee: the shared run yields a shared fingerprint hash
     assert {h for _p, h in got[0]} & {h for _p, h in got[1]}
+    # short verbatim duplicates share their (single) fingerprint
+    assert got[2] and got[2] == got[3]
     # density bound: far fewer fingerprints than grams
     assert len(got[0]) < len(t0.split(" ")) - _WINNOW_K + 1
