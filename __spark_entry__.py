@@ -461,7 +461,42 @@ def probe_index_suggest_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _documents_simple_index(spark, sf_dir)
     eng = SearchEngine(spark, ix)
     frames = [
-        eng.suggest(q, max_dist=2, limit=5).select(
+        # pin the brute dictionary-scan lane: the SymSpell entry below
+        # gates the bucket lane against the SAME oracle independently
+        eng.suggest(q, max_dist=2, limit=5, use_buckets=False).select(
+            F.lit(q).alias("q"), "term", "df", "dist"
+        )
+        for q in SUGGEST_TYPOS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+        "q", "dist", F.desc("df"), "term"
+    )
+
+
+def probe_index_suggest_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean served through the SymSpell delete-neighborhood lane
+    (symspell.build_suggest_buckets + SearchEngine.suggest(use_buckets=
+    True)): the query's own delete variants IN-filter the precomputed
+    bucket table (parquet min/max pruning on the sorted variant column),
+    then exact levenshtein verifies candidates only -- never an O(vocab)
+    scan.  The delete bound guarantees the candidate set covers every
+    true match, so the rows are bit-identical to the brute lane and the
+    entry shares its levenshtein DuckDB oracle: a recall hole in the
+    bucket generation, a stale-table freshness bug, or a verify drift all
+    break the hash."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from probe_spark import symspell
+    from probe_spark.engine import SearchEngine
+
+    ix = _documents_simple_index(spark, sf_dir)
+    if symspell.load_if_fresh(spark, ix)[1] < 2:
+        symspell.build_suggest_buckets(spark, ix, max_dist=2)
+    eng = SearchEngine(spark, ix)
+    frames = [
+        eng.suggest(q, max_dist=2, limit=5, use_buckets=True).select(
             F.lit(q).alias("q"), "term", "df", "dist"
         )
         for q in SUGGEST_TYPOS
@@ -777,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["probe_index_batch_simple"] = _shipped(probe_index_batch_simple)
     out["probe_index_mlt_simple"] = _shipped(probe_index_mlt_simple)
     out["probe_index_suggest_simple"] = _shipped(probe_index_suggest_simple)
+    out["probe_index_suggest_symspell"] = _shipped(probe_index_suggest_symspell)
     out["probe_index_snippet_simple"] = _shipped(probe_index_snippet_simple)
     out["probe_index_prefix_simple"] = _shipped(probe_index_prefix_simple)
     out["probe_index_facets_simple"] = _shipped(probe_index_facets_simple)
@@ -988,6 +1024,9 @@ def oracle_sql() -> dict[str, str]:
     out["probe_index_batch_simple"] = _batch_sql()
     out["probe_index_mlt_simple"] = MLT_SQL
     out["probe_index_suggest_simple"] = SUGGEST_SQL
+    # the SymSpell lane serves bit-identical rows through the delete-
+    # neighborhood table, so it shares the brute lane's levenshtein oracle
+    out["probe_index_suggest_symspell"] = SUGGEST_SQL
     out["probe_index_snippet_simple"] = SNIPPET_SQL
     out["probe_index_prefix_simple"] = PREFIX_SQL
     out["probe_index_facets_simple"] = FACETS_SQL

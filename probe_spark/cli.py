@@ -160,6 +160,21 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--term", required=True)
     sg.add_argument("--max-dist", type=int, default=2)
     sg.add_argument("--limit", type=int, default=5)
+    sg.add_argument(
+        "--lane",
+        choices=["auto", "brute", "symspell"],
+        default="auto",
+        help="auto = SymSpell delete buckets when present+fresh, else "
+        "the brute dictionary scan",
+    )
+
+    si = sub.add_parser(
+        "build-suggest",
+        help="materialize the SymSpell delete-neighborhood table so "
+        "suggest serves lookups instead of dictionary scans",
+    )
+    si.add_argument("--index", required=True)
+    si.add_argument("--max-dist", type=int, default=2)
 
     ml = sub.add_parser(
         "mlt", help="more-like-this: rank pages similar to a seed url"
@@ -454,12 +469,23 @@ def main(argv: list[str] | None = None) -> int:
         from probe_spark.engine import SearchEngine
 
         eng = SearchEngine(spark, args.index)
-        for r in eng.suggest(args.term, args.max_dist, args.limit).collect():
+        lane = {"auto": None, "brute": False, "symspell": True}[args.lane]
+        rows = eng.suggest(
+            args.term, args.max_dist, args.limit, use_buckets=lane
+        ).collect()
+        for r in rows:
             print(
                 json.dumps(
                     {"term": r["term"], "df": r["df"], "dist": r["dist"]}
                 )
             )
+        return 0
+
+    if args.cmd == "build-suggest":
+        from probe_spark.symspell import build_suggest_buckets
+
+        n = build_suggest_buckets(spark, args.index, args.max_dist)
+        print(json.dumps({"bucket_rows": n, "max_dist": args.max_dist}))
         return 0
 
     if args.cmd == "mlt":

@@ -283,6 +283,33 @@ def _read_stats(stats_dir) -> tuple[int, float]:
     raise FileNotFoundError(f"no stats rows under {stats_dir}")
 
 
+def index_fingerprint(index_dir) -> tuple:
+    """Driver-side change marker for an index directory: lineage file
+    names (a stream/batch commit adds one) + stats file stats (every
+    ingest rewrites them).  One listdir + a few os.stat, no Spark jobs.
+    Shared by the engine's check_refresh and by derived tables (the
+    SymSpell suggest buckets) that must detect a stale source index."""
+    p = Path(index_dir)
+    lin = p / "lineage"
+    names = (
+        tuple(sorted(f.name for f in lin.glob("*.json")))
+        if lin.exists()
+        else ()
+    )
+    sp = p / "stats"
+    stat_m = (
+        tuple(
+            sorted(
+                (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                for f in sp.glob("*.parquet")
+            )
+        )
+        if sp.exists()
+        else ()
+    )
+    return (names, stat_m)
+
+
 def _empty_matches(hits: DataFrame) -> DataFrame:
     """Typed empty rich-result columns for paths with no positive keyword
     postings (universal / stopword-only / only-excluded queries)."""
@@ -321,25 +348,7 @@ class SearchEngine:
         (every ingest rewrites them).  One listdir + a few os.stat per
         query, no Spark jobs -- the price of a cached engine staying fresh
         under incremental ingest."""
-        p = Path(self.index_dir)
-        lin = p / "lineage"
-        names = (
-            tuple(sorted(f.name for f in lin.glob("*.json")))
-            if lin.exists()
-            else ()
-        )
-        sp = p / "stats"
-        stat_m = (
-            tuple(
-                sorted(
-                    (f.name, f.stat().st_mtime_ns, f.stat().st_size)
-                    for f in sp.glob("*.parquet")
-                )
-            )
-            if sp.exists()
-            else ()
-        )
-        return (names, stat_m)
+        return index_fingerprint(self.index_dir)
 
     def check_refresh(self) -> bool:
         """Reopen readers + caches iff the index changed on disk since the
@@ -450,6 +459,16 @@ class SearchEngine:
                         str(p / "tri_terms")
                     )
                     self._tri_terms_path = p / "tri_terms"
+        # SymSpell suggest lane (symspell.py): precomputed delete-
+        # neighborhood table; loaded only when its manifest fingerprint
+        # matches the live index, else suggest falls back to the brute
+        # dictionary scan (stale lane = silently disabled, never wrong)
+        from probe_spark import symspell
+
+        (
+            self._suggest_buckets_df,
+            self._suggest_max_dist,
+        ) = symspell.load_if_fresh(spark, self.index_dir)
         # guard the whole-dictionary preload by VOCABULARY size, not doc
         # count (web vocab at 1M docs can be tens of millions of terms);
         # row counts come from parquet footers -- driver-side, no job
@@ -1252,26 +1271,69 @@ class SearchEngine:
         return self._ranked(self._topk_hits(scored, k, exclude_doc_id=seed_id))
 
     def suggest(
-        self, term: str, max_dist: int = 2, limit: int = 5
+        self,
+        term: str,
+        max_dist: int = 2,
+        limit: int = 5,
+        use_buckets: bool | None = None,
     ) -> DataFrame:
         """Spelling suggestion from the term DICTIONARY (did-you-mean):
         terms within levenshtein ``max_dist`` of the query, ranked
         (distance asc, df desc, term asc) -- all integer columns, so the
-        ranking is reproducible bit-for-bit by a SQL oracle.  Scale shape:
-        the scan is VOCABULARY-sized, never corpus-sized, and the
-        ``|len(term) - len(q)| <= max_dist`` prefilter runs JVM-side
-        before any edit-distance work; at web-scale vocabularies a
-        SymSpell delete-bucket lane would bound it further."""
+        ranking is reproducible bit-for-bit by a SQL oracle.
+
+        Two lanes, identical rows.  Brute: one JVM-side levenshtein pass
+        over the dictionary behind a ``|len(term) - len(q)| <= max_dist``
+        prefilter -- vocabulary-sized, never corpus-sized.  SymSpell
+        (``symspell.build_suggest_buckets``): the query's own delete
+        variants (driver-side, <= 1+L+L(L-1)/2 strings) IN-filter the
+        precomputed delete-neighborhood table -- parquet min/max prunes
+        the sorted table to a handful of row groups -- then the exact
+        levenshtein verifies candidates only.  The delete bound makes the
+        candidate set a superset of every true match, so both lanes rank
+        the same rows; at a web-scale vocabulary the bucket lookup is the
+        only shape that doesn't scan the dictionary per keystroke.
+        ``use_buckets``: None = auto (buckets when present, fresh, and
+        built deep enough for ``max_dist``)."""
         self.check_refresh()
         # case-insensitive comparison (both sides folded) so a
         # case-preserving simple-tokenizer dictionary still suggests
         # 'Mango' for 'mangp'; the DISPLAYED term keeps its stored case.
         # Probe-tokenizer dictionaries are already lowercase -- no-op.
+        # (The bucket table stores lower(term) variants for the same
+        # reason, so both lanes fold identically.)
         q = term.lower()
+        if use_buckets is None:
+            use_buckets = (
+                self._suggest_buckets_df is not None
+                and max_dist <= self._suggest_max_dist
+            )
+        if use_buckets:
+            if (
+                self._suggest_buckets_df is None
+                or max_dist > self._suggest_max_dist
+            ):
+                raise ValueError(
+                    "suggest(use_buckets=True): no fresh suggest_buckets "
+                    f"table built for max_dist={max_dist} under "
+                    f"{self.index_dir} (symspell.build_suggest_buckets)"
+                )
+            from probe_spark.symspell import delete_variants
+
+            cand = (
+                self._suggest_buckets_df.filter(
+                    F.col("variant").isin(delete_variants(q, max_dist))
+                )
+                # (variant, term) pairs collapse to candidate terms; df is
+                # a per-term constant so any surviving row carries it
+                .dropDuplicates(["term"]).select("term", "df")
+            )
+        else:
+            cand = self._terms_df.select(
+                "term", F.col("df").cast("long").alias("df")
+            ).filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
         return (
-            self._terms_df.select("term", F.col("df").cast("long").alias("df"))
-            .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
-            .withColumn(
+            cand.withColumn(
                 "dist",
                 F.levenshtein(F.lower(F.col("term")), F.lit(q)).cast("long"),
             )
