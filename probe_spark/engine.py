@@ -1350,12 +1350,14 @@ class SearchEngine:
         ``max_terms`` concrete terms (df desc, term asc -- Lucene's
         top-terms-N rewrite, all-integer so a SQL oracle reproduces the
         selection exactly), then the standard disjunctive BM25 bag serves
-        the expanded terms from the postings.  Scale shape: the expansion
-        scan is vocabulary-sized, never corpus-sized (a real deployment
-        range-prunes the df-sorted dictionary by the prefix bounds), and
-        an over-broad wildcard can never explode the scoring plan because
-        the rewrite is capped at ``max_terms`` terms -- the same guard
-        Lucene's rewrite applies."""
+        the expanded terms from the postings.  Scale shape: the dictionary
+        is written range-partitioned + sorted by term
+        (indexer.sorted_dictionary), so the StringStartsWith predicate
+        pushes to the parquet scan and min/max prunes the expansion to
+        the row groups spanning the prefix -- vocabulary row groups, not
+        the vocabulary; and an over-broad wildcard can never explode the
+        scoring plan because the rewrite is capped at ``max_terms`` terms
+        -- the same guard Lucene's rewrite applies."""
         self.check_refresh()
         # case-fold the user prefix to match the index's vocabulary case:
         # the probe tokenizer stores lowercase terms, the simple tokenizer

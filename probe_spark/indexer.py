@@ -365,6 +365,18 @@ def write_stats(index_dir: str, n_docs: int, avgdl: float) -> None:
     pq.write_table(table, out / "part-00000.parquet")
 
 
+def sorted_dictionary(terms: DataFrame, spark: SparkSession) -> DataFrame:
+    """Term-dictionary write layout: range-partitioned + sorted by term,
+    so parquet min/max statistics turn dictionary lookups into row-group
+    reads instead of vocabulary scans -- prefix_search's StringStartsWith
+    and the engine's per-term df fallback (the web-vocab path where the
+    whole-dictionary preload is disabled) both push down to the scan.
+    Terms are unique strings, so the range partitioning is skew-free by
+    construction."""
+    n = max(4, spark.sparkContext.defaultParallelism // 2)
+    return terms.repartitionByRange(n, "term").sortWithinPartitions("term")
+
+
 def _bucket_url_range(
     bucket_meta: list[dict], b: int
 ) -> tuple[str | None, str | None]:
@@ -924,7 +936,9 @@ def build_index(
         )
     else:
         terms = spark.createDataFrame([], terms_schema)
-    terms.write.mode("overwrite").parquet(str(out / "terms"))
+    sorted_dictionary(terms, spark).write.mode("overwrite").parquet(
+        str(out / "terms")
+    )
 
     # trigram dictionary (tri, df): the driver-cached rarest-trigram
     # selector for rescue serving.  Input is the slim (doc_id, tri) lane;

@@ -42,6 +42,7 @@ from probe_spark.indexer import (
     _make_tokenize_partition,
     _read_lineage,
     _tokenize_partition,
+    sorted_dictionary,
     tri_rows,
     write_stats,
 )
@@ -155,7 +156,9 @@ def _reconcile(spark: SparkSession, index_dir: str, state: dict) -> dict:
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
         tmp = out / "terms_tmp"
-        folded_terms.write.mode("overwrite").parquet(str(tmp))
+        sorted_dictionary(folded_terms, spark).write.mode("overwrite").parquet(
+            str(tmp)
+        )
         shutil.rmtree(out / "terms", ignore_errors=True)
         tmp.rename(out / "terms")
         _rebuild_tri_terms(spark, index_dir)
@@ -195,7 +198,7 @@ def _fold_terms(spark: SparkSession, index_dir: str, new_partial: Path) -> None:
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     tmp = out / "terms_tmp"
-    folded.write.mode("overwrite").parquet(str(tmp))
+    sorted_dictionary(folded, spark).write.mode("overwrite").parquet(str(tmp))
     shutil.rmtree(terms_dir, ignore_errors=True)
     tmp.rename(terms_dir)
 

@@ -116,3 +116,43 @@ def test_shard_manifest_single_corpus_shuffle(spark, tmp_path):
     assert "Join" not in plan, plan
     # partial -> exchange -> final: the corpus-sized side combines map-side
     assert re.search(r"HashAggregate.*\n(.|\n)*Exchange", plan), plan
+
+
+def test_dictionary_sorted_and_prefix_pushed_down(spark, tiny_index):
+    """The term dictionary is written range-partitioned + sorted by term
+    (indexer.sorted_dictionary): prefix_search's StringStartsWith must
+    reach the scan's PushedFilters, and the on-disk files must carry
+    disjoint ordered term ranges so those filters actually prune."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path, _ = tiny_index
+    d = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("term").startswith("fire"))
+        .select("term", "df")
+    )
+    plan = _formatted_plan(d)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*StringStartsWith\(term", plan), plan
+    # layout: per-file term min/max form an ordered, non-overlapping chain
+    spans = []
+    for f in sorted(Path(f"{path}/terms").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        if not md.num_rows:
+            continue
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == "term":
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 2  # genuinely range-partitioned
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 <= lo2, spans
