@@ -586,6 +586,13 @@ def main() -> None:
     }
 
     extra = {}
+    # SymSpell lane for the suggest comparison: one-time index-derived
+    # table build, recorded apart from the per-query lookup it enables
+    from probe_spark.symspell import build_suggest_buckets
+
+    t0 = time.time()
+    build_suggest_buckets(spark, f"{tmp}/ix", max_dist=2)
+    extra["op_suggest_symspell_build"] = round(time.time() - t0, 3)
     for name, fn in (
         ("op_text_repetition", text_repetition),
         ("op_boilerplate_ngrams", text_boilerplate_ngrams),
@@ -638,14 +645,24 @@ def main() -> None:
         ("op_events_transitions", events_transition_matrix),
         # index-native serving extras over the bench's own full-probe
         # index: more-like-this (seed fetch + dictionary lookup + bag
-        # query) and did-you-mean (vocabulary-sized levenshtein scan)
+        # query) and did-you-mean -- brute (vocabulary-sized levenshtein
+        # scan, the cross-round comparable series) vs the SymSpell
+        # delete-bucket lookup (identical rows; the table build cost is
+        # op_suggest_symspell_build, recorded once below)
         (
             "op_more_like_this",
             lambda _s, _d: eng.more_like_this(
                 "doc://00000007", k=10, max_df_frac=0.95
             ),
         ),
-        ("op_suggest", lambda _s, _d: eng.suggest("sprak")),
+        (
+            "op_suggest",
+            lambda _s, _d: eng.suggest("sprak", use_buckets=False),
+        ),
+        (
+            "op_suggest_symspell",
+            lambda _s, _d: eng.suggest("sprak", use_buckets=True),
+        ),
         ("op_kmv_distinct", events_kmv_distinct),
         ("op_containment", dedup_containment),
         ("op_bot_flags", events_bot_flags),

@@ -347,8 +347,20 @@ class SearchEngine:
         file names (a stream/batch commit adds one) + stats file stats
         (every ingest rewrites them).  One listdir + a few os.stat per
         query, no Spark jobs -- the price of a cached engine staying fresh
-        under incremental ingest."""
-        return index_fingerprint(self.index_dir)
+        under incremental ingest.  The SymSpell manifest stat rides along
+        so a live engine picks up a freshly built (or refreshed) suggest
+        bucket table without reconstruction; it is NOT part of the bare
+        index_fingerprint the manifest itself stores, which would be
+        self-invalidating."""
+        from probe_spark.symspell import MANIFEST
+
+        mf = Path(self.index_dir) / MANIFEST
+        sym = (
+            (mf.stat().st_mtime_ns, mf.stat().st_size)
+            if mf.exists()
+            else None
+        )
+        return (index_fingerprint(self.index_dir), sym)
 
     def check_refresh(self) -> bool:
         """Reopen readers + caches iff the index changed on disk since the

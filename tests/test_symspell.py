@@ -234,3 +234,23 @@ def test_build_suggest_cli(spark, tmp_path, capsys):
     )
     with pytest.raises(ValueError):
         eng.suggest("firewal", 2, 5, use_buckets=True)
+
+
+def test_live_engine_picks_up_new_buckets(spark, tmp_path):
+    """A cached engine must auto-detect a bucket table built AFTER its
+    construction (the manifest stat rides the refresh fingerprint), so a
+    long-lived server starts serving the lane without reconstruction."""
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.symspell import build_suggest_buckets
+
+    d = tmp_path / "ix"
+    build_index(spark, pages_df(spark, 50), str(d), n_buckets=2)
+    eng = SearchEngine(spark, str(d))
+    assert eng._suggest_buckets_df is None
+    before = _rows(eng.suggest("firewal", 2, 5))  # brute
+    build_suggest_buckets(spark, str(d), max_dist=2)
+    after = _rows(eng.suggest("firewal", 2, 5))  # auto -> lane, same rows
+    assert eng._suggest_buckets_df is not None
+    assert before == after
