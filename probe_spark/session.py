@@ -78,6 +78,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # push term/variant IN-lists to parquet as exact value sets, not
+        # the [min,max] range Spark collapses them to above the default
+        # threshold of 10: the engine's dictionary and postings files are
+        # SORTED on the filtered column, so exact IN pushdown prunes to
+        # the row groups containing the probed values (a range spanning
+        # 60 scattered suggest variants or 256 query terms covers nearly
+        # the whole table and prunes nothing)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "300")
         .config("spark.driver.memory", os.environ.get("PROBE_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

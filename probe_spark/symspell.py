@@ -49,6 +49,19 @@ _DEL1 = (
 )
 
 
+def _vocab_rows(terms_dir: Path) -> int:
+    """Dictionary row count from parquet footers -- driver-side, no job."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in terms_dir.glob("*.parquet"):
+        try:
+            n += pq.ParquetFile(str(f)).metadata.num_rows
+        except Exception:  # pragma: no cover - unreadable part file
+            continue
+    return n
+
+
 def delete_variants(q: str, max_dist: int) -> list[str]:
     """All strings reachable from ``q`` by deleting at most ``max_dist``
     characters (including ``q`` itself), deduped.  Driver-side: the query
@@ -104,12 +117,21 @@ def build_suggest_buckets(
         buckets = buckets.unionByName(lv)
     buckets = buckets.dropDuplicates(["variant", "term"])
     out = str(p / TABLE)
+    # Pruning granularity IS the lane's value: a suggest query probes
+    # ~1+L+L(L-1)/2 scattered variant points, and what it reads is
+    # (points x row-group size), independent of vocabulary size.  Default
+    # 128 MiB row groups make that file-sized (no better than the brute
+    # scan); 8 MiB keeps each probe to ~a quarter-million rows while
+    # leaving the write throughput intact (1 MiB groups tripled build
+    # time for marginal extra pruning, measured at 100k terms).  Partition
+    # count scales with the dictionary so per-file row-group counts stay
+    # bounded at web vocabularies.
+    n_parts = max(4, min(512, _vocab_rows(p / "terms") // 25_000))
     (
-        buckets.repartitionByRange(
-            max(4, spark.sparkContext.defaultParallelism // 4), "variant"
-        )
+        buckets.repartitionByRange(n_parts, "variant")
         .sortWithinPartitions("variant")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(8 << 20))
         .parquet(out)
     )
     n = spark.read.parquet(out).count()
