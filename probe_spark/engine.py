@@ -1316,9 +1316,15 @@ class SearchEngine:
         # reason, so both lanes fold identically.)
         q = term.lower()
         if use_buckets is None:
+            # auto prefers brute for very long queries: past the session's
+            # parquet IN-pushdown threshold (300 values; ~a 24-char term
+            # at d=2) the variant list would collapse to a [min,max]
+            # range and the bucket scan loses its pruning -- still
+            # correct, but strictly worse than one dictionary pass
             use_buckets = (
                 self._suggest_buckets_df is not None
                 and max_dist <= self._suggest_max_dist
+                and 1 + len(q) + len(q) * (len(q) - 1) // 2 <= 300
             )
         if use_buckets:
             if (

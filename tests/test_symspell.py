@@ -254,3 +254,19 @@ def test_live_engine_picks_up_new_buckets(spark, tmp_path):
     after = _rows(eng.suggest("firewal", 2, 5))  # auto -> lane, same rows
     assert eng._suggest_buckets_df is not None
     assert before == after
+
+
+def test_auto_lane_prefers_brute_for_long_queries(spark, sym_index):
+    """Past the parquet IN-pushdown threshold (~24 chars at d=2) the
+    variant IN-list would collapse to an unprunable range, so auto mode
+    routes long queries to the brute scan; explicit use_buckets=True
+    still works and still agrees."""
+    from probe_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, sym_index)
+    long_q = "a" * 30
+    # auto == brute rows; explicit buckets agree too (correctness never
+    # depends on the routing choice)
+    auto = _rows(eng.suggest(long_q, 2, 5))
+    assert auto == _rows(eng.suggest(long_q, 2, 5, use_buckets=False))
+    assert auto == _rows(eng.suggest(long_q, 2, 5, use_buckets=True))
