@@ -127,6 +127,10 @@ def build_suggest_buckets(
     # count scales with the dictionary so per-file row-group counts stay
     # bounded at web vocabularies.
     n_parts = max(4, min(512, _vocab_rows(p / "terms") // 25_000))
+    # invalidate BEFORE overwriting: a rebuild that crashes mid-write must
+    # not leave an old still-matching manifest pointing at a half-written
+    # table (the manifest is rewritten only after the write + count land)
+    (p / MANIFEST).unlink(missing_ok=True)
     (
         buckets.repartitionByRange(n_parts, "variant")
         .sortWithinPartitions("variant")
