@@ -310,6 +310,22 @@ def index_fingerprint(index_dir) -> tuple:
     return (names, stat_m)
 
 
+def parquet_rows(table_dir) -> int:
+    """Row count of a parquet directory from footer metadata (no Spark
+    job; footers are a few KB regardless of table size).  Unreadable
+    footers return a pessimistic huge count so size-guarded preloads stay
+    off rather than loading an unknown quantity."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in Path(table_dir).rglob("*.parquet"):
+        try:
+            total += pq.ParquetFile(str(f)).metadata.num_rows
+        except Exception:  # unreadable footer: assume big
+            return 1 << 62
+    return total
+
+
 def _empty_matches(hits: DataFrame) -> DataFrame:
     """Typed empty rich-result columns for paths with no positive keyword
     postings (universal / stopword-only / only-excluded queries)."""
@@ -495,17 +511,8 @@ class SearchEngine:
 
     @staticmethod
     def _vocab_rows(terms_dir: Path) -> int:
-        """Term-dictionary row count from parquet footer metadata (no Spark
-        job; footers are a few KB regardless of table size)."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        for f in Path(terms_dir).rglob("*.parquet"):
-            try:
-                total += pq.ParquetFile(str(f)).metadata.num_rows
-            except Exception:  # unreadable footer: assume big, skip preload
-                return 1 << 62
-        return total
+        """Term-dictionary row count via the shared parquet_rows helper."""
+        return parquet_rows(terms_dir)
 
     def _docs(self) -> DataFrame:
         return self._docs_df
@@ -1315,16 +1322,24 @@ class SearchEngine:
         # (The bucket table stores lower(term) variants for the same
         # reason, so both lanes fold identically.)
         q = term.lower()
+        from probe_spark.symspell import delete_variants
+
         if use_buckets is None:
-            # auto prefers brute for very long queries: past the session's
-            # parquet IN-pushdown threshold (300 values; ~a 24-char term
-            # at d=2) the variant list would collapse to a [min,max]
-            # range and the bucket scan loses its pruning -- still
-            # correct, but strictly worse than one dictionary pass
+            # auto prefers brute for very long queries: past the
+            # SESSION'S parquet IN-pushdown threshold (exact count vs the
+            # live conf -- a user-supplied session may run the Spark
+            # default of 10) the variant list would collapse to a
+            # [min,max] range and the bucket scan loses its pruning --
+            # still correct, but strictly worse than one dictionary pass
+            threshold = int(
+                self.spark.conf.get(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+                )
+            )
             use_buckets = (
                 self._suggest_buckets_df is not None
                 and max_dist <= self._suggest_max_dist
-                and 1 + len(q) + len(q) * (len(q) - 1) // 2 <= 300
+                and len(delete_variants(q, max_dist)) <= threshold
             )
         if use_buckets:
             if (
@@ -1336,8 +1351,6 @@ class SearchEngine:
                     f"table built for max_dist={max_dist} under "
                     f"{self.index_dir} (symspell.build_suggest_buckets)"
                 )
-            from probe_spark.symspell import delete_variants
-
             cand = (
                 self._suggest_buckets_df.filter(
                     F.col("variant").isin(delete_variants(q, max_dist))
@@ -1347,9 +1360,15 @@ class SearchEngine:
                 .dropDuplicates(["term"]).select("term", "df")
             )
         else:
+            # prefilter on the FOLDED length: lower() can change a term's
+            # length (Turkish dotted I), and dist below compares folded
+            # forms -- a raw-length prefilter would drop rows the bucket
+            # lane (built on lower(term)) keeps, breaking lane identity
             cand = self._terms_df.select(
                 "term", F.col("df").cast("long").alias("df")
-            ).filter(F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
+            ).filter(
+                F.abs(F.length(F.lower("term")) - F.lit(len(q))) <= max_dist
+            )
         return (
             cand.withColumn(
                 "dist",

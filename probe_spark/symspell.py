@@ -49,19 +49,6 @@ _DEL1 = (
 )
 
 
-def _vocab_rows(terms_dir: Path) -> int:
-    """Dictionary row count from parquet footers -- driver-side, no job."""
-    import pyarrow.parquet as pq
-
-    n = 0
-    for f in terms_dir.glob("*.parquet"):
-        try:
-            n += pq.ParquetFile(str(f)).metadata.num_rows
-        except Exception:  # pragma: no cover - unreadable part file
-            continue
-    return n
-
-
 def delete_variants(q: str, max_dist: int) -> list[str]:
     """All strings reachable from ``q`` by deleting at most ``max_dist``
     characters (including ``q`` itself), deduped.  Driver-side: the query
@@ -88,9 +75,17 @@ def build_suggest_buckets(
     disables the lane (falls back to the brute scan) when the dictionary
     changed after the build -- rerun this to refresh.  Returns the bucket
     row count."""
-    from probe_spark.engine import index_fingerprint
+    import shutil
+
+    from probe_spark.engine import index_fingerprint, parquet_rows
 
     p = Path(index_dir)
+    # fingerprint the index BEFORE reading the dictionary: if an ingest
+    # mutates terms/ while this build is running, the stored marker will
+    # no longer match at load time and the table built from the old
+    # dictionary is refused (fail-safe), instead of a post-build
+    # fingerprint stamping the new index state onto stale buckets
+    fp = _jsonable(index_fingerprint(index_dir))
     t = (
         spark.read.parquet(str(p / "terms"))
         .select(
@@ -107,16 +102,26 @@ def build_suggest_buckets(
     ).dropDuplicates(["variant", "term"])
     for _ in range(max_dist):
         levels.append(frontier)
-        frontier = frontier.select(
-            F.explode(F.expr(_DEL1.format(c="variant"))).alias("variant"),
-            "term",
-            "df",
-        ).dropDuplicates(["variant", "term"])
+        # expand only NON-EMPTY variants: a level-k variant of a term has
+        # length len(base)-k, so levels are disjoint per term except for
+        # '' regenerating itself -- with '' excluded from expansion the
+        # per-level dedups make the union globally duplicate-free, and no
+        # corpus-wide dropDuplicates shuffle of the ~(L^2/2)x-vocabulary
+        # table is needed
+        frontier = (
+            frontier.filter(F.col("variant") != "")
+            .select(
+                F.explode(F.expr(_DEL1.format(c="variant"))).alias(
+                    "variant"
+                ),
+                "term",
+                "df",
+            )
+            .dropDuplicates(["variant", "term"])
+        )
     buckets = levels[0]
     for lv in levels[1:]:
         buckets = buckets.unionByName(lv)
-    buckets = buckets.dropDuplicates(["variant", "term"])
-    out = str(p / TABLE)
     # Pruning granularity IS the lane's value: a suggest query probes
     # ~1+L+L(L-1)/2 scattered variant points, and what it reads is
     # (points x row-group size), independent of vocabulary size.  Default
@@ -126,26 +131,27 @@ def build_suggest_buckets(
     # time for marginal extra pruning, measured at 100k terms).  Partition
     # count scales with the dictionary so per-file row-group counts stay
     # bounded at web vocabularies.
-    n_parts = max(4, min(512, _vocab_rows(p / "terms") // 25_000))
-    # invalidate BEFORE overwriting: a rebuild that crashes mid-write must
-    # not leave an old still-matching manifest pointing at a half-written
-    # table (the manifest is rewritten only after the write + count land)
-    (p / MANIFEST).unlink(missing_ok=True)
+    n_parts = max(4, min(512, parquet_rows(p / "terms") // 25_000))
+    # tmp-write + swap (the incremental.py terms-rewrite pattern): the
+    # long distributed write lands beside the live table, the manifest is
+    # unlinked only for the brief swap, and a crash at any point leaves
+    # either the old or the new table WITHOUT a matching manifest --
+    # never a matching manifest over half-written files
+    tmp = p / (TABLE + "_tmp")
     (
         buckets.repartitionByRange(n_parts, "variant")
         .sortWithinPartitions("variant")
         .write.mode("overwrite")
         .option("parquet.block.size", str(8 << 20))
-        .parquet(out)
+        .parquet(str(tmp))
     )
-    n = spark.read.parquet(out).count()
+    n = parquet_rows(tmp)  # footer metadata, no Spark job
+    (p / MANIFEST).unlink(missing_ok=True)
+    shutil.rmtree(p / TABLE, ignore_errors=True)
+    tmp.rename(p / TABLE)
     (p / MANIFEST).write_text(
         json.dumps(
-            {
-                "max_dist": int(max_dist),
-                "rows": int(n),
-                "fingerprint": _jsonable(index_fingerprint(index_dir)),
-            }
+            {"max_dist": int(max_dist), "rows": int(n), "fingerprint": fp}
         )
     )
     return n

@@ -162,8 +162,7 @@ def test_variant_filter_reaches_scan(spark, sym_index):
     scan = [
         ln
         for ln in plan.splitlines()
-        if "FileScan" in ln and "suggest_buckets" in ln.replace("_", "_")
-        and "variant" in ln
+        if "FileScan" in ln and "suggest_buckets" in ln and "variant" in ln
     ]
     assert scan and any(
         "INSET" in ln or "In(variant" in ln for ln in plan.splitlines()
@@ -270,3 +269,31 @@ def test_auto_lane_prefers_brute_for_long_queries(spark, sym_index):
     auto = _rows(eng.suggest(long_q, 2, 5))
     assert auto == _rows(eng.suggest(long_q, 2, 5, use_buckets=False))
     assert auto == _rows(eng.suggest(long_q, 2, 5, use_buckets=True))
+
+
+def test_folded_length_prefilter_unicode(spark, tmp_path):
+    """lower() can CHANGE a term's length (Turkish dotted I: len('İİ')=2,
+    len('İİ'.lower())=4 -- each İ folds to i + combining dot).  The brute
+    lane's length prefilter must use the folded length or it drops terms
+    the bucket lane (built on lower(term)) keeps, breaking lane
+    identity."""
+    from pyspark.sql import Row
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.indexer import build_index
+    from probe_spark.symspell import build_suggest_buckets
+
+    d = tmp_path / "ix"
+    pages = spark.createDataFrame(
+        [Row(url="doc://00000000", text="İİ plain words", lang="tr")]
+    )
+    build_index(spark, pages, str(d), n_buckets=2, tokenizer="simple")
+    build_suggest_buckets(spark, str(d), max_dist=2)
+    eng = SearchEngine(spark, str(d))
+    # query = folded 'İİ' plus one char: folded-length diff 1, RAW-length
+    # diff 3 -- a raw-length prefilter would wrongly drop the term
+    q = "İİ".lower() + "x"
+    brute = _rows(eng.suggest(q, 2, 5, use_buckets=False))
+    sym = _rows(eng.suggest(q, 2, 5, use_buckets=True))
+    assert brute == sym
+    assert any(t == "İİ" and dist == 1 for t, _df, dist in brute), brute
