@@ -297,3 +297,48 @@ def test_folded_length_prefilter_unicode(spark, tmp_path):
     sym = _rows(eng.suggest(q, 2, 5, use_buckets=True))
     assert brute == sym
     assert any(t == "İİ" and dist == 1 for t, _df, dist in brute), brute
+
+
+def test_delete_bound_property():
+    """Property form of the recall guarantee: for ANY string a and ANY b
+    produced by <= 2 single-character edits (insert/delete/substitute) of
+    a, the <= 2-delete neighborhoods intersect.  Pure driver-side -- this
+    is the lemma the lane's recall rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcxyİ"  # includes a multi-byte char
+
+    def apply_edit(s: str, op: int, pos: int, ch: str) -> str:
+        if op == 0:  # insert
+            p = pos % (len(s) + 1)
+            return s[:p] + ch + s[p:]
+        if not s:
+            return s
+        p = pos % len(s)
+        if op == 1:  # delete
+            return s[:p] + s[p + 1 :]
+        return s[:p] + ch + s[p + 1 :]  # substitute
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, max_size=8),
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),
+                st.integers(0, 63),
+                st.sampled_from(alphabet),
+            ),
+            max_size=2,
+        ),
+    )
+    def check(a, edits):
+        b = a
+        for op, pos, ch in edits:
+            b = apply_edit(b, op, pos, ch)
+        assert set(delete_variants(a, 2)) & set(delete_variants(b, 2)), (
+            a,
+            b,
+        )
+
+    check()
