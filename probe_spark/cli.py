@@ -274,6 +274,28 @@ def main(argv: list[str] | None = None) -> int:
             out["tables"] = sorted(
                 d.name for d in p.iterdir() if d.is_dir()
             )
+            # suggest-lane state: built depth + whether the manifest still
+            # matches the live index (driver-side fingerprint comparison,
+            # same check the engine's auto lane runs)
+            from probe_spark import symspell
+            from probe_spark.engine import index_fingerprint
+
+            mf = p / symspell.MANIFEST
+            if mf.exists():
+                try:
+                    m = json.loads(mf.read_text())
+                    out["suggest_buckets"] = {
+                        "max_dist": m.get("max_dist"),
+                        "rows": m.get("rows"),
+                        "fresh": m.get("fingerprint")
+                        == symspell._jsonable(
+                            index_fingerprint(str(p))
+                        ),
+                    }
+                except (OSError, ValueError):
+                    out["suggest_buckets"] = {"fresh": False}
+            else:
+                out["suggest_buckets"] = None
         print(json.dumps(out, indent=1))
         return 0
 

@@ -138,6 +138,21 @@ def test_config_subcommand(ix, capsys):
     assert cfg["query"]["max_terms"] == 256
     assert cfg["stats"]["n_docs"] == 1000
     assert "postings" in cfg["tables"] and "tri_postings" in cfg["tables"]
+    assert cfg["suggest_buckets"] is None  # no lane built on this index
+
+
+def test_config_reports_suggest_lane(spark, tmp_path, capsys):
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.symspell import build_suggest_buckets
+
+    d = tmp_path / "ix"
+    build_index(spark, pages_df(spark, 50), str(d), n_buckets=2)
+    build_suggest_buckets(spark, str(d), max_dist=1)
+    rc, out = _run(capsys, "config", "--index", str(d))
+    assert rc == 0
+    sb = json.loads(out.out)["suggest_buckets"]
+    assert sb["max_dist"] == 1 and sb["rows"] > 0 and sb["fresh"] is True
 
 
 def test_config_without_index(capsys):
