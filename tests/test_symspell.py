@@ -342,3 +342,47 @@ def test_delete_bound_property():
         )
 
     check()
+
+
+def test_lane_lifecycle_under_incremental_ingest(spark, tmp_path):
+    """Full lifecycle: build -> buckets fresh -> incremental ingest makes
+    them stale (auto silently falls back to brute, which sees the NEW
+    vocabulary) -> rebuild -> lane fresh again and identical to brute.
+    Pins the freshness contract end to end, not just its pieces."""
+    from pyspark.sql import Row
+
+    from probe_spark.engine import SearchEngine
+    from probe_spark.fixtures import pages_df
+    from probe_spark.indexer import build_index
+    from probe_spark.streaming.incremental import ingest_batch
+    from probe_spark.symspell import build_suggest_buckets
+
+    d = tmp_path / "ix"
+    build_index(spark, pages_df(spark, 60), str(d), n_buckets=2)
+    build_suggest_buckets(spark, str(d), max_dist=2)
+    eng = SearchEngine(spark, str(d))
+    eng.suggest("firewal", 2, 3).collect()
+    assert eng._suggest_buckets_df is not None  # fresh lane serving
+
+    # ingest a doc carrying a brand-new vocabulary word
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [Row(url="doc://zzz", text="zebrafish zebrafish", lang="en")]
+        ),
+        str(d),
+        epoch_id=99,
+    )
+    # stale lane auto-disabled; brute fallback sees the new word
+    rows = _rows(eng.suggest("zebrafis", 2, 3))
+    assert eng._suggest_buckets_df is None
+    assert any(t == "zebrafish" and dist == 1 for t, _df, dist in rows)
+    with pytest.raises(ValueError):
+        eng.suggest("zebrafis", 2, 3, use_buckets=True)
+
+    # rebuild refreshes the lane; identical rows through the buckets
+    build_suggest_buckets(spark, str(d), max_dist=2)
+    sym = _rows(eng.suggest("zebrafis", 2, 3, use_buckets=True))
+    assert eng._suggest_buckets_df is not None
+    assert sym == _rows(eng.suggest("zebrafis", 2, 3, use_buckets=False))
+    assert any(t == "zebrafish" and dist == 1 for t, _df, dist in sym)
