@@ -5753,6 +5753,76 @@ def probe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container source/sink under the driver's gate (warc.py,
+    ISO 28500 / the Common-Crawl delivery format): wrap each documents
+    row in deterministic html, export the corpus as .warc.gz via
+    write_warc (one gzip member per record, the CC layout), re-ingest
+    with read_warc (per-file streaming parse, the cc-pyspark shape), and
+    emit per-doc byte evidence of the roundtrip: html byte length + md5,
+    the second-precision WARC-Date, and the language header.  The DuckDB
+    oracle rebuilds the same html string straight from the table, so ANY
+    byte lost or altered through record framing, HTTP payload stripping,
+    gzip member handling, or header parsing breaks the hash."""
+    import glob
+    import shutil
+    import tempfile
+
+    from probe_spark.warc import read_warc, write_warc
+
+    base = 1735689600  # 2025-01-01T00:00:00Z, the fixtures' epoch
+    pages = _docs(spark, sf_dir).select(
+        F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(base) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode(
+            F.concat(
+                F.lit('<html lang="en"><body>'),
+                F.coalesce("text", F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        write_warc(pages, d)
+        rt = read_warc(spark, sorted(glob.glob(f"{d}/*.warc.gz")))
+        return (
+            rt.select(
+                F.regexp_extract("url", r"(\d+)", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.length("html").cast("long").alias("n_bytes"),
+                F.md5("html").alias("html_md5"),
+                F.unix_timestamp("warc_ts").cast("long").alias("ts_unix"),
+                "lang",
+            )
+            .orderBy("doc_id")
+            # materialize before the tmp dir is removed: the plan reads
+            # the exported files lazily
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       strlen(h)::BIGINT AS n_bytes,  -- DuckDB strlen = BYTE length
+       md5(h) AS html_md5,
+       (1735689600 + doc_id)::BIGINT AS ts_unix,
+       'en' AS lang
+FROM (SELECT doc_id,
+             '<html lang="en"><body>' || coalesce(text, '')
+             || '</body></html>' AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 ALL_QUERIES: dict[str, tuple] = {
     "a1_term_tf": (a1_term_tf, A1_SQL),
     "a2_df": (a2_df, A2_SQL),
@@ -5854,5 +5924,6 @@ ALL_QUERIES: dict[str, tuple] = {
     "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
     "pipeline_shard_manifest": (pipeline_shard_manifest, SHARD_MANIFEST_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
+    "source_warc_roundtrip": (source_warc_roundtrip, WARC_ROUNDTRIP_SQL),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

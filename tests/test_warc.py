@@ -1,0 +1,143 @@
+"""WARC 1.0 source/sink (probe_spark/warc.py, ISO 28500): golden-bytes
+parser tests, gzip multi-member handling, and the Spark export->ingest
+roundtrip against the fixture corpus."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from probe_spark.warc import (
+    _read_file,
+    build_record,
+    parse_records,
+    response_rows,
+)
+
+TS = dt.datetime(2025, 3, 1, 12, 0, 5, tzinfo=dt.timezone.utc)
+
+
+def test_record_roundtrip_golden():
+    html = b"<html><body>hi \xc3\xa9</body></html>"
+    rec = build_record("https://a.example.com/x", TS, html, "fr")
+    # spec framing: version line, CRLF headers, blank line, content,
+    # double-CRLF terminator
+    assert rec.startswith(b"WARC/1.0\r\n")
+    assert rec.endswith(b"\r\n\r\n")
+    (headers, content), = list(parse_records(rec))
+    assert headers["warc-type"] == "response"
+    assert headers["warc-target-uri"] == "https://a.example.com/x"
+    assert headers["warc-date"] == "2025-03-01T12:00:05Z"
+    assert headers["warc-identified-content-language"] == "fr"
+    assert content.endswith(html)  # HTTP block + body
+    (url, ts, body, lang), = list(response_rows(rec))
+    assert (url, ts, body, lang) == (
+        "https://a.example.com/x",
+        TS,
+        html,
+        "fr",
+    )
+
+
+def test_non_response_records_skipped():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+        b"\r\nabcd\r\n\r\n"
+    )
+    rec = build_record("doc://1", TS, b"<p>x</p>")
+    rows = list(response_rows(info + rec))
+    assert len(rows) == 1 and rows[0][0] == "doc://1"
+    # headerless payload is returned whole (no false HTTP stripping)
+    assert rows[0][3] == "und"
+
+
+def test_truncated_record_raises():
+    rec = build_record("doc://1", TS, b"0123456789")
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_records(rec[: len(rec) - 16]))
+    with pytest.raises(ValueError, match="version"):
+        list(parse_records(b"NOTWARC\r\n\r\n"))
+
+
+def test_gzip_multi_member_read(tmp_path):
+    """CC layout: each record its own gzip member, concatenated."""
+    recs = [
+        build_record(f"doc://{i}", TS, f"<p>{i}</p>".encode())
+        for i in range(3)
+    ]
+    p = tmp_path / "f.warc.gz"
+    with open(p, "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+    rows = list(response_rows(_read_file(str(p))))
+    assert [r[0] for r in rows] == ["doc://0", "doc://1", "doc://2"]
+    assert rows[2][2] == b"<p>2</p>"
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    """Export the fixture pages as .warc.gz, re-ingest, and require the
+    exact (url, warc_ts, html, lang) multiset back; text must equal the
+    deterministic extract_text invariant (the fixture stores exactly
+    that)."""
+    import glob
+
+    from probe_spark.fixtures import pages_df
+    from probe_spark.warc import read_warc, write_warc
+
+    src = pages_df(spark, 40).select(
+        "url", "warc_ts", "html", "lang", "text"
+    )
+    n = write_warc(
+        src.select("url", "warc_ts", "html", "lang"), str(tmp_path / "w")
+    )
+    assert n == 40
+    files = sorted(glob.glob(str(tmp_path / "w" / "*.warc.gz")))
+    assert files
+    back = read_warc(spark, files)
+    a = {
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"], r["text"])
+        for r in src.collect()
+    }
+    b = {
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"], r["text"])
+        for r in back.collect()
+    }
+    assert a == b
+
+
+def test_roundtrip_entry_matches_oracle(spark, tmp_path):
+    """The gated entry's contract, checked directly vs DuckDB on a tiny
+    synthetic documents table (the driver runs the same comparison at
+    sf0.01)."""
+    import duckdb
+    import pandas as pd
+
+    from probe_spark.entry_queries import (
+        WARC_ROUNDTRIP_SQL,
+        source_warc_roundtrip,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta", None, "gamma éclair"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        source_warc_roundtrip(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(WARC_ROUNDTRIP_SQL).df()
+    assert list(got["html_md5"]) == list(want["html_md5"])
+    assert list(got["n_bytes"]) == list(want["n_bytes"])
+    assert list(got["ts_unix"]) == list(want["ts_unix"])
+    assert list(got["lang"]) == ["en", "en", "en"]
