@@ -132,6 +132,55 @@ def response_rows(
         yield url, ts, _http_body(content), lang
 
 
+def conversion_rows(
+    buf: bytes,
+) -> Iterator[tuple[str, dt.datetime, str, str]]:
+    """(url, warc_ts, text, lang) for each WARC-Type: conversion record
+    -- the WET layout (Common Crawl's extracted-text sidecar files):
+    payload is the page's plain text directly, no HTTP wrapper."""
+    for headers, content in parse_records(buf):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        raw_ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+        ts = dt.datetime.strptime(
+            raw_ts[:19], "%Y-%m-%dT%H:%M:%S"
+        ).replace(tzinfo=dt.timezone.utc)
+        lang = headers.get(
+            "warc-identified-content-language", "und"
+        ).split(",")[0].strip() or "und"
+        yield url, ts, content.decode("utf-8", "replace"), lang
+
+
+def read_wet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """WET (extracted-text) files -> the pages shape with html = NULL and
+    text straight from the conversion records.  Same per-file streaming
+    parallelism as read_warc; the right source when the pipeline starts
+    from Common Crawl's own text extraction instead of raw html."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = list(conversion_rows(_read_file(path)))
+                if not rows:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "url": [r[0] for r in rows],
+                        "warc_ts": [r[1] for r in rows],
+                        "html": [None for _ in rows],
+                        "text": [r[2] for r in rows],
+                        "lang": [r[3] for r in rows],
+                    }
+                )
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    return pdf.repartition(max(1, len(paths))).mapInPandas(
+        gen, PAGES_SCHEMA
+    )
+
+
 def _read_file(path: str) -> bytes:
     with open(path, "rb") as f:
         raw = f.read()

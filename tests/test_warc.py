@@ -141,3 +141,48 @@ def test_roundtrip_entry_matches_oracle(spark, tmp_path):
     assert list(got["n_bytes"]) == list(want["n_bytes"])
     assert list(got["ts_unix"]) == list(want["ts_unix"])
     assert list(got["lang"]) == ["en", "en", "en"]
+
+
+def _wet_record(url: str, ts: dt.datetime, text: str, lang: str) -> bytes:
+    body = text.encode("utf-8")
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"WARC-Identified-Content-Language: " + lang.encode(),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def test_wet_source(spark, tmp_path):
+    """WET conversion records -> pages shape (html NULL, text direct);
+    warcinfo preamble records (every real WET file starts with one) are
+    skipped."""
+    import glob
+
+    from probe_spark.warc import read_wet
+
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+        b"\r\nabcd\r\n\r\n"
+    )
+    recs = info + b"".join(
+        _wet_record(f"https://x.example.com/{i}", TS, f"text {i} é", "de")
+        for i in range(3)
+    )
+    p = tmp_path / "f.warc.wet.gz"
+    p.write_bytes(gzip.compress(recs))
+    df = read_wet(spark, sorted(glob.glob(str(tmp_path / "*.gz"))))
+    rows = sorted(df.collect(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [
+        f"https://x.example.com/{i}" for i in range(3)
+    ]
+    assert rows[1]["text"] == "text 1 é"
+    assert rows[0]["html"] is None
+    assert {r["lang"] for r in rows} == {"de"}
+    assert rows[0]["warc_ts"] == TS.replace(tzinfo=None) or rows[0][
+        "warc_ts"
+    ] == TS
