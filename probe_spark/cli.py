@@ -26,11 +26,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--pages", required=True, help="parquet dir of pages(url,text,lang)")
+    b.add_argument(
+        "--pages",
+        required=True,
+        help="pages source: parquet dir of (url,text,lang), or with "
+        "--format warc/wet a glob of .warc.gz/.wet.gz files",
+    )
     b.add_argument("--index", required=True)
     b.add_argument("--buckets", type=int, default=8)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--validate-extraction", action="store_true")
+    b.add_argument(
+        "--format",
+        choices=["parquet", "warc", "wet"],
+        default="parquet",
+        help="input container (warc/wet = Common-Crawl layouts, warc.py)",
+    )
 
     s = sub.add_parser("search", help="query the index")
     s.add_argument("--index", required=True)
@@ -306,9 +317,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from probe_spark.indexer import build_index
 
+        if args.format in ("warc", "wet"):
+            import glob as _glob
+
+            from probe_spark import warc as _warc
+
+            paths = sorted(_glob.glob(args.pages))
+            if not paths:
+                print(json.dumps({"error": f"no files match {args.pages}"}))
+                return 1
+            reader = (
+                _warc.read_warc if args.format == "warc" else _warc.read_wet
+            )
+            pages = reader(spark, paths).select("url", "text", "lang")
+        else:
+            pages = spark.read.parquet(args.pages)
         metrics = build_index(
             spark,
-            spark.read.parquet(args.pages),
+            pages,
             args.index,
             n_buckets=args.buckets,
             resume=args.resume,

@@ -186,3 +186,49 @@ def test_wet_source(spark, tmp_path):
     assert rows[0]["warc_ts"] == TS.replace(tzinfo=None) or rows[0][
         "warc_ts"
     ] == TS
+
+
+def test_cli_build_from_warc(spark, tmp_path, capsys):
+    """probe build --format warc: end-to-end container -> index -> search
+    through the CLI."""
+    import glob
+    import json as _json
+
+    from probe_spark.cli import main
+    from probe_spark.fixtures import pages_df
+    from probe_spark.warc import write_warc
+
+    write_warc(
+        pages_df(spark, 30).select("url", "warc_ts", "html", "lang"),
+        str(tmp_path / "w"),
+    )
+    rc = main(
+        [
+            "build",
+            "--pages",
+            str(tmp_path / "w" / "*.warc.gz"),
+            "--index",
+            str(tmp_path / "ix"),
+            "--buckets",
+            "2",
+            "--format",
+            "warc",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    metrics = _json.loads(out.strip().splitlines()[-1])
+    assert metrics["n_docs"] == 30
+    rc = main(
+        ["search", "--index", str(tmp_path / "ix"), "--query", "firewall",
+         "-k", "3", "--format", "json"]
+    )
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["results"] and all("url" in h for h in payload["results"])
+    # bad glob is a clean error, not a traceback
+    rc = main(
+        ["build", "--pages", str(tmp_path / "none" / "*.gz"),
+         "--index", str(tmp_path / "ix2"), "--format", "wet"]
+    )
+    assert rc == 1
