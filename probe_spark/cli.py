@@ -326,10 +326,28 @@ def main(argv: list[str] | None = None) -> int:
             if not paths:
                 print(json.dumps({"error": f"no files match {args.pages}"}))
                 return 1
+            if args.format == "wet" and args.validate_extraction:
+                # WET rows carry no html; the S6 extraction check compares
+                # extract_text(html) to text and would have nothing to read
+                print(
+                    json.dumps(
+                        {
+                            "error": "--validate-extraction needs html; "
+                            "WET input is text-only"
+                        }
+                    )
+                )
+                return 1
             reader = (
                 _warc.read_warc if args.format == "warc" else _warc.read_wet
             )
-            pages = reader(spark, paths).select("url", "text", "lang")
+            # keep html when the build will validate extraction against it
+            keep = (
+                ("url", "html", "text", "lang")
+                if args.validate_extraction
+                else ("url", "text", "lang")
+            )
+            pages = reader(spark, paths).select(*keep)
         else:
             pages = spark.read.parquet(args.pages)
         metrics = build_index(

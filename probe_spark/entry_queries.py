@@ -5770,6 +5770,14 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from probe_spark.warc import read_warc, write_warc
 
+    # the tmp export dir is driver-local: correct under the gate's local
+    # master (executors share the driver's filesystem); a cluster run of
+    # this ENTRY would need a shared path, which write_warc documents
+    if not spark.sparkContext.master.startswith("local"):
+        raise RuntimeError(
+            "source_warc_roundtrip uses driver-local tmp; run local[*] "
+            "or point write_warc at shared storage"
+        )
     base = 1735689600  # 2025-01-01T00:00:00Z, the fixtures' epoch
     pages = _docs(spark, sf_dir).select(
         F.format_string("doc://%08d", F.col("doc_id")).alias("url"),

@@ -1,26 +1,32 @@
 """WARC 1.0 source/sink -- the container Common-Crawl-style corpora
 actually arrive in (ISO 28500 / WARC-1.0, a public spec; format summary
 below).  The engine's ingest tables are (url, warc_ts, html, text, lang);
-this module turns .warc / .warc.gz files into that shape and back:
+this module turns .warc / .warc.gz (and .wet.gz) files into that shape
+and back:
 
     read_warc(spark, paths)  -> DataFrame(url, warc_ts, html, text, lang)
+    read_wet(spark, paths)   -> same shape, html NULL (WET = text-only)
     write_warc(df, out_dir)  -> one .warc.gz per partition, rows written
 
 Record grammar (spec §4): a version line ``WARC/1.0\r\n``, header lines
 ``Name: value\r\n``, a blank ``\r\n``, exactly Content-Length bytes of
 content block, then ``\r\n\r\n``.  Response records wrap a full HTTP
 response (status line + headers + body); the page bytes are the body
-after the FIRST blank line of the HTTP block.  Common Crawl convention:
-every record is its own gzip member, so a .warc.gz is a concatenation of
-members -- Python's gzip transparently decompresses the concatenation.
-Language rides the public ``WARC-Identified-Content-Language`` header
-(Common Crawl carries it since 2018); absent, lang is ``und``.
+after the FIRST blank line of the HTTP block, de-chunked when the
+capture recorded ``Transfer-Encoding: chunked`` and decompressed when it
+recorded ``Content-Encoding: gzip/deflate`` (real Common-Crawl captures
+preserve raw response bytes, so both occur in-contract).  Common Crawl
+convention: every record is its own gzip member; the streaming reader
+decompresses the member concatenation incrementally.  Language rides the
+public ``WARC-Identified-Content-Language`` header (Common Crawl carries
+it since 2018); absent, lang is ``und``.
 
 Scale shape: parallelism is per WARC FILE (the cc-pyspark pattern) --
-each task streams one file from shared storage and yields Arrow batches
-of parsed pages, so nothing buffers more than one file per task and a
-100 TB crawl is as parallel as its file count (~64k files/crawl).  The
-parser is a pure function over bytes, unit-tested against hand-built
+each task STREAMS its file (incremental gzip decode, record-at-a-time
+parse, rows emitted in bounded Arrow batches), so task memory is bounded
+by one record plus one batch, never the decompressed file, and a 100 TB
+crawl is as parallel as its file count (~64k files/crawl).  The parser
+is a pure function over bytes/streams, unit-tested against hand-built
 golden records.
 """
 
@@ -30,7 +36,8 @@ import datetime as dt
 import gzip
 import io
 import uuid
-from typing import Iterator
+import zlib
+from typing import BinaryIO, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,14 +46,32 @@ PAGES_SCHEMA = (
 )
 
 _CRLF = b"\r\n"
+_BATCH_ROWS = 512  # rows per emitted Arrow batch in the readers
+
+
+def _header_value(s: str, what: str) -> str:
+    """Reject CR/LF in header values: a crawled URL is attacker-supplied
+    input, and an embedded newline would forge extra WARC headers or
+    break record framing on re-ingest (header injection)."""
+    if "\r" in s or "\n" in s:
+        raise ValueError(f"WARC {what} contains CR/LF: {s[:80]!r}")
+    return s
 
 
 def build_record(
-    url: str, ts: dt.datetime, html: bytes, lang: str = "und"
+    url: str,
+    ts: "dt.datetime | str",
+    html: bytes,
+    lang: str = "und",
 ) -> bytes:
     """One WARC/1.0 response record wrapping a minimal HTTP/1.1 200
-    response around ``html``.  Deterministic except WARC-Record-ID (a
-    fresh UUID, as the spec requires per record)."""
+    response around ``html``.  ``ts`` may be a datetime (formatted as
+    UTC wall time -- callers own the tz conversion) or a preformatted
+    ``YYYY-MM-DDTHH:MM:SSZ`` string.  Deterministic except
+    WARC-Record-ID (a fresh UUID, as the spec requires per record)."""
+    if html is None:
+        raise ValueError(f"build_record: html is NULL for url={url!r}")
+    date = ts if isinstance(ts, str) else ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     http = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
         + b"Content-Length: "
@@ -59,13 +84,29 @@ def build_record(
         b"WARC/1.0",
         b"WARC-Type: response",
         b"WARC-Record-ID: <urn:uuid:" + str(uuid.uuid4()).encode() + b">",
-        b"WARC-Target-URI: " + url.encode(),
-        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
-        b"WARC-Identified-Content-Language: " + lang.encode(),
+        b"WARC-Target-URI: " + _header_value(url, "url").encode(),
+        b"WARC-Date: " + _header_value(date, "date").encode(),
+        b"WARC-Identified-Content-Language: "
+        + _header_value(lang or "und", "lang").encode(),
         b"Content-Type: application/http; msgtype=response",
         b"Content-Length: " + str(len(http)).encode(),
     ]
     return _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
+
+
+def _parse_headers(block: bytes, where: str) -> dict:
+    lines = block.split(_CRLF)
+    if not lines[0].startswith(b"WARC/"):
+        raise ValueError(
+            f"WARC: bad version line {lines[0][:40]!r} at {where}"
+        )
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _sep, v = ln.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+            "utf-8", "replace"
+        )
+    return headers
 
 
 def parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -84,17 +125,7 @@ def parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
         head_end = buf.find(_CRLF + _CRLF, pos)
         if head_end < 0:
             raise ValueError("WARC: truncated header block")
-        lines = buf[pos:head_end].split(_CRLF)
-        if not lines[0].startswith(b"WARC/"):
-            raise ValueError(
-                f"WARC: bad version line {lines[0][:40]!r} at {pos}"
-            )
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _sep, v = ln.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = (
-                v.strip().decode("utf-8", "replace")
-            )
+        headers = _parse_headers(buf[pos:head_end], f"offset {pos}")
         clen = int(headers.get("content-length", "0"))
         body_start = head_end + 4
         if body_start + clen > n:
@@ -103,12 +134,98 @@ def parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_start + clen
 
 
+def stream_records(fobj: BinaryIO) -> Iterator[tuple[dict, bytes]]:
+    """Record-at-a-time parse over a (decompressed) binary stream: memory
+    is one record, never the file.  Same contract as parse_records."""
+    while True:
+        # skip inter-record blank lines to the next version line
+        line = fobj.readline()
+        while line in (_CRLF, b"\n"):
+            line = fobj.readline()
+        if not line:
+            return
+        head = [line.rstrip(b"\r\n")]
+        while True:
+            ln = fobj.readline()
+            if not ln:
+                raise ValueError("WARC: truncated header block")
+            if ln in (_CRLF, b"\n"):
+                break
+            head.append(ln.rstrip(b"\r\n"))
+        headers = _parse_headers(_CRLF.join(head), "stream")
+        clen = int(headers.get("content-length", "0"))
+        content = fobj.read(clen)
+        if len(content) != clen:
+            raise ValueError("WARC: truncated content block")
+        yield headers, content
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (size-line CRLF data CRLF
+    ... 0 CRLF CRLF).  Tolerant of a truncated tail: returns what was
+    decodable (matching warcio's permissive behavior on crawl data)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            break
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip chunk + trailing CRLF
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> bytes:
     """Page bytes of an application/http response payload: everything
-    after the FIRST blank line (HTTP headers are CRLF-delimited; a
-    headerless payload is returned whole)."""
+    after the FIRST blank line, de-chunked / content-decoded per the
+    captured HTTP headers (CC records preserve raw response bytes).  A
+    headerless payload is returned whole."""
     i = payload.find(_CRLF + _CRLF)
-    return payload if i < 0 else payload[i + 4 :]
+    if i < 0:
+        return payload
+    head = payload[:i].lower()
+    body = payload[i + 4 :]
+    if b"transfer-encoding:" in head and b"chunked" in head:
+        body = _dechunk(body)
+    if b"content-encoding:" in head:
+        if b"gzip" in head:
+            try:
+                body = gzip.decompress(body)
+            except OSError:
+                pass  # mislabeled capture: keep raw bytes
+        elif b"deflate" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)
+                except zlib.error:
+                    pass
+    return body
+
+
+def _record_fields(headers: dict) -> tuple[str, dt.datetime, str]:
+    """(url, warc_ts, lang) shared by response and conversion records."""
+    url = headers.get("warc-target-uri", "")
+    raw_ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+    ts = dt.datetime.strptime(raw_ts[:19], "%Y-%m-%dT%H:%M:%S").replace(
+        tzinfo=dt.timezone.utc
+    )
+    lang = (
+        headers.get("warc-identified-content-language", "und")
+        .split(",")[0]
+        .strip()
+        or "und"
+    )
+    return url, ts, lang
 
 
 def response_rows(
@@ -116,19 +233,11 @@ def response_rows(
 ) -> Iterator[tuple[str, dt.datetime, bytes, str]]:
     """(url, warc_ts, html, lang) for each WARC-Type: response record;
     request/metadata/warcinfo records are skipped (spec-valid files
-    interleave them).  lang = first code of
-    WARC-Identified-Content-Language, else 'und'."""
+    interleave them)."""
     for headers, content in parse_records(buf):
         if headers.get("warc-type") != "response":
             continue
-        url = headers.get("warc-target-uri", "")
-        raw_ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
-        ts = dt.datetime.strptime(
-            raw_ts[:19], "%Y-%m-%dT%H:%M:%S"
-        ).replace(tzinfo=dt.timezone.utc)
-        lang = headers.get(
-            "warc-identified-content-language", "und"
-        ).split(",")[0].strip() or "und"
+        url, ts, lang = _record_fields(headers)
         yield url, ts, _http_body(content), lang
 
 
@@ -141,86 +250,99 @@ def conversion_rows(
     for headers, content in parse_records(buf):
         if headers.get("warc-type") != "conversion":
             continue
-        url = headers.get("warc-target-uri", "")
-        raw_ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
-        ts = dt.datetime.strptime(
-            raw_ts[:19], "%Y-%m-%dT%H:%M:%S"
-        ).replace(tzinfo=dt.timezone.utc)
-        lang = headers.get(
-            "warc-identified-content-language", "und"
-        ).split(",")[0].strip() or "und"
+        url, ts, lang = _record_fields(headers)
         yield url, ts, content.decode("utf-8", "replace"), lang
 
 
-def read_wet(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """WET (extracted-text) files -> the pages shape with html = NULL and
-    text straight from the conversion records.  Same per-file streaming
-    parallelism as read_warc; the right source when the pipeline starts
-    from Common Crawl's own text extraction instead of raw html."""
+def _open_stream(path: str) -> BinaryIO:
+    """Binary stream over a possibly-gzipped file: incremental member
+    decompression (GzipFile reads concatenated members), no whole-file
+    buffering."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if path.endswith(".gz") or magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=f)  # type: ignore[return-value]
+    return f
+
+
+def _read_file(path: str) -> bytes:
+    """Whole-file convenience used by tests and tiny inputs; the Spark
+    readers stream instead."""
+    with _open_stream(path) as f:
+        return f.read()
+
+
+def _pages_reader(spark: SparkSession, paths: list[str], row_gen) -> DataFrame:
+    """Shared reader shape: one task per file, record-at-a-time streaming
+    parse, rows emitted in bounded batches.  ``row_gen(fobj)`` yields
+    dict rows matching PAGES_SCHEMA."""
     import pandas as pd
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def gen(batches):
         for pdf in batches:
             for path in pdf["path"]:
-                rows = list(conversion_rows(_read_file(path)))
-                if not rows:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "url": [r[0] for r in rows],
-                        "warc_ts": [r[1] for r in rows],
-                        "html": [None for _ in rows],
-                        "text": [r[2] for r in rows],
-                        "lang": [r[3] for r in rows],
-                    }
-                )
+                rows: list[dict] = []
+                with _open_stream(path) as f:
+                    for row in row_gen(f):
+                        rows.append(row)
+                        if len(rows) >= _BATCH_ROWS:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
     return pdf.repartition(max(1, len(paths))).mapInPandas(
         gen, PAGES_SCHEMA
     )
-
-
-def _read_file(path: str) -> bytes:
-    with open(path, "rb") as f:
-        raw = f.read()
-    if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-        # concatenated gzip members (one per record, the CC convention)
-        # decompress transparently
-        raw = gzip.decompress(raw)
-    return raw
 
 
 def read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Parse WARC files into the engine's pages shape.  One task per
-    file: each task streams its file from shared storage and emits Arrow
-    batches, so memory is bounded by one decompressed file per task and
-    a crawl's parallelism is its file count.  text = the deterministic
+    file, streaming (see module docstring).  text = the deterministic
     extract_text(html) invariant (same UDF the indexer applies)."""
-    import pandas as pd
-
     from probe_spark.extract import extract_text
 
-    def gen(batches):
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = list(response_rows(_read_file(path)))
-                if not rows:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "url": [r[0] for r in rows],
-                        "warc_ts": [r[1] for r in rows],
-                        "html": [r[2] for r in rows],
-                        "text": [extract_text(r[2]) for r in rows],
-                        "lang": [r[3] for r in rows],
-                    }
-                )
+    def rows(f):
+        for headers, content in stream_records(f):
+            if headers.get("warc-type") != "response":
+                continue
+            url, ts, lang = _record_fields(headers)
+            html = _http_body(content)
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "html": html,
+                "text": extract_text(html),
+                "lang": lang,
+            }
 
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    return pdf.repartition(max(1, len(paths))).mapInPandas(
-        gen, PAGES_SCHEMA
-    )
+    return _pages_reader(spark, paths, rows)
+
+
+def read_wet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """WET (extracted-text) files -> the pages shape with html = NULL and
+    text straight from the conversion records.  Same streaming shape as
+    read_warc; the right source when the pipeline starts from Common
+    Crawl's own text extraction instead of raw html."""
+
+    def rows(f):
+        for headers, content in stream_records(f):
+            if headers.get("warc-type") != "conversion":
+                continue
+            url, ts, lang = _record_fields(headers)
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "html": None,
+                "text": content.decode("utf-8", "replace"),
+                "lang": lang,
+            }
+
+    return _pages_reader(spark, paths, rows)
 
 
 def write_warc(df: DataFrame, out_dir: str) -> int:
@@ -228,20 +350,36 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
     partition under ``out_dir`` (each record its own gzip member, the CC
     layout).  ``out_dir`` must be a path every executor can write
     (shared filesystem); file names are partition-unique so concurrent
-    tasks never collide.  Returns rows written.  Plain side-effect files
-    (no Spark commit protocol): rerun into a fresh directory rather than
-    resuming a half-failed export."""
+    tasks never collide.  NULL html raises (exporting a text-only row as
+    an http response would fabricate bytes -- filter or fill first);
+    NULL lang falls back to 'und'.  WARC-Date is rendered in true UTC
+    regardless of spark.sql.session.timeZone (the timestamp is formatted
+    to a string in the PLAN, where Spark still knows the zone).  Returns
+    rows written.  Plain side-effect files (no Spark commit protocol):
+    rerun into a fresh directory rather than resuming a half-failed
+    export."""
     import os
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    cols = df.columns
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    src = df.withColumn(
+        "_warc_date",
+        F.concat(
+            F.date_format(
+                F.to_utc_timestamp(F.col("warc_ts"), tz),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ),
+            F.lit("Z"),
+        ),
+    )
+    cols = src.columns
 
     def dump(batches):
         n = 0
         out = None
-        fname = None
         for pdf in batches:
             if out is None:
                 fname = os.path.join(
@@ -250,21 +388,20 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
                 out = open(fname, "wb")
             for r in pdf.itertuples(index=False):
                 d = dict(zip(cols, r))
-                ts = d["warc_ts"]
-                if not isinstance(ts, dt.datetime):
-                    ts = pd.Timestamp(ts).to_pydatetime()
+                html = d["html"]
                 rec = build_record(
-                    d["url"], ts, bytes(d["html"]), d.get("lang", "und")
+                    d["url"],
+                    d["_warc_date"],
+                    None if html is None else bytes(html),
+                    d.get("lang") or "und",
                 )
-                # one gzip member per record (CC convention)
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                out.write(buf.getvalue())
+                # one gzip member per record (CC convention); mtime=0
+                # keeps the member bytes deterministic
+                out.write(gzip.compress(rec, mtime=0))
                 n += 1
         if out is not None:
             out.close()
         yield pd.DataFrame({"n": [n]})
 
-    parts = df.mapInPandas(dump, "n long").collect()
+    parts = src.mapInPandas(dump, "n long").collect()
     return int(sum(r["n"] for r in parts))

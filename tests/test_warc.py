@@ -232,3 +232,107 @@ def test_cli_build_from_warc(spark, tmp_path, capsys):
          "--index", str(tmp_path / "ix2"), "--format", "wet"]
     )
     assert rc == 1
+
+
+def test_stream_records_parity_and_truncation(tmp_path):
+    """stream_records must yield exactly what parse_records yields, and
+    raise the same truncation errors."""
+    import io as _io
+
+    from probe_spark.warc import stream_records
+
+    recs = b"".join(
+        build_record(f"doc://{i}", TS, f"<p>{i}</p>".encode())
+        for i in range(4)
+    )
+    a = list(parse_records(recs))
+    b = list(stream_records(_io.BytesIO(recs)))
+    assert a == b
+    with pytest.raises(ValueError, match="truncated"):
+        list(stream_records(_io.BytesIO(recs[: len(recs) - 20])))
+
+
+def test_http_chunked_and_content_encoding():
+    """Real CC captures preserve raw response bytes: chunked framing and
+    Content-Encoding: gzip must be decoded to the page bytes."""
+    from probe_spark.warc import _http_body
+
+    page = b"<html><body>chunky page bytes</body></html>"
+    # chunked: two chunks + terminator
+    c1, c2 = page[:10], page[10:]
+    chunked = (
+        hex(len(c1))[2:].encode() + b"\r\n" + c1 + b"\r\n"
+        + hex(len(c2))[2:].encode() + b"\r\n" + c2 + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert _http_body(payload) == page
+    # gzip content-encoding
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(page)
+    )
+    assert _http_body(payload) == page
+    # deflate (zlib-wrapped)
+    import zlib
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(page)
+    )
+    assert _http_body(payload) == page
+    # mislabeled gzip keeps raw bytes rather than raising
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnotgz"
+    assert _http_body(payload) == b"notgz"
+
+
+def test_build_record_rejects_header_injection_and_null_html():
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_record("http://x\r\nWARC-Type: warcinfo", TS, b"x")
+    with pytest.raises(ValueError, match="NULL"):
+        build_record("http://x", TS, None)
+
+
+def test_write_warc_null_policy(spark, tmp_path):
+    """NULL html fails loudly (no fabricated response bytes); NULL lang
+    falls back to 'und'."""
+    from pyspark.sql import Row
+
+    from probe_spark.warc import read_warc, write_warc
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, lang string"
+    )
+    ok = spark.createDataFrame(
+        [("doc://1", TS, b"<p>x</p>", None)], schema
+    )
+    write_warc(ok, str(tmp_path / "ok"))
+    import glob
+
+    back = read_warc(
+        spark, sorted(glob.glob(str(tmp_path / "ok" / "*.warc.gz")))
+    ).collect()
+    assert back[0]["lang"] == "und"
+    bad = spark.createDataFrame([("doc://2", TS, None, "en")], schema)
+    with pytest.raises(Exception, match="NULL"):
+        write_warc(bad, str(tmp_path / "bad"))
+
+
+def test_cli_wet_validate_rejected(tmp_path, capsys):
+    import json as _json
+
+    from probe_spark.cli import main
+
+    (tmp_path / "f.wet.gz").write_bytes(
+        gzip.compress(_wet_record("doc://1", TS, "hello", "en"))
+    )
+    rc = main(
+        ["build", "--pages", str(tmp_path / "*.wet.gz"), "--index",
+         str(tmp_path / "ix"), "--format", "wet", "--validate-extraction"]
+    )
+    assert rc == 1
+    assert "text-only" in _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["error"]
