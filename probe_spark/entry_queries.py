@@ -5817,6 +5817,108 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def source_cdx_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) url-index source under the driver's gate (warc.read_cdx,
+    Common Crawl's third artifact type): serialize a capture index for
+    the documents corpus as real CDXJ text lines (one capture per doc at
+    epoch+doc_id, a RE-CRAWL a day later for every doc_id % 3 == 0),
+    round it through the text files + the JVM-side from_json parse, and
+    reduce to the pre-fetch planning shape: captures per urlkey, latest
+    capture time, content digest.  This is the query a 100-TB pipeline
+    runs BEFORE touching any WARC byte (the index is ~1% of crawl
+    bytes); the DuckDB oracle rebuilds the same aggregate straight from
+    the table, so a parse drift in any CDX field breaks the hash."""
+    import shutil
+    import tempfile
+
+    from probe_spark.warc import read_cdx
+
+    if not spark.sparkContext.master.startswith("local"):
+        raise RuntimeError(
+            "source_cdx_snapshot_latest uses driver-local tmp; run "
+            "local[*] or point the export at shared storage"
+        )
+    base = 1735689600  # 2025-01-01T00:00:00Z
+    docs = _docs(spark, sf_dir)
+
+    def capture(ts_col):
+        # a CDXJ line: 'urlkey 14-digit-ts {json}' (fields string-typed,
+        # as the real index carries them)
+        return F.concat_ws(
+            " ",
+            F.concat(
+                F.format_string("%08d", F.col("doc_id")), F.lit(")/")
+            ),
+            F.date_format(ts_col, "yyyyMMddHHmmss"),
+            F.to_json(
+                F.struct(
+                    F.format_string("doc://%08d", F.col("doc_id")).alias(
+                        "url"
+                    ),
+                    F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+                    F.lit("text/html").alias("mime"),
+                    F.lit("200").alias("status"),
+                    F.lit("crawl-00.warc.gz").alias("filename"),
+                    (F.col("doc_id") * 1000).cast("string").alias(
+                        "offset"
+                    ),
+                    F.lit("512").alias("length"),
+                )
+            ),
+        ).alias("value")
+
+    first = docs.select(
+        capture(F.timestamp_seconds(F.lit(base) + F.col("doc_id")))
+    )
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+        capture(
+            F.timestamp_seconds(F.lit(base + 86400) + F.col("doc_id"))
+        )
+    )
+    d = tempfile.mkdtemp(prefix="cdx_rt_")
+    try:
+        first.unionByName(recrawl).write.mode("overwrite").text(d)
+        cdx = read_cdx(spark, [d])
+        return (
+            cdx.groupBy("urlkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_captures"),
+                F.max(F.unix_timestamp("warc_ts"))
+                .cast("long")
+                .alias("latest_ts_unix"),
+                F.max("digest").alias("digest"),
+                F.max("status").cast("long").alias("status"),
+            )
+            .select(
+                F.regexp_extract("urlkey", r"(\d+)", 1)
+                .cast("long")
+                .alias("doc_id"),
+                "n_captures",
+                "latest_ts_unix",
+                "digest",
+                "status",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+CDX_SNAPSHOT_SQL = """
+SELECT doc_id,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_captures,
+       (1735689600 + doc_id
+        + CASE WHEN doc_id % 3 = 0 THEN 86400 ELSE 0 END)::BIGINT
+           AS latest_ts_unix,
+       md5(coalesce(text, '')) AS digest,
+       200::BIGINT AS status
+FROM documents
+ORDER BY doc_id
+"""
+
+
 WARC_ROUNDTRIP_SQL = """
 SELECT doc_id,
        strlen(h)::BIGINT AS n_bytes,  -- DuckDB strlen = BYTE length
@@ -5933,5 +6035,9 @@ ALL_QUERIES: dict[str, tuple] = {
     "pipeline_shard_manifest": (pipeline_shard_manifest, SHARD_MANIFEST_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_SQL),
     "source_warc_roundtrip": (source_warc_roundtrip, WARC_ROUNDTRIP_SQL),
+    "source_cdx_snapshot_latest": (
+        source_cdx_snapshot_latest,
+        CDX_SNAPSHOT_SQL,
+    ),
     "probe_tokenize_stats": (probe_tokenize_stats, None),
 }

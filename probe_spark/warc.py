@@ -405,3 +405,60 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
 
     parts = src.mapInPandas(dump, "n long").collect()
     return int(sum(r["n"] for r in parts))
+
+
+# -- CDX(J) url index ---------------------------------------------------------
+
+CDX_SCHEMA = (
+    "urlkey string, warc_ts timestamp, url string, digest string,"
+    " mime string, status int, filename string, offset long, length long"
+)
+
+
+def surt(url: str) -> str:
+    """Simplified SURT urlkey (the public Sort-friendly URI Reordering
+    Transform Common Crawl's index keys use): scheme dropped, host
+    lowercased with leading 'www.' removed and label order reversed
+    comma-joined, then ')/' + path lowercased.  Enough for grouping
+    captures of one page; full SURT also canonicalizes queries/sessions,
+    which the synthetic corpora here never carry."""
+    rest = url.split("://", 1)[-1]
+    host, slash, path = rest.partition("/")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    return key + ")/" + path.lower()
+
+
+def read_cdx(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """CDXJ index lines ('urlkey 14-digit-timestamp {json}') -> a typed
+    capture table.  Entirely JVM-side (text scan, two splits, from_json)
+    -- no Python in the path, so a full crawl index scan stays in
+    whole-stage codegen.  The capture table is what pre-fetch filtering,
+    digest-level dedup, and latest-snapshot selection run against BEFORE
+    any WARC byte is fetched -- at Common-Crawl scale the index is ~1% of
+    the crawl bytes, so plan there first."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text([str(p) for p in paths])
+    parts = F.split(F.col("value"), " ", 3)
+    j = F.from_json(
+        parts[2],
+        "url string, digest string, mime string, status string,"
+        " filename string, offset string, length string",
+    )
+    return (
+        lines.filter(F.length(F.trim("value")) > 0)
+        .select(
+            parts[0].alias("urlkey"),
+            F.to_timestamp(parts[1], "yyyyMMddHHmmss").alias("warc_ts"),
+            j["url"].alias("url"),
+            j["digest"].alias("digest"),
+            j["mime"].alias("mime"),
+            j["status"].cast("int").alias("status"),
+            j["filename"].alias("filename"),
+            j["offset"].cast("long").alias("offset"),
+            j["length"].cast("long").alias("length"),
+        )
+    )

@@ -336,3 +336,67 @@ def test_cli_wet_validate_rejected(tmp_path, capsys):
     assert "text-only" in _json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     )["error"]
+
+
+def test_surt_urlkey():
+    from probe_spark.warc import surt
+
+    assert surt("https://www.Example.COM/Path/X") == "com,example)/path/x"
+    assert surt("http://a.b.example.org/") == "org,example,b,a)/"
+    assert surt("doc://00000042") == "00000042)/"
+
+
+def test_read_cdx(spark, tmp_path):
+    """CDXJ lines -> typed capture table, blank lines skipped, fields
+    cast (entirely JVM-side)."""
+    from probe_spark.warc import read_cdx
+
+    lines = [
+        'com,example)/a 20250101120005 {"url": "https://example.com/a",'
+        ' "digest": "sha1:AAA", "mime": "text/html", "status": "200",'
+        ' "filename": "f.warc.gz", "offset": "123", "length": "456"}',
+        "",
+        'com,example)/b 20250202000000 {"url": "https://example.com/b",'
+        ' "digest": "sha1:BBB", "mime": "text/html", "status": "404",'
+        ' "filename": "f.warc.gz", "offset": "789", "length": "10"}',
+    ]
+    (tmp_path / "idx.cdx").write_text("\n".join(lines))
+    rows = sorted(
+        read_cdx(spark, [str(tmp_path / "idx.cdx")]).collect(),
+        key=lambda r: r["urlkey"],
+    )
+    assert len(rows) == 2
+    a, b = rows
+    assert a["urlkey"] == "com,example)/a" and a["status"] == 200
+    assert a["offset"] == 123 and a["length"] == 456
+    assert a["warc_ts"].strftime("%Y%m%d%H%M%S") == "20250101120005"
+    assert b["digest"] == "sha1:BBB" and b["status"] == 404
+
+
+def test_cdx_entry_matches_oracle(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from probe_spark.entry_queries import (
+        CDX_SNAPSHOT_SQL,
+        source_cdx_snapshot_latest,
+    )
+
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["a", "b", None, "c d"]}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        source_cdx_snapshot_latest(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(CDX_SNAPSHOT_SQL).df()
+    for c in ("n_captures", "latest_ts_unix", "digest", "status"):
+        assert list(got[c]) == list(want[c]), c
+    assert list(got["n_captures"]) == [2, 1, 1, 2]  # doc 0 and 3 re-crawled
