@@ -345,7 +345,7 @@ def read_wet(spark: SparkSession, paths: list[str]) -> DataFrame:
     return _pages_reader(spark, paths, rows)
 
 
-def write_warc(df: DataFrame, out_dir: str) -> int:
+def write_warc(df: DataFrame, out_dir: str, cdx: bool = False) -> int:
     """Export (url, warc_ts, html[, lang]) rows as one .warc.gz per
     partition under ``out_dir`` (each record its own gzip member, the CC
     layout).  ``out_dir`` must be a path every executor can write
@@ -354,10 +354,16 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
     an http response would fabricate bytes -- filter or fill first);
     NULL lang falls back to 'und'.  WARC-Date is rendered in true UTC
     regardless of spark.sql.session.timeZone (the timestamp is formatted
-    to a string in the PLAN, where Spark still knows the zone).  Returns
-    rows written.  Plain side-effect files (no Spark commit protocol):
-    rerun into a fresh directory rather than resuming a half-failed
-    export."""
+    to a string in the PLAN, where Spark still knows the zone).
+    ``cdx=True`` additionally writes a ``<part>.cdx`` sidecar per file
+    with TRUE byte offsets/lengths of each gzip member -- exactly how
+    Common Crawl's index is produced -- enabling fetch_captures to read
+    selected records by ranged access instead of scanning the crawl.
+    Returns rows written.  Plain side-effect files (no Spark commit
+    protocol): rerun into a fresh directory rather than resuming a
+    half-failed export."""
+    import hashlib
+    import json as _json
     import os
 
     import pandas as pd
@@ -380,12 +386,16 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
     def dump(batches):
         n = 0
         out = None
+        idx = None
+        base = None
         for pdf in batches:
             if out is None:
-                fname = os.path.join(
-                    out_dir, f"part-{uuid.uuid4().hex}.warc.gz"
-                )
-                out = open(fname, "wb")
+                base = f"part-{uuid.uuid4().hex}.warc.gz"
+                out = open(os.path.join(out_dir, base), "wb")
+                if cdx:
+                    idx = open(
+                        os.path.join(out_dir, base + ".cdx"), "w"
+                    )
             for r in pdf.itertuples(index=False):
                 d = dict(zip(cols, r))
                 html = d["html"]
@@ -397,14 +407,108 @@ def write_warc(df: DataFrame, out_dir: str) -> int:
                 )
                 # one gzip member per record (CC convention); mtime=0
                 # keeps the member bytes deterministic
-                out.write(gzip.compress(rec, mtime=0))
+                member = gzip.compress(rec, mtime=0)
+                if idx is not None:
+                    ts14 = (
+                        d["_warc_date"]
+                        .replace("-", "")
+                        .replace(":", "")
+                        .replace("T", "")
+                        .rstrip("Z")
+                    )
+                    fields = {
+                        "url": d["url"],
+                        "digest": "md5:"
+                        + hashlib.md5(bytes(html)).hexdigest(),
+                        "mime": "text/html",
+                        "status": "200",
+                        "filename": base,
+                        "offset": str(out.tell()),
+                        "length": str(len(member)),
+                    }
+                    idx.write(
+                        f"{surt(d['url'])} {ts14} "
+                        + _json.dumps(fields)
+                        + "\n"
+                    )
+                out.write(member)
                 n += 1
         if out is not None:
             out.close()
+        if idx is not None:
+            idx.close()
         yield pd.DataFrame({"n": [n]})
 
     parts = src.mapInPandas(dump, "n long").collect()
     return int(sum(r["n"] for r in parts))
+
+
+def fetch_captures(
+    spark: SparkSession, captures: DataFrame, warc_dir: str
+) -> DataFrame:
+    """Index-driven SELECTIVE fetch -- the Common-Crawl access pattern:
+    ``captures`` is a (filename, offset, length, ...) selection (rows of
+    read_cdx output, typically after digest dedup / latest-snapshot /
+    status filtering), and only those gzip members are read from
+    ``warc_dir`` by seek+read of exactly ``length`` bytes each.  A plan
+    that selects 0.1% of captures reads ~0.1% of the crawl bytes instead
+    of scanning it.  Partitioned by filename so each task opens its file
+    once and walks its offsets in ascending order (sequential-friendly
+    on both disks and object stores' ranged GETs)."""
+    import os
+
+    import pandas as pd
+
+    from probe_spark.extract import extract_text
+
+    sel = captures.select("filename", "offset", "length").repartition(
+        "filename"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for fname, grp in pdf.groupby("filename"):
+                rows = []
+                with open(os.path.join(warc_dir, fname), "rb") as f:
+                    for off, ln in sorted(
+                        zip(grp["offset"], grp["length"])
+                    ):
+                        f.seek(int(off))
+                        member = f.read(int(ln))
+                        rec = gzip.decompress(member)
+                        for headers, content in parse_records(rec):
+                            if headers.get("warc-type") != "response":
+                                continue
+                            url, ts, lang = _record_fields(headers)
+                            html = _http_body(content)
+                            rows.append(
+                                {
+                                    "url": url,
+                                    "warc_ts": ts,
+                                    "html": html,
+                                    "text": extract_text(html),
+                                    "lang": lang,
+                                }
+                            )
+                            if len(rows) >= _BATCH_ROWS:
+                                yield pd.DataFrame(
+                                    rows,
+                                    columns=[
+                                        "url",
+                                        "warc_ts",
+                                        "html",
+                                        "text",
+                                        "lang",
+                                    ],
+                                )
+                                rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "warc_ts", "html", "text", "lang"],
+                    )
+
+    return sel.mapInPandas(gen, PAGES_SCHEMA)
 
 
 # -- CDX(J) url index ---------------------------------------------------------

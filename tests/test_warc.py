@@ -400,3 +400,70 @@ def test_cdx_entry_matches_oracle(spark, tmp_path):
     for c in ("n_captures", "latest_ts_unix", "digest", "status"):
         assert list(got[c]) == list(want[c]), c
     assert list(got["n_captures"]) == [2, 1, 1, 2]  # doc 0 and 3 re-crawled
+
+
+def test_selective_fetch_via_cdx_sidecar(spark, tmp_path):
+    """The Common-Crawl access pattern end to end: export with a true
+    offset/length sidecar index, PLAN a subset at the index layer, fetch
+    ONLY those byte ranges -- and prove the ranged access by corrupting
+    every byte outside the selected members (a scan would return
+    garbage; the fetch must not notice)."""
+    import glob
+
+    from probe_spark.fixtures import pages_df
+    from probe_spark.warc import fetch_captures, read_cdx, write_warc
+
+    src = pages_df(spark, 60).select("url", "warc_ts", "html", "lang", "text")
+    out = tmp_path / "w"
+    n = write_warc(
+        src.select("url", "warc_ts", "html", "lang"), str(out), cdx=True
+    )
+    assert n == 60
+    sidecars = sorted(glob.glob(str(out / "*.cdx")))
+    assert sidecars
+    cdx = read_cdx(spark, sidecars)
+    assert cdx.count() == 60
+    # plan: fetch only urls containing 'firewall' (the index layer knows
+    # urls; no WARC byte read yet)
+    sel = cdx.filter(cdx.url.contains("firewall"))
+    want_urls = {r["url"] for r in sel.select("url").collect()}
+    assert 0 < len(want_urls) < 60
+    got = fetch_captures(spark, sel, str(out)).collect()
+    assert {r["url"] for r in got} == want_urls
+    # full fidelity of fetched rows vs the source
+    src_rows = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]), r["lang"], r["text"])
+        for r in src.collect()
+    }
+    for r in got:
+        assert (
+            r["warc_ts"],
+            bytes(r["html"]),
+            r["lang"],
+            r["text"],
+        ) == src_rows[r["url"]]
+    # corrupt every byte OUTSIDE the selected members; ranged fetch is
+    # oblivious, proving it reads only the planned ranges
+    keep = {
+        (r["filename"], int(r["offset"]), int(r["length"]))
+        for r in sel.collect()
+    }
+    import os
+
+    for f in glob.glob(str(out / "*.warc.gz")):
+        base = os.path.basename(f)
+        spans = sorted(
+            (o, o + ln) for (fn, o, ln) in keep if fn == base
+        )
+        data = bytearray(open(f, "rb").read())
+        for i in range(len(data)):
+            if not any(a <= i < b for a, b in spans):
+                data[i] = 0xAA
+        open(f, "wb").write(bytes(data))
+    got2 = fetch_captures(spark, sel, str(out)).collect()
+    assert {r["url"] for r in got2} == want_urls
+    assert all(
+        (r["warc_ts"], bytes(r["html"]), r["lang"], r["text"])
+        == src_rows[r["url"]]
+        for r in got2
+    )
