@@ -461,8 +461,18 @@ def fetch_captures(
 
     from probe_spark.extract import extract_text
 
-    sel = captures.select("filename", "offset", "length").repartition(
-        "filename"
+    from pyspark.sql import functions as F
+
+    # foreign CDX lines may lack fetch coordinates; a null here would
+    # crash a task mid-fetch, so filter them out up front
+    sel = (
+        captures.select("filename", "offset", "length")
+        .filter(
+            F.col("filename").isNotNull()
+            & F.col("offset").isNotNull()
+            & F.col("length").isNotNull()
+        )
+        .repartition("filename")
     )
 
     def gen(batches):
