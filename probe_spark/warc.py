@@ -393,8 +393,14 @@ def write_warc(df: DataFrame, out_dir: str, cdx: bool = False) -> int:
                 base = f"part-{uuid.uuid4().hex}.warc.gz"
                 out = open(os.path.join(out_dir, base), "wb")
                 if cdx:
+                    # locale/platform-independent sidecar bytes: crawled
+                    # urls may be non-ASCII and the index is read back
+                    # byte-oriented (spark.read.text)
                     idx = open(
-                        os.path.join(out_dir, base + ".cdx"), "w"
+                        os.path.join(out_dir, base + ".cdx"),
+                        "w",
+                        encoding="utf-8",
+                        newline="\n",
                     )
             for r in pdf.itertuples(index=False):
                 d = dict(zip(cols, r))
@@ -475,58 +481,55 @@ def fetch_captures(
         .repartition("filename")
     )
 
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
     def gen(batches):
+        # accumulate COORDINATES across all of the partition's Arrow
+        # batches first (tiny: filename + two ints per capture) so each
+        # file really is opened once and walked in globally ascending
+        # offset order -- per-batch grouping would reopen files and seek
+        # backwards whenever a selection spans batches.  The page ROWS
+        # still stream out in bounded chunks.
+        coords: dict[str, list[tuple[int, int]]] = {}
         for pdf in batches:
-            for fname, grp in pdf.groupby("filename"):
-                rows = []
-                with open(os.path.join(warc_dir, fname), "rb") as f:
-                    for off, ln in sorted(
-                        zip(grp["offset"], grp["length"])
-                    ):
-                        f.seek(int(off))
-                        member = f.read(int(ln))
-                        rec = gzip.decompress(member)
-                        for headers, content in parse_records(rec):
-                            if headers.get("warc-type") != "response":
-                                continue
-                            url, ts, lang = _record_fields(headers)
-                            html = _http_body(content)
-                            rows.append(
-                                {
-                                    "url": url,
-                                    "warc_ts": ts,
-                                    "html": html,
-                                    "text": extract_text(html),
-                                    "lang": lang,
-                                }
-                            )
-                            if len(rows) >= _BATCH_ROWS:
-                                yield pd.DataFrame(
-                                    rows,
-                                    columns=[
-                                        "url",
-                                        "warc_ts",
-                                        "html",
-                                        "text",
-                                        "lang",
-                                    ],
-                                )
-                                rows = []
-                if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=["url", "warc_ts", "html", "text", "lang"],
-                    )
+            for fname, off, ln in zip(
+                pdf["filename"], pdf["offset"], pdf["length"]
+            ):
+                # basename only: a foreign index row must not escape
+                # warc_dir ('../../x' or an absolute path)
+                coords.setdefault(os.path.basename(str(fname)), []).append(
+                    (int(off), int(ln))
+                )
+        rows: list[dict] = []
+        for fname in sorted(coords):
+            with open(os.path.join(warc_dir, fname), "rb") as f:
+                for off, ln in sorted(coords[fname]):
+                    f.seek(off)
+                    rec = gzip.decompress(f.read(ln))
+                    for headers, content in parse_records(rec):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        url, ts, lang = _record_fields(headers)
+                        html = _http_body(content)
+                        rows.append(
+                            {
+                                "url": url,
+                                "warc_ts": ts,
+                                "html": html,
+                                "text": extract_text(html),
+                                "lang": lang,
+                            }
+                        )
+                        if len(rows) >= _BATCH_ROWS:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return sel.mapInPandas(gen, PAGES_SCHEMA)
 
 
 # -- CDX(J) url index ---------------------------------------------------------
-
-CDX_SCHEMA = (
-    "urlkey string, warc_ts timestamp, url string, digest string,"
-    " mime string, status int, filename string, offset long, length long"
-)
 
 
 def surt(url: str) -> str:
@@ -566,7 +569,14 @@ def read_cdx(spark: SparkSession, paths: list[str]) -> DataFrame:
         lines.filter(F.length(F.trim("value")) > 0)
         .select(
             parts[0].alias("urlkey"),
-            F.to_timestamp(parts[1], "yyyyMMddHHmmss").alias("warc_ts"),
+            # CDX timestamps are UTC by convention; parse zone-AWARE
+            # (explicit Z + X pattern) so the instant is right regardless
+            # of spark.sql.session.timeZone -- a session-local
+            # to_timestamp would drift captures vs the module's true-UTC
+            # WARC-Date handling by the zone offset
+            F.to_timestamp(
+                F.concat(parts[1], F.lit("Z")), "yyyyMMddHHmmssX"
+            ).alias("warc_ts"),
             j["url"].alias("url"),
             j["digest"].alias("digest"),
             j["mime"].alias("mime"),

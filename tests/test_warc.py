@@ -467,3 +467,60 @@ def test_selective_fetch_via_cdx_sidecar(spark, tmp_path):
         == src_rows[r["url"]]
         for r in got2
     )
+
+
+def test_read_cdx_utc_independent_of_session_tz(spark, tmp_path):
+    """CDX timestamps are UTC by convention: the parsed instant must not
+    drift with spark.sql.session.timeZone (write_warc's WARC-Date is
+    already session-independent; the index must agree with it)."""
+    from probe_spark.warc import read_cdx
+
+    (tmp_path / "i.cdx").write_text(
+        'com,example)/a 20250101120005 {"url": "https://example.com/a",'
+        ' "digest": "d", "mime": "m", "status": "200",'
+        ' "filename": "f", "offset": "0", "length": "1"}\n'
+    )
+    from pyspark.sql import functions as F
+
+    def unix_ts():
+        return (
+            read_cdx(spark, [str(tmp_path / "i.cdx")])
+            .select(F.unix_timestamp("warc_ts").alias("u"))
+            .collect()[0]["u"]
+        )
+
+    assert unix_ts() == 1735732805  # 2025-01-01T12:00:05Z
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert unix_ts() == 1735732805  # same instant, different session
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_fetch_captures_rejects_path_escape(spark, tmp_path):
+    """A foreign index row must not read outside warc_dir: filename is
+    reduced to its basename, so '../secret' resolves inside warc_dir and
+    simply fails to open rather than escaping it."""
+    from probe_spark.fixtures import pages_df
+    from probe_spark.warc import fetch_captures, read_cdx, write_warc
+
+    out = tmp_path / "w"
+    write_warc(
+        pages_df(spark, 5).select("url", "warc_ts", "html", "lang"),
+        str(out),
+        cdx=True,
+    )
+    # a secret file OUTSIDE warc_dir that a traversal would reach
+    secret = tmp_path / "secret.warc.gz"
+    secret.write_bytes(b"\x1f\x8b")  # content irrelevant
+    import glob
+
+    from pyspark.sql import functions as F
+
+    cdx = read_cdx(spark, sorted(glob.glob(str(out / "*.cdx"))))
+    evil = cdx.limit(1).withColumn(
+        "filename", F.lit("../secret.warc.gz")
+    )
+    with pytest.raises(Exception, match="secret.warc.gz"):
+        fetch_captures(spark, evil, str(out)).collect()
