@@ -568,6 +568,8 @@ def main() -> None:
         events_bot_flags,
         graph_reciprocal,
         text_winnow_fingerprints,
+        source_warc_roundtrip,
+        source_cdx_snapshot_latest,
     )
 
     # the four quantizer consumers share path-keyed trained-centroid /
@@ -673,6 +675,10 @@ def main() -> None:
         ("op_bot_flags", events_bot_flags),
         ("op_graph_reciprocal", graph_reciprocal),
         ("op_winnow", text_winnow_fingerprints),
+        # Common-Crawl container paths: full corpus export->re-ingest
+        # through .warc.gz framing, and the CDX serialize->parse->plan
+        ("op_warc_roundtrip", source_warc_roundtrip),
+        ("op_cdx_snapshot", source_cdx_snapshot_latest),
         # prefix-wildcard: dictionary top-terms rewrite + bag scoring
         (
             "op_prefix_search",
