@@ -737,7 +737,57 @@ def main() -> None:
     )
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
+    # Full detail object first (own line + sidecar file), then a COMPACT
+    # (<1 KiB) headline line LAST: the driver's tail-capture window
+    # truncated round 4's single giant line to unparseable, so the final
+    # stdout line must always fit.  Readers wanting sweeps/extra_ops use
+    # the detail line or BENCH_DETAIL.json.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        detail_path = None
     print(json.dumps(result))
+    scaling = result.get("scaling") or {}
+    serving = scaling.get("serving") or {}
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "queries": {
+            n: result["queries"][n]
+            for n in list(HEADLINE) + [n for n, _ in OPS]
+            if n in result["queries"]
+        },
+        "latency": result["latency"],
+        "build_docs_per_sec": result["build"]["docs_per_sec"],
+        "window_probe_spread": result["window"]["probe_spread"],
+        "scaling": {
+            k: scaling[k]
+            for k in (
+                "efficiency",
+                "host_cpu_ceiling_efficiency",
+                "efficiency_vs_host_ceiling",
+                "tokenize_kernel_efficiency",
+            )
+            if k in scaling
+        } or None,
+        "serving_scaling": {
+            "branch_efficiency": serving.get("branch", {}).get("efficiency"),
+            "fused_efficiency": serving.get("fused", {}).get("efficiency"),
+            "fused_eff_vs_ceiling": serving.get("fused", {}).get(
+                "efficiency_vs_host_ceiling"
+            ),
+        }
+        if serving
+        else None,
+        "batch_amortization": result["batch"]["amortization"],
+        "detail": detail_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
