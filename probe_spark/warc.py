@@ -65,13 +65,20 @@ def build_record(
     lang: str = "und",
 ) -> bytes:
     """One WARC/1.0 response record wrapping a minimal HTTP/1.1 200
-    response around ``html``.  ``ts`` may be a datetime (formatted as
-    UTC wall time -- callers own the tz conversion) or a preformatted
-    ``YYYY-MM-DDTHH:MM:SSZ`` string.  Deterministic except
+    response around ``html``.  ``ts`` may be a datetime (a tz-aware value
+    is converted to UTC; a naive one is taken as UTC wall time) or a
+    preformatted ``YYYY-MM-DDTHH:MM:SSZ`` string.  Deterministic except
     WARC-Record-ID (a fresh UUID, as the spec requires per record)."""
     if html is None:
         raise ValueError(f"build_record: html is NULL for url={url!r}")
-    date = ts if isinstance(ts, str) else ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(ts, str):
+        date = ts
+    else:
+        # a tz-aware non-UTC datetime formatted as wall time would stamp
+        # a silently wrong instant with a 'Z' suffix -- convert first
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(dt.timezone.utc)
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     http = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
         + b"Content-Length: "
@@ -362,6 +369,7 @@ def write_warc(df: DataFrame, out_dir: str, cdx: bool = False) -> int:
     Returns rows written.  Plain side-effect files (no Spark commit
     protocol): rerun into a fresh directory rather than resuming a
     half-failed export."""
+    import base64
     import hashlib
     import json as _json
     import os
@@ -424,8 +432,12 @@ def write_warc(df: DataFrame, out_dir: str, cdx: bool = False) -> int:
                     )
                     fields = {
                         "url": d["url"],
-                        "digest": "md5:"
-                        + hashlib.md5(bytes(html)).hexdigest(),
+                        # CDX convention (Common Crawl / warcio): base32
+                        # SHA-1 of the payload, no prefix -- so digest-
+                        # based dedup interoperates with genuine indexes
+                        "digest": base64.b32encode(
+                            hashlib.sha1(bytes(html)).digest()
+                        ).decode("ascii"),
                         "mime": "text/html",
                         "status": "200",
                         "filename": base,
@@ -544,8 +556,16 @@ def surt(url: str) -> str:
     host = host.lower()
     if host.startswith("www."):
         host = host[4:]
-    key = ",".join(reversed(host.split(".")))
-    return key + ")/" + path.lower()
+    key = ",".join(reversed(host.split("."))) + ")/" + path.lower()
+    # CDX(J) lines are space-delimited: a literal space/tab in a crawled
+    # URL would shift the timestamp + JSON fields and the capture would
+    # silently parse as null coordinates.  Real CDX urlkeys are
+    # percent-encoded; encode every whitespace byte the same way.
+    if any(c.isspace() for c in key):
+        key = "".join(
+            f"%{ord(c):02X}" if c.isspace() else c for c in key
+        )
+    return key
 
 
 def read_cdx(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -346,6 +346,49 @@ def test_surt_urlkey():
     assert surt("doc://00000042") == "00000042)/"
 
 
+def test_surt_percent_encodes_whitespace():
+    """A crawled URL with a literal space/tab would shift the space-
+    delimited CDX line fields; the urlkey must percent-encode them."""
+    from probe_spark.warc import surt
+
+    key = surt("https://example.com/a b\tc")
+    assert key == "com,example)/a%20b%09c"
+    assert not any(c.isspace() for c in key)
+
+
+def test_build_record_converts_aware_datetime_to_utc():
+    """A tz-aware non-UTC timestamp must be converted, not stamped as
+    wall time with a bogus 'Z'."""
+    aware = dt.datetime(
+        2025, 3, 1, 7, 0, 5, tzinfo=dt.timezone(dt.timedelta(hours=-5))
+    )
+    rec = build_record("https://a.example.com/x", aware, b"<html/>", "en")
+    (headers, _content), = list(parse_records(rec))
+    assert headers["warc-date"] == "2025-03-01T12:00:05Z"
+
+
+def test_cdx_sidecar_digest_is_base32_sha1(spark, tmp_path):
+    """CDX convention (Common Crawl / warcio): payload digest is base32
+    SHA-1, so digest-dedup interoperates with genuine indexes."""
+    import base64
+    import hashlib
+
+    from probe_spark.warc import read_cdx, write_warc
+
+    html = b"<html><body>digest me</body></html>"
+    df = spark.createDataFrame(
+        [("https://a.example.com/x", TS, bytearray(html), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    write_warc(df, str(tmp_path / "out"), cdx=True)
+    cdx_files = list((tmp_path / "out").glob("*.cdx"))
+    assert cdx_files
+    row, = read_cdx(spark, [str(p) for p in cdx_files]).collect()
+    expect = base64.b32encode(hashlib.sha1(html).digest()).decode("ascii")
+    assert row["digest"] == expect
+
+
 def test_read_cdx(spark, tmp_path):
     """CDXJ lines -> typed capture table, blank lines skipped, fields
     cast (entirely JVM-side)."""
