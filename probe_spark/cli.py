@@ -122,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
         "query) and record the new ones (cache.rs S8 analog; cache table "
         "lives at <index>/session_cache)",
     )
+    s.add_argument(
+        "--strict-elastic-syntax",
+        action="store_true",
+        help="enforce strict ElasticSearch query syntax (reference "
+        "cli.rs:154-156, query_validator.rs): reject vague multi-word "
+        "queries without explicit AND/OR/NOT and unquoted snake_case/"
+        "camelCase terms instead of applying the parse fallback chain",
+    )
+    s.add_argument(
+        "--question",
+        help="natural-language question for BERT reranking (reference "
+        "cli.rs:92-94).  Requires the BERT reranker feature (torch), "
+        "which is not available in this build: passing it is an error, "
+        "mirroring a reference binary compiled without bert-reranker",
+    )
 
     ba = sub.add_parser(
         "batch",
@@ -365,6 +380,27 @@ def main(argv: list[str] | None = None) -> int:
         from probe_spark.limits import apply_limits, format_results
 
         query = " AND ".join(args.query)
+        if args.question is not None:
+            # documented rejection: the reference only honors --question
+            # with the bert-reranker feature; torch is absent here
+            print(
+                "error: --question requires the BERT reranker feature "
+                "(torch is not available in this build); rerank "
+                "externally or drop the flag",
+                file=sys.stderr,
+            )
+            return 2
+        if args.strict_elastic_syntax:
+            from probe_spark.elastic import (
+                ParseError,
+                validate_strict_elastic_syntax,
+            )
+
+            try:
+                validate_strict_elastic_syntax(query)
+            except ParseError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         if args.reranker.startswith("ms-marco"):
             # the reference errors the same way when built without the
             # bert-reranker feature

@@ -451,6 +451,79 @@ def validate_query(query: str) -> tuple[bool, str | None]:
         return False, str(e)
 
 
+def _is_es_operator(s: str) -> bool:
+    return s in ("AND", "OR", "NOT")
+
+
+def _has_special_chars(term: str) -> bool:
+    """query_validator.rs:126-143: underscore always; mixed case only for
+    multi-char terms (single letters are not camelCase)."""
+    if "_" in term:
+        return True
+    if len(term) <= 1:
+        return False
+    has_upper = any(c.isupper() for c in term)
+    has_lower = any(c.islower() for c in term)
+    return has_upper and has_lower
+
+
+def _find_unquoted_special_term(query: str) -> str | None:
+    """query_validator.rs:68-119: scan terms outside quotes; parens are
+    grouping (not part of a term)."""
+    in_quotes = False
+    term = ""
+    for ch in query:
+        if ch == '"':
+            in_quotes = not in_quotes
+            if not in_quotes:
+                term = ""
+        elif ch in "()":
+            pass
+        elif ch == " " and not in_quotes:
+            if term and not _is_es_operator(term) and _has_special_chars(term):
+                return term
+            term = ""
+        elif not in_quotes:
+            term += ch
+    if term and not _is_es_operator(term) and _has_special_chars(term):
+        return term
+    return None
+
+
+def validate_strict_elastic_syntax(query: str) -> None:
+    """--strict-elastic-syntax pre-validator (query_validator.rs:4-45,
+    wired at main.rs:184-185): instead of the parse_query fallback chain
+    silently degrading a malformed query to a keyword bag, reject vague
+    multi-word queries without explicit AND/OR/NOT and unquoted
+    snake_case/camelCase terms with an actionable error.  Raises
+    ParseError; returns None when the query is acceptable."""
+    query = query.strip()
+    if not query:
+        raise ParseError("Query cannot be empty")
+    words = query.split()
+    has_operators = (
+        " AND " in query or " OR " in query or " NOT " in query
+    )
+    fully_quoted = query.startswith('"') and query.endswith('"')
+    if len(words) > 1 and not has_operators and not fully_quoted:
+        raise ParseError(
+            "Vague query format detected. When using"
+            " --strict-elastic-syntax:\n"
+            "- Use explicit AND/OR operators: (term1 AND term2) OR term3\n"
+            '- Wrap exact matches in quotes: "functionName"\n'
+            "- Use parentheses for grouping complex queries"
+        )
+    bad = _find_unquoted_special_term(query)
+    if bad is not None:
+        raise ParseError(
+            f"Term '{bad}' contains special characters (snake_case,"
+            " camelCase, etc.) and should be wrapped in quotes.\n"
+            f'- For exact match: "{bad}" (with quotes)\n'
+            "- For separate keywords: split into individual terms with"
+            " AND/OR operators"
+        )
+
+
 FILTER_FIELDS = frozenset(
     [
         "file",

@@ -267,3 +267,73 @@ def test_prefix_cli(ix, capsys):
     assert scores == sorted(scores, reverse=True)
     rc2, out2 = _run(capsys, "prefix", "--index", ix, "--prefix", "*")
     assert rc2 == 2 and "empty prefix" in out2.err
+
+
+# -- strict-elastic-syntax + question (reference cli.rs:92-94,154-156) -------
+
+
+def test_strict_validator_goldens():
+    """Ported from query_validator.rs tests (reference lines 146-229)."""
+    from probe_spark.elastic import ParseError, validate_strict_elastic_syntax
+
+    ok = [
+        '"functionName"',
+        "(error AND handler)",
+        '("getUserId" AND NOT deprecated)',
+        '"get_user_id"',
+        "singleword",
+        '"getUserId"',
+        '"GetUserId"',
+        '("get_user_id" AND NOT test)',
+        "(error OR warning) AND handler",
+        "A", "I", "X", "a", "i",
+        "()",
+        "(A OR B)",
+    ]
+    for q in ok:
+        validate_strict_elastic_syntax(q)  # must not raise
+    bad = [
+        "error handler",
+        "function name search",
+        "get_user_id",
+        "getUserId",
+        "GetUserId",
+        "get_user_id AND test",
+        "error warning",
+        "_",
+        "",
+        "   ",
+    ]
+    for q in bad:
+        with pytest.raises(ParseError):
+            validate_strict_elastic_syntax(q)
+
+
+def test_strict_flag_cli(ix, capsys):
+    # without the flag the fallback chain serves the vague query
+    rc, out = _run(
+        capsys, "search", "--index", ix, "--query", "firewall whitelist",
+        "--format", "json",
+    )
+    assert rc == 0
+    # with the flag it is a hard error, no fallback
+    rc2, out2 = _run(
+        capsys, "search", "--index", ix, "--query", "firewall whitelist",
+        "--strict-elastic-syntax", "--format", "json",
+    )
+    assert rc2 == 2 and "Vague query format" in out2.err
+    # a well-formed strict query still serves
+    rc3, out3 = _run(
+        capsys, "search", "--index", ix, "--query",
+        "(firewall AND whitelist)", "--strict-elastic-syntax",
+        "--format", "json",
+    )
+    assert rc3 == 0
+
+
+def test_question_flag_documented_rejection(ix, capsys):
+    rc, out = _run(
+        capsys, "search", "--index", ix, "--query", "firewall",
+        "--question", "how is the firewall configured?",
+    )
+    assert rc == 2 and "BERT" in out.err and "--question" in out.err
