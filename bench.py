@@ -511,6 +511,53 @@ def main() -> None:
         else None,
     }
     result["value"] = round(sum(queries.values()), 3)
+    # 3b. interactive single-query serving evidence: warm per-query Spark
+    # job counts (the driver fixed cost more cores cannot absorb) vs the
+    # single-action scheduling floor, plus the pin_hot() lane (postings +
+    # doc store executor-cached -- the production hot-set serving
+    # configuration).  The pin is dropped afterwards so every other
+    # series stays comparable with pre-pin rounds.
+    floor_ts = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1).count()
+        floor_ts.append(time.time() - t0)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    warm_jobs: dict[str, int] = {}
+    for name, q in HEADLINE.items():
+        grp = f"svjc_{name}"
+        sc.setJobGroup(grp, name)
+        eng.search_local(q, 10)
+        sc.setJobGroup(None, None)
+        warm_jobs[name] = len(st.getJobIdsForGroup(grp))
+    eng.pin_hot()
+    for q in HEADLINE.values():  # fill the cache + codegen once
+        eng.search_local(q, 10)
+    pinned: dict[str, float] = {}
+    for name, q in HEADLINE.items():
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            eng.search_local(q, 10)
+            ts.append(time.time() - t0)
+        pinned[name] = round(min(ts), 3)
+    for frame in eng._pinned_frames:
+        frame.unpersist()
+    eng._pin = False
+    eng._pinned_frames = ()
+    result["serving_single"] = {
+        "action_floor_sec": round(min(floor_ts), 3),
+        "warm_jobs": warm_jobs,
+        "pinned_queries": pinned,
+        "pinned_sum_sec": round(sum(pinned.values()), 3),
+        "note": (
+            "warm_jobs = Spark jobs per warm headline query (AQE stage "
+            "materializations included); pinned_* = same queries with "
+            "pin_hot() executor-cached postings/doc store, the "
+            "interactive-serving configuration"
+        ),
+    }
     # round-4 pipeline text ops, timed OUTSIDE the headline sum so the
     # "value" series stays comparable across rounds; min-of-2
     from probe_spark.entry_queries import (
@@ -785,6 +832,12 @@ def main() -> None:
         if serving
         else None,
         "batch_amortization": result["batch"]["amortization"],
+        "serving_single": {
+            "max_warm_jobs": max(
+                result["serving_single"]["warm_jobs"].values()
+            ),
+            "pinned_sum_sec": result["serving_single"]["pinned_sum_sec"],
+        },
         "detail": detail_path,
     }
     print(json.dumps(compact))

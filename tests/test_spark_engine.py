@@ -306,3 +306,28 @@ def test_wide_query_rank_identity(spark, tiny_index, tiny_oracle, engine):
         got = engine.search_local(q, 10)
         want = oracle_search(tiny_oracle, q, k=10)
         assert got == want, q
+
+
+def test_pin_hot_identity_and_refresh(spark, tiny_index):
+    """pin_hot (executor-cached postings/doc store for interactive
+    serving) must not change any result row, and the pin must survive a
+    check_refresh reopen (re-applied to the fresh readers)."""
+    from probe_spark.engine import SearchEngine
+
+    path, _ = tiny_index
+    cold = SearchEngine(spark, path)
+    hot = SearchEngine(spark, path)
+    hot.pin_hot()
+    assert hot._postings_df.storageLevel.useMemory
+    for q in ("firewall", "+error +handler", "process -deprecated",
+              '"error handling" retry'):
+        assert hot.search_local(q, 10) == cold.search_local(q, 10), q
+    # force a reopen and confirm the pin re-applies
+    hot._index_fp = None
+    assert hot.check_refresh()
+    assert hot._pin and hot._postings_df.storageLevel.useMemory
+    assert hot.search_local("firewall", 10) == cold.search_local(
+        "firewall", 10
+    )
+    for f in hot._pinned_frames:
+        f.unpersist()
