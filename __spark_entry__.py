@@ -439,7 +439,10 @@ def probe_index_mlt_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SearchEngine(spark, ix)
     # df cap 0.95 here (not the 0.5 default): the synthetic corpus has a
     # dense 31-term vocabulary where EVERY term's df is ~77% of n, so the
-    # real-corpus stopword cap would reject every candidate
+    # real-corpus stopword cap would reject every candidate (producing an
+    # empty-vs-empty hash match -- a weaker gate than these 50 rows).
+    # Default-parameter MLT behavior on a REALISTIC Zipf-spread
+    # vocabulary is pinned separately by tests/test_zipf_lane.py
     return _rounded_topk(
         eng.more_like_this(f"doc://{MLT_SEED:08d}", k=50, max_df_frac=0.95)
     )
