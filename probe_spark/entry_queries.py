@@ -1137,10 +1137,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-quadratic cross join a naive knn-join does; the top-k is a
     window partitioned by vec_id, never a global sort; at 100TB band
     width/count tune recall exactly as in dedup_embed_lsh."""
+    return knn_join(_emb(spark, sf_dir), k=3)
+
+
+def knn_join(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Parameterized core of sim_knn_join over any (vec_id, embedding)
+    frame -- also the surface the recall gate drives on clustered
+    fixtures (tests/test_ivf_recall.py)."""
     from pyspark.sql.window import Window
 
-    K = 3
-    cc = _lsh_candidate_cos(_emb(spark, sf_dir))
+    K = k
+    cc = _lsh_candidate_cos(emb)
     # symmetrize via ONE explode of a two-struct array, not a union of two
     # selects over cc -- a union would evaluate the whole candidate-cosine
     # subtree once per branch
