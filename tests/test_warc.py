@@ -567,3 +567,33 @@ def test_fetch_captures_rejects_path_escape(spark, tmp_path):
     )
     with pytest.raises(Exception, match="secret.warc.gz"):
         fetch_captures(spark, evil, str(out)).collect()
+
+
+def test_stream_records_bounded_memory(tmp_path):
+    """The per-file streaming parse must hold ONE record, never the
+    file: peak Python allocation while iterating a ~40 MiB multi-record
+    stream stays within a few records' worth of memory."""
+    import tracemalloc
+
+    from probe_spark.warc import build_record, stream_records
+
+    body = b"<html>" + b"x" * 200_000 + b"</html>"
+    path = tmp_path / "big.warc"
+    n = 200
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(build_record(f"https://a.example.com/{i}", TS, body))
+    total = path.stat().st_size
+    assert total > 35 * 2**20
+    seen = 0
+    with open(path, "rb") as f:
+        tracemalloc.start()
+        for _headers, content in stream_records(f):
+            assert body in content
+            seen += 1
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+    assert seen == n
+    # one record is ~0.2 MiB; allow a handful of records of slack, but
+    # nothing near the 40 MiB file
+    assert peak < 4 * 2**20, f"peak {peak/2**20:.1f} MiB"
