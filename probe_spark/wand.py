@@ -125,11 +125,26 @@ class WandEngine:
         index_dir: str,
         params: BM25Params = DEFAULT_BM25,
         phase1_segs: int = 8,
+        phase2_batch: int = 256,
     ):
+        """``phase2_batch``: max segments scored per phase-2 job.  Phase 2
+        walks the remaining segments in upper-bound order, BATCHED: theta
+        is re-tightened from the merged top-k after every batch, and the
+        walk stops as soon as the next batch's best bound cannot beat it
+        -- so a tail query whose theta rises quickly scores a few hundred
+        segments instead of every seg_ub >= theta(initial) segment in one
+        unbounded job (the r4 10M-doc p99 shape)."""
         self.spark = spark
         self.index_dir = str(index_dir)
         self.params = params
         self.phase1_segs = phase1_segs
+        self.phase2_batch = phase2_batch
+        # per-(term, seg) max tf_part cache: phase 0's upper bounds are a
+        # pure function of block metadata + (n_docs, avgdl); persisting
+        # the aggregate across queries removes the per-query blocks-scan
+        # half of phase 0 (see _seg_stats)
+        self._seg_stats_df: DataFrame | None = None
+        self._seg_stats_key: tuple | None = None
         p = Path(self.index_dir)
         from probe_spark.engine import _read_stats
 
@@ -182,6 +197,62 @@ class WandEngine:
                 if fp is not None
                 else None
             )
+
+    def _tfp_expr(self):
+        """tf_part at a block's most favorable point (max_tf, min_dl) --
+        increasing in tf, decreasing in dl, so it dominates every doc in
+        the block at CURRENT global stats."""
+        p = self.params
+        mtf = F.col("max_tf").cast("double")
+        if self.avgdl <= 0:  # empty corpus
+            return F.lit(0.0)
+        return (mtf * F.lit(p.k1 + 1.0)) / (
+            mtf
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("min_dl").cast("double") / F.lit(self.avgdl))
+            )
+        )
+
+    def _seg_stats(self) -> DataFrame:
+        """(term, seg, max_tfp): the per-segment upper-bound statistics,
+        persisted ACROSS queries.  idf * max(tfp) == max(idf * tfp)
+        bit-exactly (multiplication by a positive constant is monotone in
+        IEEE f64), so phase 0 built from this cache produces the same
+        seg_ub values as the former per-query blocks aggregation --
+        without re-scanning block metadata per query.  Keyed by
+        (compaction fingerprint, n_docs, avgdl): any ingest or
+        recompaction invalidates it."""
+        key = (self._blocks_fp, self.n_docs, self.avgdl)
+        if self._seg_stats_df is not None and self._seg_stats_key == key:
+            return self._seg_stats_df
+        if self._seg_stats_df is not None:
+            self._seg_stats_df.unpersist()
+        self._seg_stats_df = (
+            self._blocks_df.select(
+                "term", "seg", self._tfp_expr().alias("tfp")
+            )
+            .groupBy("term", "seg")
+            .agg(F.max("tfp").alias("max_tfp"))
+            .persist()
+        )
+        self._seg_stats_key = key
+        return self._seg_stats_df
+
+    def pin_hot(self) -> None:
+        """Interactive-serving pin: blocks table + the flat fallback's
+        hot tables executor-cached (MEMORY_AND_DISK; see
+        SearchEngine.pin_hot).  The seg-stats cache persists regardless."""
+        from pyspark import StorageLevel
+
+        self._refresh_blocks()
+        if self._blocks_df is not None:
+            self._blocks_df = self._blocks_df.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        self._fallback.pin_hot(materialize=False)
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         dfs = self._fallback.term_dfs(terms)
@@ -549,6 +620,14 @@ class WandEngine:
             if dict_terms
             else None
         )
+        # per-(term, seg) upper-bound stats for the query's dictionary
+        # terms come from the cross-query _seg_stats cache; synthetic
+        # rescue blocks contribute their own rows below
+        qstats = (
+            self._seg_stats().filter(F.col("term").isin(dict_terms))
+            if dict_terms
+            else None
+        )
         if rescue_rows is not None:
             # synthetic blocks for positive rescue terms join the scoring
             # set BEFORE must-filtering and upper bounds, so segment
@@ -569,17 +648,30 @@ class WandEngine:
                 if blocks is None
                 else blocks.unionByName(rblocks, allowMissingColumns=True)
             )
+            rstats = (
+                rblocks.select("term", "seg", self._tfp_expr().alias("tfp"))
+                .groupBy("term", "seg")
+                .agg(F.max("tfp").alias("max_tfp"))
+            )
+            qstats = (
+                rstats if qstats is None else qstats.unionByName(rstats)
+            )
         if must_kws:
             # segment-level posting intersection: only segments containing
-            # EVERY must keyword can hold a scoring doc
+            # EVERY must keyword can hold a scoring doc.  Computed from the
+            # stats table (a (term, seg) row exists iff the term has >= 1
+            # block in the segment -- the same membership the blocks-based
+            # aggregation saw), and applied to the stats too so seg_ub
+            # only ranks segments that can actually score.
             must_segs = (
-                blocks.filter(F.col("term").isin(list(must_kws)))
+                qstats.filter(F.col("term").isin(list(must_kws)))
                 .groupBy("seg")
                 .agg(F.count_distinct("term").alias("nt"))
                 .filter(F.col("nt") == len(must_kws))
                 .select("seg")
             )
             blocks = blocks.join(must_segs, "seg", "leftsemi")
+            qstats = qstats.join(must_segs, "seg", "leftsemi")
         blocks = blocks.persist()
 
         sblocks = blocks
@@ -661,33 +753,21 @@ class WandEngine:
             ]
         )
         seg_ub_persisted = None
+        rest_persisted = None
         try:
-            # phase 0: per-seg upper bound, computed with CURRENT global
-            # stats from the stats-independent block metadata (max_tf,
-            # min_dl): tf_part is increasing in tf and decreasing in dl,
-            # so idf_now * tf_part(max_tf, min_dl) dominates every doc in
-            # the block.  (A build-time ub would go stale -- and pruning
-            # unsound -- once incremental ingest changes N/df/avgdl.)
-            p = self.params
-            mtf = F.col("max_tf").cast("double")
-            if self.avgdl > 0:
-                tfp = (mtf * F.lit(p.k1 + 1.0)) / (
-                    mtf
-                    + F.lit(p.k1)
-                    * (
-                        F.lit(1.0 - p.b)
-                        + F.lit(p.b)
-                        * (F.col("min_dl").cast("double") / F.lit(self.avgdl))
-                    )
-                )
-            else:  # empty corpus
-                tfp = F.lit(0.0)
-            ub_now = idf_map_expr(idfs)[F.col("term")] * tfp
+            # phase 0: per-seg upper bound at CURRENT global stats.  The
+            # per-(term, seg) max tf_part comes from the persisted
+            # _seg_stats cache (plus the synthetic rescue rows); scaling
+            # by idf_now here keeps the bound fresh under incremental
+            # ingest (a build-time ub would go stale -- and pruning
+            # unsound -- once N/df/avgdl change).
             seg_ub = (
-                blocks.withColumn("ub_now", ub_now)
-                .groupBy("seg", "term")
-                .agg(F.max("ub_now").alias("tub"))
-                .withColumn("tub", F.col("tub") * mult_map[F.col("term")])
+                qstats.withColumn(
+                    "tub",
+                    idf_map_expr(idfs)[F.col("term")]
+                    * F.col("max_tfp")
+                    * mult_map[F.col("term")],
+                )
                 .groupBy("seg")
                 .agg(F.sum("tub").alias("seg_ub"))
             )
@@ -722,27 +802,76 @@ class WandEngine:
 
             # phase 2: remaining segments that could still beat theta
             # (anti-join against the same deterministic top selection --
-            # seg_ub is persisted, so the cutoff is identical across jobs)
-            rest = (
-                seg_ub.join(top, "seg", "leftanti")
-                .filter(F.col("seg_ub") >= theta)
-                .select("seg")
+            # seg_ub is persisted, so the cutoff is identical across
+            # jobs), walked in upper-bound order in BATCHES of
+            # phase2_batch segments.  After each batch the merged top-k
+            # re-tightens theta; the walk stops when the next batch's
+            # best bound is below it (ub-sorted: later batches are
+            # smaller still), so no surviving doc is ever skipped but a
+            # rising theta caps the work -- the unbounded single phase-2
+            # job over every seg_ub >= theta(initial) segment was the r4
+            # 10M-doc p99.  The batch window runs over segment METADATA
+            # (orders of magnitude smaller than postings).
+            from pyspark.sql.window import Window
+
+            rest = seg_ub.join(top, "seg", "leftanti").filter(
+                F.col("seg_ub") >= theta
             )
-            # phase 2 carries theta into the scorer for intra-segment
-            # block skipping (disjunctive path; see _score_segs)
-            p2 = (
-                score(
-                    sblocks.join(F.broadcast(rest), "seg", "leftsemi"),
-                    theta=theta,
-                )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
+            rest = rest_persisted = rest.withColumn(
+                "batch",
+                (
+                    (
+                        F.row_number().over(
+                            Window.orderBy(
+                                F.desc("seg_ub"), F.asc("seg")
+                            )
+                        )
+                        - 1
+                    )
+                    / self.phase2_batch
+                ).cast("int"),
+            ).persist()
+            batch_ubs = (
+                rest.groupBy("batch")
+                .agg(F.max("seg_ub").alias("mx"))
+                .orderBy("batch")
                 .collect()
             )
-            results += [(int(r["doc_id"]), float(r["score"])) for r in p2]
+
+            def _merge(rows) -> None:
+                nonlocal theta
+                results.extend(
+                    (int(r["doc_id"]), float(r["score"])) for r in rows
+                )
+                results.sort(key=lambda x: (-x[1], x[0]))
+                del results[max(k, 1) :]
+                if len(results) >= k:
+                    theta = results[k - 1][1]
+
+            for b in batch_ubs:
+                if len(results) >= k and float(b["mx"]) < theta:
+                    break  # every later batch's bound is smaller still
+                segs_b = rest.filter(
+                    (F.col("batch") == int(b["batch"]))
+                    & (F.col("seg_ub") >= theta)
+                ).select("seg")
+                # theta rides into the scorer for intra-segment block
+                # skipping (disjunctive path; see _score_segs)
+                p2 = (
+                    score(
+                        sblocks.join(F.broadcast(segs_b), "seg", "leftsemi"),
+                        theta=theta,
+                    )
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
+                _merge(p2)
         finally:
             if seg_ub_persisted is not None:
                 seg_ub_persisted.unpersist()
+            if rest_persisted is not None:
+                rest_persisted.unpersist()
             if sblocks is not blocks:
                 sblocks.unpersist()
             blocks.unpersist()

@@ -371,3 +371,46 @@ def test_wand_block_skip_prunes_and_stays_exact(spark, compacted, tiny_oracle):
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (gd, gs), (_, es) in zip(got, expected):
         assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), gd
+
+
+def test_phase2_batched_walk_identity(spark, compacted, tiny_oracle):
+    """phase2_batch=1 forces the maximum number of theta-re-tightening
+    batches (every remaining segment its own batch); results must stay
+    rank- and score-identical to the oracle across disjunctive, boolean,
+    excluded, and quoted shapes -- the batched walk can bound work but
+    never change answers."""
+    from probe_spark.oracle import search as oracle_search
+    from probe_spark.wand import WandEngine
+
+    ix, _ = compacted
+    eng = WandEngine(spark, ix, phase1_segs=1, phase2_batch=1)
+    for query in [
+        "error handling retry",
+        "+error +handler",
+        "process -deprecated",
+        '"error handling" retry',
+        "firewall whitelist gateway",
+    ]:
+        got = eng.search_local(query, k=10)
+        expected = oracle_search(tiny_oracle, query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in expected], query
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == es, (query, gd)
+
+
+def test_seg_stats_cache_invalidation(spark, compacted):
+    """The cross-query seg-stats cache must be keyed to the compaction
+    fingerprint + global stats: same key -> same persisted frame object,
+    changed stats -> recompute."""
+    from probe_spark.wand import WandEngine
+
+    ix, _ = compacted
+    eng = WandEngine(spark, ix)
+    eng.search_local("firewall", 5)
+    first = eng._seg_stats_df
+    assert first is not None
+    eng.search_local("gateway", 5)
+    assert eng._seg_stats_df is first  # reused, not rebuilt
+    eng.avgdl *= 1.0000001  # simulate a stats change from ingest
+    eng._seg_stats()
+    assert eng._seg_stats_df is not first
