@@ -321,7 +321,8 @@ def _serving_scaling(cpus: int, tmp: str) -> dict:
         "cores_hi": cpus,
         "host_cpu_ceiling_efficiency": round(ceiling, 3),
         "branch": {
-            "job": "25-ref-query batch via per-query unioned plans",
+            "job": "25-ref-query batch via half-fused per-query plans "
+            "(per-query scoring, shared topk window + url join)",
             "n_queries": 25,
             "sec_lo": round(best_b[8], 2),
             "sec_hi": round(best_b[cpus], 2),
