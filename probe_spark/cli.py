@@ -282,6 +282,10 @@ def main(argv: list[str] | None = None) -> int:
                 "bloom_bytes": trigram.BLOOM_BYTES,
             },
             "dedup": {"band_bucket_cap": dedup.BAND_BUCKET_CAP},
+            "wand": {
+                "phase1_segs_default": 8,
+                "phase2_batch_default": 256,
+            },
         }
         if args.index:
             from pathlib import Path
