@@ -38,6 +38,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` to the session's core count when
+    the source scan has FEWER partitions than that (guide SS2.5 "input
+    skew": the sf documents/embeddings tables are single-file single-
+    row-group parquet, so their scans are unsplittable one-task stages and
+    every map-side operator after them runs on one core).  The shuffled
+    payload is the small table itself (a few MB), and the key keeps the
+    assignment deterministic under retries (never rand()).  At production
+    scale the scan has natural parallelism (many files / row groups) and
+    this is a no-op -- the condition, not the partition count, is what
+    makes it scale-safe."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Exact row count from parquet footers (driver-side, no Spark job --
+    the same pattern engine._read_stats uses).  Falls back to a Spark
+    count if a footer is unreadable."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = Path(f"{sf_dir}/{table}.parquet")
+    try:
+        files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+        return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    except Exception:
+        return spark.read.parquet(str(p)).count()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -172,15 +204,21 @@ sc AS (SELECT tf.doc_id,
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> DataFrame:
-    # ONE explode+groupBy pass computes doc length AND every query term's
-    # tf as conditional sums (map-side combine on doc_id) -- the old
-    # dl-join shape re-exploded the corpus twice and shuffled a
-    # corpus-sized dl table into a join; this shape has a single shuffle
-    # key, no join, and the score is a map-side expression over the
-    # per-doc row.  Stats cost one metadata count (parquet footers) plus
-    # one small agg action that yields avgdl and every df together.
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
+    # ONE-ACTION shape (guide SS1.2/SS2.4): the old form spent three driver
+    # actions (count job, stats collect, final query) with the corpus
+    # tokenized twice across them.  Now (a) N comes from parquet footers
+    # (driver-side, no job), (b) avgdl + per-term df stay a one-row
+    # DataFrame that rides into the score as a broadcast crossJoin, so the
+    # caller's single action computes everything, and (c) the per_doc
+    # exchange is IDENTICAL in the stats and scoring subtrees, so
+    # ReuseExchange materializes the tokenize+aggregate once.  The scan is
+    # _spread first: the single-row-group file otherwise pins the
+    # token-explode Generate to one core.  idf/tfp move from Python-float
+    # literals to the same formulas as JVM column math; both sides round
+    # to 6dp at the end (the declared cross-engine ulp guard), verified
+    # value-exact vs the DuckDB oracle at sf0.01/0.1/1.0.
+    docs = _spread(spark, _docs(spark, sf_dir))
+    n = _table_rows(spark, sf_dir, "documents")
     toks = _tokens(docs)
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
@@ -197,30 +235,35 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> Da
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(terms))
         ],
-    ).collect()[0]
-    avgdl = float(stats["avgdl"])
-
-    def idf(df_count: int) -> float:
-        return math.log(1.0 + (n - df_count + 0.5) / (df_count + 0.5))
+    )
 
     def tfp(tf_col):
         return (tf_col * (BM25_K1 + 1.0)) / (
             tf_col
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
 
     score = None
     for i in range(len(terms)):
+        idf_c = F.log(
+            1.0
+            + (F.lit(float(n)) - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
         part = F.when(
-            F.col(f"tf_{i}") > 0,
-            F.lit(idf(int(stats[f"df_{i}"]))) * tfp(F.col(f"tf_{i}")),
+            F.col(f"tf_{i}") > 0, idf_c * tfp(F.col(f"tf_{i}"))
         ).otherwise(F.lit(0.0))
         score = part if score is None else score + part
     matched = None
     for i in range(len(terms)):
         cond = F.col(f"tf_{i}") > 0
         matched = cond if matched is None else matched | cond
-    return per_doc.filter(matched).select("doc_id", score.alias("score"))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select("doc_id", score.alias("score"))
+    )
 
 
 def r1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,21 +453,71 @@ FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SHINGLES_SPARK_N} + 2)) AS i
 """
 
 
+def _minhash_sig_kernel(batches):
+    """mapInArrow kernel for dedup_minhash: per doc, min over the DISTINCT
+    shingle set of md5(seed || shingle) for 4 seeds.  Digests compare as
+    16-byte strings -- the same order as the hex comparison the oracle
+    does.  Everything is exact string/byte math: no float, no ulp."""
+    import pyarrow as pa
+    from hashlib import md5
+
+    n = _SHINGLES_SPARK_N
+    pres = [f"{s}:".encode() for s in range(4)]
+    for b in batches:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id = []
+        outs = [[], [], [], []]
+        band = []
+        for did, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                continue
+            shs = {
+                " ".join(toks[i : i + n]).encode()
+                for i in range(len(toks) - n + 1)
+            }
+            mins = [
+                min(md5(pre + sh).digest() for sh in shs).hex()
+                for pre in pres
+            ]
+            out_id.append(did)
+            for s in range(4):
+                outs[s].append(mins[s][:8])
+            band.append(md5((mins[0] + mins[1]).encode()).hexdigest()[:8])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_id, pa.int64())]
+            + [pa.array(o, pa.string()) for o in outs]
+            + [pa.array(band, pa.string())],
+            ["doc_id", "mh0", "mh1", "mh2", "mh3", "band0"],
+        )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes) + one LSH band bucket per doc:
-    minhash_s = lexicographic min of md5(seed || shingle)."""
-    sh = _shingles(_docs(spark, sf_dir))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(4)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id",
-        *[F.substring(f"mh{s}", 1, 8).alias(f"mh{s}") for s in range(4)],
-        F.substring(F.md5(F.concat(F.col("mh0"), F.col("mh1"))), 1, 8).alias(
-            "band0"
-        ),
+    minhash_s = lexicographic min of md5(seed || shingle).
+
+    Shape (guide SS2.4 + SS4.2): min() is duplicate-insensitive, so
+    neither the shingle DISTINCT nor the groupBy(doc_id) shuffle of the
+    old explode formulation is needed -- the signature is doc-local
+    math.  The old plan materialized ~tokens-per-doc generated rows
+    into a per-partition Sort + SortAggregate + Exchange (min over
+    strings cannot hash-aggregate; 5.5 s at sf1.0); this one is a
+    single mapInArrow pass handing whole Arrow batches to C md5
+    (hashlib), with _spread supplying the parallelism the one-row-group
+    scan lacks (0.97 s at sf1.0; rows bit-identical -- strings only).
+    A doc with < n tokens yields no shingles hence no row, exactly like
+    the oracle's empty range().  The 100-TB story is unchanged: one
+    pass over the corpus, zero shuffles beyond the (conditional) spread
+    of a pathologically under-partitioned source."""
+    return (
+        _spread(spark, _docs(spark, sf_dir))
+        .select("doc_id", "text")
+        .mapInArrow(
+            _minhash_sig_kernel,
+            "doc_id long, mh0 string, mh1 string, mh2 string, "
+            "mh3 string, band0 string",
+        )
     )
 
 
@@ -839,13 +932,23 @@ WHERE len(string_split(d.text, ' ')) >= {_PIPE_MIN_TOKENS}
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id = 0 (the baseline ANN
     path; F.aggregate/zip_with keeps the dot product JVM-side)."""
+    # the query vector is ONE bounded row: fetch it driver-side (parquet
+    # pushdown on vec_id) and inline it as a literal array -- removes the
+    # broadcast exchange + second scan the crossJoin shape paid, and the
+    # per-row recomputation of the constant ||q||.  Float math identical:
+    # the Python fold below adds x*x in the same left-to-right order as
+    # the F.aggregate it replaces, and math.sqrt == JVM sqrt (both
+    # correctly-rounded IEEE), so sqrt(n2)*qnorm is the same product.
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q")
-    )
-    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    qn2 = 0.0
+    for x in qv:
+        qn2 += x * x
+    qnorm = math.sqrt(qn2)
+    qlit = F.array(*[F.lit(x) for x in qv])
     dot = F.aggregate(
-        F.zip_with("embedding", "q", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("embedding", qlit, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -854,15 +957,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    qn2 = F.aggregate(
-        F.transform("q", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
-        joined.select(
+        _spread(spark, emb.filter(F.col("vec_id") != 0), "vec_id")
+        .select(
             "vec_id",
-            F.round(dot / (F.sqrt(n2) * F.sqrt(qn2)), 6).alias("cos"),
+            F.round(dot / (F.sqrt(n2) * F.lit(qnorm)), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
@@ -2719,19 +2818,29 @@ FROM documents
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, type-token ratio, mean word length,
     stopword ratio (en stoplist sample)."""
-    docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    stop = F.array(*[F.lit(x) for x in ("the", "a", "of", "and")])
-    n = F.size(w).cast("double")
-    uniq = F.size(F.array_distinct(w)).cast("double")
-    stop_n = F.size(
-        F.filter(w, lambda x: F.array_contains(stop, x))
-    ).cast("double")
-    return docs.select(
+    # split ONCE into an aliased array column (its own projection so
+    # CollapseProject keeps it -- the expression is referenced 6x and the
+    # old single-select form re-split the text per reference in the
+    # interpreted Project, ~6x the per-row work; guide SS1.2 step 2).
+    # _spread engages all cores: the single-row-group scan otherwise runs
+    # the whole interpreted Project on one task (1.12 s -> 0.48 s at sf1).
+    docs = _spread(spark, _docs(spark, sf_dir))
+    base = docs.select(
         "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
+        F.length("text").alias("_len"),
+        F.split("text", " ").alias("w"),
+    )
+    stop = F.array(*[F.lit(x) for x in ("the", "a", "of", "and")])
+    n = F.size("w").cast("double")
+    uniq = F.size(F.array_distinct("w")).cast("double")
+    stop_n = F.size(
+        F.filter("w", lambda x: F.array_contains(stop, x))
+    ).cast("double")
+    return base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
         F.round(uniq / n, 6).alias("ttr"),
-        F.round((F.length("text") - (n - 1)) / n, 6).alias("mean_word_len"),
+        F.round((F.col("_len") - (n - 1)) / n, 6).alias("mean_word_len"),
         F.round(stop_n / n, 6).alias("stopword_ratio"),
     )
 
