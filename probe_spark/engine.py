@@ -2337,11 +2337,33 @@ class SearchEngine:
         """Collect top-k as [(doc_id, score)] -- the oracle-comparable shape.
         ``timeout`` (seconds) cancels the query's Spark job group at the
         deadline and raises QueryTimeoutError, leaving the session usable
-        (reference src/search/timeout.rs:1-43; probe_spark.watchdog)."""
+        (reference src/search/timeout.rs:1-43; probe_spark.watchdog).
+
+        Serving fast path (guide SS1.2: don't compute what you throw
+        away): this entry point returns (doc_id, score) only, so it skips
+        search()'s url hydration join and the global rank window and
+        collects the top-k cut straight off the scored frame -- one
+        TakeOrderedAndProject action for single-term queries instead of
+        the 2-3 jobs the hydrated DataFrame path pays.  The k rows and
+        their order are identical to search(): same scored frame, same
+        (score desc, doc_id asc) cut."""
         from probe_spark.watchdog import query_deadline
 
         with query_deadline(self.spark, timeout):
-            rows = self.search(
-                query, k, exact, exclude_filenames=exclude_filenames
-            ).collect()
+            self.check_refresh()
+            plan = elastic.create_query_plan(query, exact)
+            self._boost_coverage = False
+            self._exclude_fn = exclude_filenames
+            scored, _cand, _idfs, zero_score = self._match_frames(plan)
+            order = (
+                [F.asc("doc_id")]
+                if zero_score
+                else [F.desc("score"), F.asc("doc_id")]
+            )
+            rows = (
+                scored.orderBy(*order)
+                .limit(k)
+                .select("doc_id", "score")
+                .collect()
+            )
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
