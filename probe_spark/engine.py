@@ -412,6 +412,15 @@ class SearchEngine:
             self._postings_df.count()
             self._docs_df.count()
 
+    def unpin(self) -> None:
+        """Inverse of pin_hot: unpersist the pinned frames and clear the
+        pin bookkeeping, so callers don't have to reach into private
+        state (_pinned_frames / _pin) to undo a pin."""
+        for frame in self._pinned_frames:
+            frame.unpersist()
+        self._pin = False
+        self._pinned_frames = ()
+
     def _reopen(self) -> None:
         spark = self.spark
         p = Path(self.index_dir)

@@ -162,6 +162,11 @@ class WandEngine:
         # re-list.
         self._blocks_df = None
         self._blocks_fp: tuple | None = None
+        # pin_hot flag: _refresh_blocks re-applies the executor-cache
+        # persist to the fresh reader (and unpersists the stale one) when
+        # an ingest/recompaction replaces the blocks frame -- mirroring
+        # SearchEngine._reopen's pin bookkeeping
+        self._pin = False
         self._refresh_blocks()
 
     def _compaction_fingerprint(self) -> tuple | None:
@@ -192,11 +197,24 @@ class WandEngine:
         fp = self._compaction_fingerprint()
         if fp != self._blocks_fp or self._blocks_df is None:
             self._blocks_fp = fp
+            if self._blocks_df is not None:
+                # drop the stale reader's cached blocks before replacing
+                # it -- otherwise a pinned frame leaks in the cache
+                # manager on every refresh until session end
+                self._blocks_df.unpersist()
             self._blocks_df = (
                 self.spark.read.parquet(self._blocks_path)
                 if fp is not None
                 else None
             )
+            if self._pin and self._blocks_df is not None:
+                from pyspark import StorageLevel
+
+                # re-apply hot pinning across the refresh; fill is lazy
+                # (first query materializes the cache)
+                self._blocks_df = self._blocks_df.persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
 
     def _tfp_expr(self):
         """tf_part at a block's most favorable point (max_tf, min_dl) --
@@ -244,14 +262,24 @@ class WandEngine:
     def pin_hot(self) -> None:
         """Interactive-serving pin: blocks table + the flat fallback's
         hot tables executor-cached (MEMORY_AND_DISK; see
-        SearchEngine.pin_hot).  The seg-stats cache persists regardless."""
+        SearchEngine.pin_hot).  Survives _refresh_blocks reopens (the
+        _pin flag re-applies the persist to the fresh reader and the
+        stale pinned frame is unpersisted).  The per-(term, seg)
+        upper-bound stats cache is materialized HERE, off the query
+        path, so the first pinned query doesn't pay the one-time
+        vocabulary-sized aggregation and cold-latency measurements
+        aren't misattributed to that query."""
         from pyspark import StorageLevel
 
+        self._pin = True
         self._refresh_blocks()
         if self._blocks_df is not None:
             self._blocks_df = self._blocks_df.persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            # eager one-time seg-stats build (ADVICE r5): count() fills
+            # the persisted aggregate now rather than on first search
+            self._seg_stats().count()
         self._fallback.pin_hot(materialize=False)
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:

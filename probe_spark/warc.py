@@ -562,8 +562,14 @@ def surt(url: str) -> str:
     # silently parse as null coordinates.  Real CDX urlkeys are
     # percent-encoded; encode every whitespace byte the same way.
     if any(c.isspace() for c in key):
+        # encode the character's UTF-8 BYTES: ord()-based encoding is
+        # wrong above U+00FF (U+2028 would yield '%2028', which decodes
+        # as '%20' + '28' -- a malformed/ambiguous urlkey)
         key = "".join(
-            f"%{ord(c):02X}" if c.isspace() else c for c in key
+            "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+            if c.isspace()
+            else c
+            for c in key
         )
     return key
 

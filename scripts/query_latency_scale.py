@@ -45,7 +45,9 @@ def _dist(ts: list[float]) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    sweeps = int(os.environ.get("PROBE_LAT_SWEEPS", "3"))
+    # clamp at 1: PROBE_LAT_SWEEPS=0 would leave the warm 'best' lists at
+    # float('inf') and json.dumps would emit non-standard 'Infinity'
+    sweeps = max(1, int(os.environ.get("PROBE_LAT_SWEEPS", "3")))
 
     from probe_spark.compaction import compact_index
     from probe_spark.engine import SearchEngine

@@ -414,3 +414,35 @@ def test_seg_stats_cache_invalidation(spark, compacted):
     eng.avgdl *= 1.0000001  # simulate a stats change from ingest
     eng._seg_stats()
     assert eng._seg_stats_df is not first
+
+
+def test_pin_hot_survives_blocks_refresh(spark, compacted):
+    """pin_hot must survive a blocks refresh (incremental ingest /
+    recompaction): _refresh_blocks replaces _blocks_df on a fingerprint
+    change and must (a) unpersist the stale pinned frame so it doesn't
+    leak in the cache manager, and (b) re-apply the persist to the fresh
+    reader -- mirroring SearchEngine's _pin bookkeeping."""
+    from pyspark import StorageLevel
+
+    from probe_spark.wand import WandEngine
+
+    ix, _ = compacted
+    eng = WandEngine(spark, ix)
+    eng.pin_hot()
+    old = eng._blocks_df
+    assert eng._pin and old.storageLevel.useMemory
+    # simulate a compaction fingerprint change
+    eng._blocks_fp = ("stale",)
+    eng._refresh_blocks()
+    new = eng._blocks_df
+    assert new is not old
+    # (the stale frame's unpersist is not observable via storageLevel --
+    # the cache manager keys by logical plan, which old and new share --
+    # so assert the re-applied pin and that no duplicate entry piles up)
+    assert new.storageLevel.useMemory  # pin re-applied to fresh reader
+    eng._refresh_blocks()  # unchanged fp: must not re-persist/replace
+    assert eng._blocks_df is new
+    # queries still work and the fresh pin materializes lazily
+    assert eng.search_local("firewall", 5)
+    new.unpersist()
+    eng._fallback.unpin()
