@@ -2183,12 +2183,6 @@ class SearchEngine:
                 for kw in t.lowercase_keywords
             )
         }
-        idf_map = F.create_map(
-            *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
-        )
-        pos_map = F.create_map(
-            *[x for t, v in sorted(kw_pos.items()) for x in (F.lit(t), F.lit(v))]
-        )
         tf = F.col("tf").cast("double")
         tf_part = (tf * F.lit(p.k1 + 1.0)) / (
             tf
@@ -2219,22 +2213,55 @@ class SearchEngine:
                     ),
                 )
             return scored
-        arr = (
-            cand.withColumn("term_score", idf_map[F.col("term")] * tf_part)
-            .withColumn("pos", pos_map[F.col("term")])
-            .groupBy("doc_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "term_score"))
-                ).alias("arr")
-            )
+        # Multi-term bag: ONE conditional aggregation pivots the candidate
+        # rows into per-keyword (tf, doc_len) columns, and the BM25 sum is
+        # plain column math over them -- no collect_list/array_sort/lambda
+        # F.aggregate (higher-order functions are interpreted, and their
+        # plans cost Catalyst 2-3x the analysis/optimization time of a
+        # conditional agg; guide SS1.2 step 2 / SS4.1 "prefer built-ins").
+        # f64 identity with the old array fold: parts are added in the same
+        # kw_pos order starting from the first term, unmatched terms
+        # contribute an exact 0.0, and x + 0.0 == x for the non-negative
+        # BM25 parts, so every doc's sum sees the identical sequence of
+        # f64 additions (pinned by the q01-q25 rank-identity suite).
+        ordered = sorted(kw_pos, key=kw_pos.get)
+        wide = cand.groupBy("doc_id").agg(
+            F.first("doc_len").alias("doc_len"),
+            *[
+                F.max(F.when(F.col("term") == t, F.col("tf"))).alias(
+                    f"_tf{i}"
+                )
+                for i, t in enumerate(ordered)
+            ],
         )
-        scored = arr.select(
+
+        def _part(i: int, t: str):
+            tfd = F.col(f"_tf{i}").cast("double")
+            tfp_i = (tfd * F.lit(p.k1 + 1.0)) / (
+                tfd
+                + F.lit(p.k1)
+                * (
+                    F.lit(1.0 - p.b)
+                    + F.lit(p.b)
+                    * (F.col("doc_len").cast("double") / F.lit(self.avgdl))
+                )
+            )
+            return F.when(
+                F.col(f"_tf{i}").isNotNull(),
+                F.lit(idfs.get(t, 0.0)) * tfp_i,
+            ).otherwise(F.lit(0.0))
+
+        score_col = _part(0, ordered[0])
+        matched_col = F.col("_tf0").isNotNull().cast("int")
+        for i, t in enumerate(ordered[1:], start=1):
+            score_col = score_col + _part(i, t)
+            matched_col = matched_col + F.col(f"_tf{i}").isNotNull().cast(
+                "int"
+            )
+        scored = wide.select(
             "doc_id",
-            F.aggregate(
-                "arr", F.lit(0.0), lambda acc, s: acc + s["term_score"]
-            ).alias("score"),
-            F.size("arr").alias("_matched"),
+            score_col.alias("score"),
+            matched_col.alias("_matched"),
         ).filter(F.col("score") > 0.0)
         if getattr(self, "_boost_coverage", False):
             n_terms = len(plan.term_indices)

