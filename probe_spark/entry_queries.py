@@ -22,6 +22,7 @@ Operator labels reference SURVEY.md SS2 (e.g. A1 = per-doc TF, R1 = BM25).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,8 +35,29 @@ TERMS2 = ("spark", "join")
 TERMS3 = ("spark", "join", "window")
 
 
+# (path, mtime) -> inferred Spark schema.  spark.read.parquet without a
+# schema runs a footer-inference JOB on every call (~0.1 s of pure fixed
+# cost per operator invocation); caching the INFERRED schema and passing
+# it back via .schema() makes repeat reads job-free.  Metadata only --
+# never rows -- and keyed by file mtime so a rewritten table re-infers.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_pq(spark, f"{sf_dir}/documents.parquet")
 
 
 def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -71,7 +93,39 @@ def _table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_pq(spark, f"{sf_dir}/embeddings.parquet")
+
+
+def _vec_by_id(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """ONE embedding row, driver-side: stream parquet batches with pyarrow
+    and stop at the first hit -- no Spark job for a single bounded row
+    (the _table_rows pattern; the float32 -> Python-float widening is the
+    same exact conversion the Spark head() path performed).  Falls back to
+    a Spark lookup if the path is not a plain readable file."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(f"{sf_dir}/embeddings.parquet")
+    try:
+        files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+        for f in files:
+            for batch in pq.ParquetFile(str(f)).iter_batches(
+                columns=["vec_id", "embedding"], batch_size=8192
+            ):
+                ids = batch.column("vec_id").to_pylist()
+                if vec_id in ids:
+                    row = batch.column("embedding")[ids.index(vec_id)]
+                    return [float(x) for x in row.as_py()]
+    except Exception:
+        pass
+    qrow = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in qrow["embedding"]]
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -990,8 +1044,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the F.aggregate it replaces, and math.sqrt == JVM sqrt (both
     # correctly-rounded IEEE), so sqrt(n2)*qnorm is the same product.
     emb = _emb(spark, sf_dir)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in qrow["embedding"]]
+    qv = _vec_by_id(spark, sf_dir, 0)
     qn2 = 0.0
     for x in qv:
         qn2 += x * x
@@ -2066,7 +2119,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so no rounding discipline is even needed."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     schema = StructType([StructField("k", LongType())])
     k = F.from_json("props", schema)["k"]
     return (
@@ -2103,7 +2156,7 @@ FROM x GROUP BY event_type
 def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the events stream table
     (batch form; the streaming module handles live ingestion)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
             F.date_format(
@@ -2139,7 +2192,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     from probe_spark.streaming.events import sessionize_batch
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "value"
     )
     sess = sessionize_batch(spark, ev, gap_seconds=7200)
@@ -2194,7 +2247,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters push to the parquet scan and each join's build side is
     one row per surviving user, shrinking monotonically down the
     funnel."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "event_type", "ts"
     )
     s1 = (
@@ -2264,7 +2317,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cohort join after them is co-partitioned -- then a bounded
     groupBy(cohort_day, offset).  Active-day distinct happens BEFORE the
     join, so the join input is one row per user-day, not per event."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id", F.to_date("ts").alias("day")
     )
     cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
@@ -2308,7 +2361,7 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bounded shuffle keyed by the low-cardinality event_type.  Both
     engines interpolate linearly (index p*(n-1)); rounded to 6dp under
     the shared convention."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -2341,7 +2394,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain (second one over |value - median| after a broadcast-size
     join back), then one conditional count.  Output is integers, so the
     cross-engine gate is immune to float formatting."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "value"
     )
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
@@ -2437,7 +2490,7 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.01)`` (HLL++, one pass, mergeable sketches, no second shuffle) and
     the plan is otherwise identical.  Day emitted as yyyy-MM-dd string so
     both engines hash the same representation."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
@@ -2479,7 +2532,7 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops it."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     uh = (
         ev.select(
             "event_type", F.col("user_id").cast("string").alias("u")
@@ -5027,7 +5080,7 @@ def dedup_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-key sort, no window, and exactly one corpus-sized shuffle on
     the key.  At 1e12 rows with ~1e10 urls the per-key state is a few
     dozen bytes regardless of revisit skew."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP.  The
     # cast applies the session zone shift.  NOTE: that shift cancels in
     # the max-min difference only under a FIXED-offset session zone; a
@@ -5733,7 +5786,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (from, to) pair -- the same shape as gap sessionization."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = ev.select(
         F.col("event_type").alias("from_type"),
@@ -5778,7 +5831,7 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window frame."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ: timestampdiff is the tz-free exact-micros path
     # (unix_micros rejects NTZ; casting through TIMESTAMP would drag the
