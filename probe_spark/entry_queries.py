@@ -694,7 +694,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, threshold 0.5.  The df cap bounds the hottest join key (see
     _SHINGLE_DF_CAP) -- without it one boilerplate shingle explodes the
     self-join quadratically at web scale."""
-    sh = _capped_shingles(_docs(spark, sf_dir))
+    sh = _capped_shingles(_spread(spark, _docs(spark, sf_dir)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("a")
@@ -748,7 +748,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph-level dedup).  Directional: (a,b) and (b,a) are distinct
     verdicts.  Same scale guards as the Jaccard entry: the self-join key
     is a df-capped shingle, never the corpus."""
-    sh = _capped_shingles(_docs(spark, sf_dir))
+    sh = _capped_shingles(_spread(spark, _docs(spark, sf_dir)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("a")
@@ -2119,7 +2119,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so no rounding discipline is even needed."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
+    ev = _spread(
+        spark, _read_pq(spark, f"{sf_dir}/events.parquet"), "event_id"
+    )
     schema = StructType([StructField("k", LongType())])
     k = F.from_json("props", schema)["k"]
     return (
@@ -2695,7 +2697,7 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail chunk would be a strict subset of its predecessor and those
     tokens would enter the training mix twice."""
     size, stride = 50, 40
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     n = F.size(F.split("text", " "))
     starts = F.sequence(
         F.lit(0),
@@ -2747,7 +2749,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring join.  Both engines compute the PMI expression with the SAME
     association order, and the sort key is the 6dp-ROUNDED pmi with
     (w1, w2) tiebreak, so top-20 boundary rows cannot flip on a ulp."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     tok = docs.select(F.split("text", " ").alias("tok"))
     uni = (
         tok.select(F.explode("tok").alias("w"))
@@ -3074,7 +3076,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per doc (the winnowing density guarantee)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
@@ -3100,28 +3102,34 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    m = grams.groupBy("doc_id").agg(F.max("pos").alias("m"))
-    # greatest(..., 1): a doc with FEWER than W grams still gets one
-    # window anchored at pos 1 spanning all its grams (standard MOSS
-    # short-document behavior) -- without the clamp a 4-5-token doc
-    # emits no fingerprint at all and verbatim copies of it are invisible
-    starts = grams.join(m, "doc_id").filter(
+    # Window minima via ONE more window pass over the same doc-local sort
+    # (guide SS2.4): the previous form materialized every (window start,
+    # member) pair through a doc_id-equi range join -- n_grams^2 rows per
+    # doc generated by the SortMergeJoin before the range filter kept
+    # 4n (measured 7.5 s at sf1.0; 125M intermediate pairs).  grams has
+    # exactly one row per pos 1..m, so min(struct(h, -pos)) over
+    # rowsBetween(0, W-1) IS the per-window (h asc, pos desc) winner,
+    # and the start-position filter (pos <= max(m - W + 1, 1), the MOSS
+    # short-doc clamp) comes from a max window over the same partition
+    # -- no join, no second shuffle (same doc_id partitioning).
+    wfull = Window.partitionBy("doc_id")
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min(
+            F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))
+        )
+        .over(wsel)
+        .alias("w"),
+        F.max("pos").over(wfull).alias("m"),
+    ).filter(
         F.col("pos")
         <= F.greatest(F.col("m") - (_WINNOW_W - 1), F.lit(1))
-    )
-    g, q = starts.alias("g"), grams.alias("q")
-    win = g.join(
-        q,
-        (F.col("g.doc_id") == F.col("q.doc_id"))
-        & F.col("q.pos").between(
-            F.col("g.pos"), F.col("g.pos") + (_WINNOW_W - 1)
-        ),
-    )
-    # per window the (h asc, pos desc) winner: min of struct(h, -pos)
-    sel = win.groupBy(F.col("g.doc_id").alias("doc_id"), F.col("g.pos")).agg(
-        F.min(
-            F.struct(F.col("q.h").alias("h"), (-F.col("q.pos")).alias("np"))
-        ).alias("w")
     )
     return (
         sel.select(
@@ -3210,7 +3218,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound column) makes Catalyst re-evaluate that whole expression per
     outer element -- O(len^2) array builds per document, measured 14x
     slower at sf0.1."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     w, n = F.col("ws"), F.size("ws")
     arrs = docs.select(
         "doc_id",
@@ -3230,18 +3238,36 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0))
 
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda x: F.size(F.filter(w, lambda y: y == x)),
-        )
+    # top word count via explode + two-level aggregation instead of the
+    # interpreted distinct x filter lambda product (O(distinct * len)
+    # array allocations per doc; the aggregation is the same map-side-
+    # combined shape text_entropy uses, and both frames are already
+    # hash-partitioned by doc_id so the join adds no exchange on the
+    # array side)
+    top_counts = (
+        arrs.select("doc_id", F.explode("ws").alias("tw"))
+        .groupBy("doc_id", "tw")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top"))
     )
-    return arrs.select(
+    # the map-side metrics are FINISHED before the join so the planner
+    # cannot re-inline the g2/g3 expressions into the dup_frac lambdas
+    # through the join projection (the per-element re-evaluation trap in
+    # the docstring -- doing the select after the join measured 14x)
+    base = arrs.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         _dup_frac(F.col("g2")).alias("dup_2gram_frac"),
         _dup_frac(F.col("g3")).alias("dup_3gram_frac"),
-        F.round(top / n, 6).alias("top_word_frac"),
+        n.alias("_n"),
+    )
+    return base.join(top_counts, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.round(F.col("top") / F.col("_n"), 6).alias("top_word_frac"),
     )
 
 
@@ -3346,7 +3372,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine (the dominant shuffle, same shape as the TF pass), then a
     per-doc agg over the (bounded) distinct-word rows.  No broadcast, no
     UDF, no global sort."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     c = (
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -3526,7 +3552,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized via projection BEFORE the nested count lambda reads it
     (same Catalyst re-evaluation trap as text_repetition: an expression
     closed over by a lambda is rebuilt per outer element)."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     w, n = F.col("ws"), F.size("ws")
     arrs = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", _word_ngrams(w, n, 3).alias("g3")
@@ -3587,7 +3613,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side at any size; the only shuffle is the final per-doc
     groupBy, over hit rows only (contamination is rare at scale)."""
     K = 3
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     w, n = F.col("ws"), F.size("ws")
     grams = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", F.array_distinct(_word_ngrams(w, n, K)).alias("g")
@@ -3661,7 +3687,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rewrite payloads were carried -- only positions are).
     """
     K = 8
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     base = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).select("doc_id", F.col("ws"), F.size("ws").alias("n_words"))
@@ -3769,7 +3795,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-deep regexp_replace chain, all JVM-side inside whole-stage
     codegen; zero shuffles, zero Python, trivially partition-parallel
     at any corpus size."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     d = F.col("doc_id")
     inj = F.concat(
         F.col("text"),
@@ -3848,7 +3874,7 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the vocab table is still a few million rows -- comfortably
     broadcastable -- and both the count and the score pass are one scan
     each."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).select(
@@ -3908,7 +3934,7 @@ def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     K, THRESH = 2, 0.05
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     w, n = F.col("ws"), F.size("ws")
     grams = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", F.array_distinct(_word_ngrams(w, n, K)).alias("g")
@@ -4094,7 +4120,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     THRESH = 0.5
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     bucket = _md5_bucket(F.col("doc_id"), 100)
     sh = _capped_shingles(docs).join(
         docs.select("doc_id", bucket.alias("b")), "doc_id"
@@ -4183,7 +4209,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     K = 3
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     toks = docs.select(
         "doc_id", _explode_nn(F.split("text", " ")).alias("w")
     ).where(F.col("w").isNotNull())
@@ -4521,8 +4547,6 @@ def semantic_dedup(
     from pyspark.sql.window import Window
 
     ed, vnorm, sims, w = _quantizer_sims(emb, k_cells, iters, cache_key)
-    # ranked feeds three consumers (ma, mb, the final left join) -- persist
-    # so its two corpus-sized window shuffles run once, not three times
     ranked = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -4535,56 +4559,56 @@ def semantic_dedup(
             ),
         )
         .select("vec_id", "cell", "rank")
-        .persist()
     )
-    # compact per-vector rows: (vec_id, cell, rank, double[] embedding);
-    # float->double element casts match ed's scoring lane exactly
-    m = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).join(ranked, "vec_id")
-    ma = m.select(
-        "cell", F.col("vec_id").alias("a"), F.col("rank").alias("ra"),
-        F.col("e").alias("ea"),
-    )
-    mb = m.select(
-        "cell", F.col("vec_id").alias("b"), F.col("rank").alias("rb"),
-        F.col("e").alias("eb"),
-    )
-    dots = (
-        ma.join(mb, "cell")
-        .filter(F.col("ra") < F.col("rb"))
-        .select(
-            "cell",
-            "a",
-            "b",
-            F.aggregate(
-                F.zip_with("ea", "eb", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
+    # Per-cell VECTORIZED pair sweep (guide SS4.2): the pair-join form
+    # built one row per candidate pair and ran an interpreted
+    # zip_with/aggregate fold per row -- sum(cell^2) pairs x dim
+    # interpreted ops (measured 40 s at 20k vectors / 8 cells).  Here
+    # each cell's members arrive as ONE pandas group (the shuffle is
+    # cell-sized, same as the join's), the upper-triangular cosine block
+    # is a BLAS matmul in row blocks (memory-bounded), and the drop rule
+    # -- some lower-ranked mate within tau -- is a per-column any() over
+    # the strict upper triangle.  Parity discipline is the one
+    # assign_sims already established and the gates pin: norms are
+    # recomputed vectorized, cos rounds via _round_half_away(6) (the
+    # HALF_UP mode Spark and DuckDB share), and the 6dp rounding absorbs
+    # summation-order ulp between matmul, the Spark fold, and DuckDB.
+    # The long pair form survives only in the SQL oracle.
+    tau_f = float(tau)
+
+    def _cell_sweep(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("rank")
+        e = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
         )
-    )
-    na = vnorm.select(F.col("vec_id").alias("a"), F.col("vn").alias("na"))
-    nb = vnorm.select(F.col("vec_id").alias("b"), F.col("vn").alias("nb"))
-    dups = (
-        dots.join(na, "a")
-        .join(nb, "b")
-        .select(
-            "b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        vn = np.sqrt((e * e).sum(axis=1))
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        cols = np.arange(n)[None, :]
+        B = 2048
+        for s in range(0, n, B):
+            t = min(s + B, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (e[s:t] @ e.T) / (vn[s:t, None] * vn[None, :])
+            hit = _round_half_away(cos, 6) >= tau_f
+            hit &= np.arange(s, t)[:, None] < cols
+            dropped |= hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy().astype("int64"),
+                "kept": ~dropped,
+            }
         )
-        .filter(F.col("cos") >= tau)
-        .select("b")
-        .distinct()
-    )
+
     result = (
-        ranked.join(dups, ranked.vec_id == dups.b, "left")
-        .select(
-            "vec_id",
-            F.col("cell").cast("long").alias("cell"),
-            F.col("b").isNull().alias("kept"),
-        )
+        emb.select("vec_id", "embedding")
+        .join(ranked, "vec_id")
+        .groupBy("cell")
+        .applyInPandas(_cell_sweep, "vec_id long, cell long, kept boolean")
     )
     # the answer is CORPUS-sized (one row per vector) -- never collect it
     # to the driver; localCheckpoint materializes it executor-side and
@@ -4594,7 +4618,6 @@ def semantic_dedup(
     finally:
         ed.unpersist()
         sims.unpersist()
-        ranked.unpersist()
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4827,7 +4850,7 @@ def filter_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-only).  No global sort anywhere."""
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     toks = docs.select(
         "doc_id", "lang", F.split("text", " ").alias("ws")
     ).select(
@@ -4937,7 +4960,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row scalar cross-joined in.  Pairs are built doc-locally
     (explode_outer of a computed array -- see _explode_nn for why not a
     plain explode)."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     t = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= 2
     )
@@ -4958,7 +4981,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vocab = (
-        _docs(spark, sf_dir)
+        docs
         .select(F.explode(F.split("text", " ")).alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("v"))
     )
@@ -5017,7 +5040,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     V_TOP, THRESH = 16, 0.8
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     toks = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", F.size("ws").alias("n_words"), F.explode("ws").alias("w")
     )
@@ -5206,7 +5229,7 @@ def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter / array_intersect -- whole-stage codegen, no UDF, no
     shuffle).  At 1e12 docs this is a pure scan: the filter fuses with
     whatever pipeline stage consumes the keep flag."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     w = F.split("text", " ")
     stop = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
     n_words = F.size(w).cast("long")
@@ -5279,7 +5302,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: map-only column math -- JVM-side regexp_count and
     integer ops inside whole-stage codegen, no UDF, zero shuffles."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(spark, _docs(spark, sf_dir))
     s = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),

@@ -33,13 +33,9 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
     for ln in lens:
         words = rng.choice(VOCAB, size=ln)
         texts.append(" ".join(words))
-    # ~8% near-duplicate pairs like the driver tables (dedup ops see work)
-    n_dup = n // 12
-    src_ix = rng.integers(0, n, size=n_dup)
-    dst_ix = rng.integers(0, n, size=n_dup)
-    for s, d in zip(src_ix, dst_ix):
-        if s != d:
-            texts[d] = texts[s] + " " + rng.choice(VOCAB)
+    # no injected duplicates: the driver tables are pure random word bags
+    # (dedup_exact at sf0.01 groups 500 docs into 500 singletons), so the
+    # dedup/decontaminate ops must see the same near-dup-sparse shape
     langs = rng.choice(LANGS, size=n, p=LANG_P)
     return pa.table(
         {
@@ -55,16 +51,45 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
 
 
 def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    # plain random unit vectors with geometry-free labels, matching the
+    # driver tables (sf0.1 intra-label mean cosine ~= inter ~= 0, only
+    # ~0.2% of pairs above cos 0.35)
     dim = 64
-    centers = rng.normal(size=(10, dim)).astype(np.float32)
     labels = rng.integers(0, 10, size=n).astype(np.int32)
-    vecs = centers[labels] + 0.5 * rng.normal(size=(n, dim)).astype(np.float32)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     return pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
             "embedding": pa.array(list(vecs.astype(np.float32))),
             "label": pa.array(labels),
+        }
+    )
+
+
+def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
+    types = np.array(["signup", "purchase", "view", "click", "error"])
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span = np.timedelta64(30 * 24 * 3600 * 1_000_000, "us")
+    offs = np.sort(rng.integers(0, int(span.astype(np.int64)), size=n))
+    n_users = max(1, n * 3 // 200)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts0 + offs.astype("timedelta64[us]")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).astype(np.int64)
+            ),
+            "event_type": pa.array(types[rng.integers(0, 5, size=n)]),
+            "value": pa.array(
+                np.round(np.abs(rng.normal(50, 50, size=n)), 2)
+            ),
+            "props": pa.array(
+                [
+                    '{"k": %d}' % k
+                    for k in rng.integers(0, 100, size=n)
+                ]
+            ),
         }
     )
 
@@ -84,7 +109,12 @@ def main() -> None:
     pq.write_table(
         gen_embeddings(n_vecs, rng), f"{args.out}/embeddings.parquet"
     )
-    print(f"wrote {n_docs} docs + {n_vecs} vecs to {args.out}")
+    n_events = int(1_000_000 * args.sf)
+    pq.write_table(gen_events(n_events, rng), f"{args.out}/events.parquet")
+    print(
+        f"wrote {n_docs} docs + {n_vecs} vecs + {n_events} events "
+        f"to {args.out}"
+    )
 
 
 if __name__ == "__main__":
