@@ -1289,14 +1289,35 @@ def _lsh_candidate_cos(emb: DataFrame) -> DataFrame:
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
     )
+    # ARRAY-form dot per candidate pair (the dedup_embed_cosine pattern;
+    # guide SS2.3 "shuffle fewer bytes"): the long-format form joined 64
+    # exploded rows per pair per side through two sort-merge joins and a
+    # shuffle-order sum -- dim x pair-count join rows for values the
+    # vector arrays already carry in one row.  zip_with folds in
+    # ascending i, deterministic; the 6dp rounding below is the declared
+    # cross-engine ulp guard (oracle sums in DuckDB scan order).
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
     dots = (
-        cand.join(ed.alias("ea"), F.col("a") == F.col("ea.vec_id"))
-        .join(
-            ed.alias("eb"),
-            (F.col("b") == F.col("eb.vec_id")) & (F.col("ea.i") == F.col("eb.i")),
+        cand.join(
+            ev.select(F.col("vec_id").alias("a"), F.col("e").alias("ea")),
+            "a",
         )
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("ea.v") * F.col("eb.v")).alias("dot"))
+        .join(
+            ev.select(F.col("vec_id").alias("b"), F.col("e").alias("eb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.aggregate(
+                F.zip_with("ea", "eb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
     )
     na = vnorm.select(F.col("vec_id").alias("a"), F.col("vn").alias("na"))
     nb = vnorm.select(F.col("vec_id").alias("b"), F.col("vn").alias("nb"))
